@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (collect) but results are discarded;
+the first query's time includes JVM/session warmup, so a tiny warmup query
+runs first and is not counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from otokuna_spark.plans.queries import REGISTRY
+from otokuna_spark.session import DEFAULT_SF_DIR, get_spark
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_grouped_topk",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_outlier_filter",
+    "q07_dedup_keepfirst",
+    "q08_score_topk",
+    "q09_group_percentile",
+    "q10_split_assignment",
+    "q11_hourly_rollup",
+    "q12_asof_join",
+    "q20_exact_dedup",
+    "q21_ngram_jaccard_pairs",
+    "q22_minhash_lsh_pairs",
+    "q23_embedding_topk",
+    "q25_lang_id",
+    "q26_quality_score",
+    "q27_token_stats",
+    "q28_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("otokuna-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup (JVM + parquet footer caches), not counted
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        rows = spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

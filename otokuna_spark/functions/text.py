@@ -1,0 +1,152 @@
+"""Text-analysis column functions for the training-data pipeline surface.
+
+All hot-path functions are native Column expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs — so they hold up over a 100 TB
+document corpus. Each has an exactly-equivalent ANSI-SQL formulation used
+by the DuckDB oracle (plans/queries.py), so the semantics are pinned by
+the correctness gate, not just unit tests.
+
+Portability conventions (Spark <-> DuckDB):
+- token counts via occurrence counting ``(len(s) - len(replace(s, t, '')))
+  / len(t)`` — pure integer arithmetic, identical in both engines;
+- fingerprints via ``md5`` (identical output both sides);
+- ratios as a single double division of exact integers (IEEE-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: Column) -> Column:
+    """Number of whitespace-separated tokens (0 for empty/blank text)."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col))).cast("long")
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(F.array_distinct(tokens(col)))).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Subword-ish token count: split on word/number/punct boundaries.
+
+    A cheap proxy for BPE token counts (letters runs of <=4 chars count 1):
+    count = words + ceil(extra length) + punctuation marks.
+    """
+    words = token_count(col)
+    chars = F.length(F.regexp_replace(col, _WS, ""))
+    # every started chunk of 4 chars beyond the first of each word
+    extra = F.ceil((chars - words).cast("double") / F.lit(4.0)).cast("long")
+    return (words + F.greatest(extra, F.lit(0))).cast("long")
+
+
+def occurrence_count(col: Column, needle: str) -> Column:
+    """#occurrences of a literal substring — portable integer arithmetic."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / F.lit(len(needle))).cast(
+        "long"
+    )
+
+
+def word_occurrence_count(col: Column, word: str) -> Column:
+    """#occurrences of a whole word, counted by padding the text with spaces
+    and searching for ' word ' (portable to SQL verbatim)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {word} "
+    # overlapping ' a b a ' cases don't occur for space-delimited needles of
+    # distinct words, but consecutive 'x x' would overlap; count via replace
+    # of the needle's leading space only.
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+            / F.lit(len(needle) - 1)).cast("long")
+
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible; on organic text these are
+# the standard top-frequency function words.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "que", "los"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {
+        lang: sum((word_occurrence_count(col, w) for w in words), F.lit(0).cast("long"))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Language-ID heuristic: argmax of marker-stopword counts, ties broken
+    by language code order, all-zero -> 'und'."""
+    scores = lang_scores(col)
+    pairs = sorted(scores.items())  # deterministic tie-break: lang code asc
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang, score in pairs:
+        take = score > best_score  # strict: earlier lang wins ties
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+_PUNCT = (".", ",", "!", "?", ";", ":")
+
+
+def quality_score_raw(col: Column) -> Column:
+    """Document quality score in [0,1]: rewards mid-length docs, a sane
+    punctuation rate, and a nonzero stopword ratio.
+
+    score = 0.4*min(len/500,1) + 0.3*min(stopword_ratio*5,1)
+          + 0.3*(1 - min(punct_ratio*10,1))
+    computed from exact integer counts; single-division ratios keep the
+    raw double bit-identical with the SQL oracle (round/floor-scale at the
+    query layer, never here — Spark's ROUND goes through BigDecimal and
+    disagrees with DuckDB's at half-boundaries).
+    """
+    n_chars = F.length(col).cast("double")
+    n_tokens = token_count(col).cast("double")
+    n_stop = sum((word_occurrence_count(col, w) for w in STOPWORDS), F.lit(0).cast("long")).cast("double")
+    n_punct = sum((occurrence_count(col, p) for p in _PUNCT), F.lit(0).cast("long")).cast("double")
+    len_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)) * 5.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)) * 10.0, F.lit(1.0))
+    return 0.4 * len_term + 0.3 * stop_term + 0.3 * punct_term
+
+
+def quality_score(col: Column) -> Column:
+    return F.round(quality_score_raw(col), 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token set.
+
+    Robust to token order / duplication — two documents with the same
+    vocabulary share a fingerprint (the classic Broder 'sketch of shingles'
+    degenerate case; cheap first-pass dedup key).
+    """
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
+    return F.md5(canon)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as array<string> (distinct), for Jaccard/MinHash."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+    )

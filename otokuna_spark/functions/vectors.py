@@ -1,0 +1,35 @@
+"""Vector column functions over array<float|double> embeddings.
+
+Built on higher-order functions (``zip_with`` / ``aggregate``) so the dot
+products run JVM-side inside codegen — the brute-force similarity path is
+then a pure shuffle/broadcast problem, not a Python-speed problem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes via popcount(xor)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)

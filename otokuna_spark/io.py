@@ -1,0 +1,77 @@
+"""Table sources/sinks (SURVEY.md S4-S8).
+
+The reference shuttles pandas pickles through S3 (scraping.py:407-410,
+predict.py:27-51); the Spark-native home is partitioned Parquet. All reads
+go through ``spark.read.parquet`` so Catalyst gets predicate pushdown and
+column pruning for free; writers expose partitioning and compaction
+(the reference's zip-consolidation step S9 becomes ``compact``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor. At the
+# 100 TB design point region/nation stay tiny (fixed cardinality) and
+# supplier/part/customer grow; only the fixed-cardinality ones are safe to
+# force-broadcast unconditionally.
+BROADCAST_DIMS = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
+    """Load the driver's synthetic tables (TESTDATA.md) as DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Canonical sink (replaces the reference's CSV/pickle sinks, S4/S6).
+
+    ``partition_by`` yields a `key=value` directory layout, turning the
+    reference's S3-prefix-regex listing (S8, app/app.py:283-294) into
+    partition pruning.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def compact(spark: SparkSession, path: str, out_path: str, target_files: int = 8) -> None:
+    """Small-file compaction (replaces zip consolidation, S9:
+    svc/zip_property_data.py:34-100)."""
+    spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(out_path)

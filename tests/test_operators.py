@@ -1,0 +1,125 @@
+"""Operator unit tests on small deterministic frames (SURVEY.md §5 plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otokuna_spark.operators import asof, dedup, outliers, sampling, similarity, topk
+
+
+def test_remove_outliers_equality_semantics(spark):
+    # pandas-parity: flag rows EQUAL to the interpolated 0.99 quantile.
+    # col a: 1..100 -> quantile(0.99) = 99.01+... interpolated, equals no row.
+    # col b: all 5 -> quantile = 5.0, equals every row -> everything flagged.
+    rows = [(float(i), 5.0) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    assert outliers.remove_outliers(df, ["a"]).count() == 100
+    assert outliers.remove_outliers(df, ["b"]).count() == 0
+    assert outliers.remove_outliers(df, ["a", "b"]).count() == 0
+
+
+def test_dedup_keep_first(spark):
+    rows = [
+        ("k1", 2, "second"),
+        ("k1", 1, "first"),
+        ("k2", 5, "only"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ord", "val"])
+    out = dedup.dedup_keep_first(df, ["k"], [F.asc("ord")]).orderBy("k").collect()
+    assert [(r["k"], r["val"]) for r in out] == [("k1", "first"), ("k2", "only")]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this unrelated document about spark engines"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact(spark):
+    a = "w1 w2 w3 w4 w5"  # shingles: 123,234,345
+    b = "w1 w2 w3 w4 x"  # shingles: 123,234,34x -> common 2, union 4 -> 0.5
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 0.5) < 1e-12
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok59", "other")
+    far = " ".join(f"zzz{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(df, "doc_id", "text").collect()}
+    from otokuna_spark.functions.vectors import hamming64
+
+    h = spark.createDataFrame([(sigs[1], sigs[2]), (sigs[1], sigs[3])], ["x", "y"]).select(
+        hamming64(F.col("x"), F.col("y")).alias("d")
+    ).collect()
+    assert h[0]["d"] < h[1]["d"]  # near-dup pair closer than unrelated pair
+
+
+def test_brute_force_topk_self_neighbor_excluded(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=2)
+    rows = out.collect()
+    assert all(r["neighbor_id"] != 0 for r in rows)
+    assert len(rows) == 2
+
+
+def test_lsh_topk_recall_against_brute_force(spark):
+    import random
+
+    rng = random.Random(1)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(50)]
+    # make vec 1 a near-copy of vec 0
+    base[1] = [x + rng.gauss(0, 0.01) for x in base[0]]
+    df = spark.createDataFrame(list(enumerate(base)), ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    approx = similarity.lsh_topk(df, q, "vec_id", "embedding", k=1)
+    got = approx.collect()
+    assert got and got[0]["neighbor_id"] == 1  # near-copy lands in same buckets
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame([(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")], ["k", "ts", "pl"])
+    right = spark.createDataFrame([(1, 9, "v1"), (1, 15, "v2"), (2, 6, "v3")], ["k", "ts", "pr"])
+    out = {r["pl"]: r["r_pr"] for r in asof.asof_join(left, right, "k").collect()}
+    assert out == {"p1": "v1", "p2": "v2", "p3": None}
+
+
+def test_asof_join_tie_inclusive(spark):
+    left = spark.createDataFrame([(1, 10, "p")], ["k", "ts", "pl"])
+    right = spark.createDataFrame([(1, 10, "v")], ["k", "ts", "pr"])
+    out = asof.asof_join(left, right, "k").collect()
+    assert out[0]["r_pr"] == "v"
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10, "p1")], ["k", "ts", "pl"])
+    right = spark.createDataFrame([(1, 9, "v0"), (1, 12, "v1")], ["k", "ts", "pr"])
+    out = asof.asof_join(left, right, "k", direction="forward").collect()
+    assert out[0]["r_pr"] == "v1"
+
+
+def test_grouped_top_k(spark):
+    rows = [("g1", 3), ("g1", 1), ("g1", 2), ("g2", 9)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = topk.grouped_top_k(df, ["g"], [F.desc("v")], 2).orderBy("g", "rank").collect()
+    assert [(r["g"], r["v"], r["rank"]) for r in out] == [("g1", 3, 1), ("g1", 2, 2), ("g2", 9, 1)]
+
+
+def test_split_disjoint_exhaustive(spark):
+    # mirrors libs/tests/test_analysis.py:52-63 split invariants
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = sampling.train_val_test_split(df, "k")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    assert set(counts) == {"train", "val", "test"}
+    # deterministic: same assignment on re-run
+    again = sampling.train_val_test_split(df, "k")
+    assert out.exceptAll(again).count() == 0
