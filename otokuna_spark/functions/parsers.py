@@ -150,10 +150,23 @@ _KE_DISTRICTS = ("千駄ヶ谷", "富ヶ谷", "幡ヶ谷")
 
 
 def _int2kanji(num: Column) -> Column:
-    """Digit-by-digit arabic->kanji transliteration (analysis.py:26-28 uses
-    a library; semantics for block numbers are per-digit: 12 -> 一二).
-    Handles both ASCII and full-width digits (addresses use full-width)."""
-    return F.translate(num, "0123456789０１２３４５６７８９", _KANJI_DIGITS + _KANJI_DIGITS)
+    """Arabic->kanji numeral conversion matching the kanjize library the
+    reference uses (analysis.py:36: int2kanji(12) == '十二', 21 == '二十一',
+    10 == '十'). Handles 1..99 (block numbers never exceed two digits) and
+    both ASCII and full-width input digits."""
+    n = F.translate(num, "０１２３４５６７８９", "0123456789").cast("int")
+    digits = F.split(F.lit(_KANJI_DIGITS), "")
+    ones = n % 10
+    tens = (n / 10).cast("int")
+    one_k = F.element_at(digits, ones + 1)
+    ten_k = F.element_at(digits, tens + 1)
+    return F.when(n < 10, one_k).otherwise(
+        F.concat(
+            F.when(tens > 1, ten_k).otherwise(F.lit("")),
+            F.lit("十"),
+            F.when(ones > 0, one_k).otherwise(F.lit("")),
+        )
+    )
 
 
 def build_address_join_key(address: Column) -> Column:

@@ -1,0 +1,59 @@
+"""ML pipeline tests (M1-M5, M3 leaf quantiles) on synthetic data —
+mirrors the reference's perfectly-separable quantile-tree test
+(libs/tests/test_tree.py:10-36) and split invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from otokuna_spark.ml import pipeline as mlp
+
+
+@pytest.fixture(scope="module")
+def toy_df(spark):
+    # two well-separated clusters: x < 0 -> y ~ 100, x >= 0 -> y ~ 1000
+    rows = []
+    for i in range(200):
+        x = -1.0 - (i % 10) * 0.1 if i % 2 == 0 else 1.0 + (i % 10) * 0.1
+        y = 100.0 + (i % 5) if i % 2 == 0 else 1000.0 + (i % 7)
+        rows.append((str(i), x, float(i % 3), y))
+    return spark.createDataFrame(rows, ["jnc_id", "f1", "f2", "y"])
+
+
+def test_train_gbt_metrics_shape(toy_df):
+    model, metrics = mlp.train_gbt(toy_df, feature_cols=["f1", "f2"], max_iter=5)
+    assert set(metrics) <= {"mae_train", "mae_val", "mae_test"}
+    assert "mae_train" in metrics
+    # separable data -> model should beat the trivial predictor by far
+    assert metrics["mae_train"] < 100.0
+
+
+def test_predict_contract(toy_df):
+    model, _ = mlp.train_gbt(toy_df, feature_cols=["f1", "f2"], max_iter=5)
+    preds = mlp.predict(model, toy_df)
+    assert preds.columns == ["jnc_id", "y", "y_pred"]
+    assert preds.count() == 200
+    assert preds.filter(F.col("y_pred").isNull()).count() == 0
+
+
+def test_leaf_quantile_tree(spark, toy_df):
+    model, leaf_q = mlp.fit_leaf_quantile_tree(
+        toy_df, feature_cols=["f1", "f2"], quantiles=(0.1, 0.5, 0.9), max_depth=2
+    )
+    out = mlp.predict_quantiles(model, leaf_q, toy_df)
+    rows = out.collect()
+    # perfectly separable: every low-cluster row's median ~ low cluster
+    for r in rows:
+        if r["f1"] < 0:
+            assert 100.0 <= r["q_0_5"] <= 104.0
+        else:
+            assert 1000.0 <= r["q_0_5"] <= 1006.0
+    # quantiles are monotone per leaf
+    for r in rows:
+        assert r["q_0_1"] <= r["q_0_5"] <= r["q_0_9"]
+
+
+def test_mae_metric(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 1.0)], ["y", "y_pred"])
+    assert abs(mlp.mae(df) - 1.5) < 1e-12

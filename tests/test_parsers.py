@@ -156,7 +156,9 @@ JOIN_KEY_CASES = [
     ("東京都新宿区西新宿", "東京都新宿区西新宿"),
     ("東京都渋谷区千駄ヶ谷１", "東京都渋谷区千駄ケ谷一丁目"),  # ヶ -> ケ special case
     ("東京都渋谷区富ヶ谷２", "東京都渋谷区富ケ谷二丁目"),
-    ("東京都渋谷区幡ヶ谷１２", "東京都渋谷区幡ケ谷一二丁目"),  # per-digit kanji
+    ("東京都渋谷区幡ヶ谷１２", "東京都渋谷区幡ケ谷十二丁目"),  # kanjize semantics: 12 -> 十二
+    ("東京都足立区新田２１", "東京都足立区新田二十一丁目"),
+    ("東京都北区豊島１０", "東京都北区豊島十丁目"),
     ("神奈川県横浜市中区", ""),  # unparseable -> ''
 ]
 

@@ -1,0 +1,163 @@
+"""End-to-end pipeline tests: HTML pages -> properties -> enrich -> clean
+-> score (SURVEY.md §3.1-§3.3), on synthetic fixture pages."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from otokuna_spark.plans import pipeline
+from otokuna_spark.sources.html import read_raw_pages
+from otokuna_spark.sources.location import read_location_reference
+
+from .fixtures import building, page, room, write_location_csv
+
+
+def _write_pages(tmp_path):
+    pages = {
+        # page 1: normal building (2 rooms) + one room that later duplicates
+        "page_000001.html": page(
+            [
+                building(
+                    [room("000000000001", rent="6.9万円", layout="1K", new=True), room("000000000002", layout="2DK", floor="B1-1階")]
+                ),
+                building(
+                    [room("000000000003", rent="12万円", layout="3LDK", area="80.5m2")],
+                    address="東京都大田区中央１",
+                    title="第二テスト",
+                    age="新築",
+                ),
+                # distinct building_age so the Q1 equality quirk (duplicated
+                # max -> q99 == value -> row flagged) does not trip on the
+                # small fixture; reference behaves identically
+                building(
+                    [room("000000000006", rent="8.1万円")],
+                    address="東京都新宿区西新宿",
+                    title="第三テスト",
+                    age="築25年",
+                ),
+            ]
+        ),
+        # page 2: duplicate jnc_id 000000000001 (different rent -> must keep
+        # page 1's row), a driving-time building (rows dropped), a
+        # non-Tokyo building (rows dropped)
+        "page_000002.html": page(
+            [
+                building([room("000000000001", rent="9.9万円")]),
+                building(
+                    [room("000000000004")],
+                    transportation=("東京メトロ東西線/行徳駅 車15分(5.1km)",),
+                    title="車アクセス",
+                ),
+                building([room("000000000005")], address="神奈川県横浜市中区x１", title="横浜"),
+            ]
+        ),
+    }
+    d = tmp_path / "pages"
+    d.mkdir()
+    for name, content in pages.items():
+        (d / name).write_text(content, encoding="utf-8")
+    return str(d)
+
+
+def test_raw_extraction(spark, tmp_path):
+    path = _write_pages(tmp_path)
+    raw = read_raw_pages(spark, path)
+    rows = raw.collect()
+    assert len(rows) == 7  # all rooms surface raw; drops happen downstream
+    by_id = {r["detail_href"]: r for r in rows}
+    r1 = by_id["/chintai/jnc_000000000001/?bc=100000000001"]
+    assert r1["category_text"] == "賃貸マンション"
+    assert r1["address_text"] == "東京都渋谷区恵比寿南１"
+    assert r1["transportation_texts"] == ["ＪＲ山手線/恵比寿駅 歩5分", "東京メトロ日比谷線/恵比寿駅 歩7分"]
+    assert "times=1609140469000" in r1["banner_script"]
+
+
+def test_properties_projection_and_row_drops(spark, tmp_path):
+    path = _write_pages(tmp_path)
+    props = pipeline.make_properties_df(read_raw_pages(spark, path), html_file_fetched_at=1609140460.0)
+    rows = props.collect()
+    ids = sorted(r["jnc_id"] for r in rows)
+    # 000000000004 dropped (driving time), 000000000005 dropped (non-Tokyo);
+    # the duplicate 000000000001 survives twice until clean_df
+    assert ids == ["000000000001", "000000000001", "000000000002", "000000000003", "000000000006"]
+    golden = next(r for r in rows if r["jnc_id"] == "000000000001" and r["rent"] == 69000)
+    assert golden["building_age"] == 10
+    assert golden["building_floors"] == 5
+    assert golden["admin_fee"] == 3000
+    assert golden["gratuity"] == 0  # '-' -> 0
+    assert golden["n_rooms"] == 1 and golden["kitchen"] and not golden["living_room"]
+    assert golden["n_stations"] == 2
+    assert golden["walk_time_station_min"] == 5.0
+    assert golden["walk_time_station_avg"] == 6.0
+    assert golden["ward"] == "渋谷区" and golden["district"] == "恵比寿南"
+    assert golden["new_arrival"] is True
+    assert golden["html_file_banner_timestamp"] == 1609140469.0
+    assert golden["url"].startswith("https://suumo.jp/chintai/jnc_000000000001/")
+    b1 = next(r for r in rows if r["jnc_id"] == "000000000002")
+    assert (b1["min_floor"], b1["max_floor"]) == (0, 1)  # B1-1階
+    shinchiku = next(r for r in rows if r["jnc_id"] == "000000000003")
+    assert shinchiku["building_age"] == 0  # 新築
+
+
+def test_enrich_clean_score_end_to_end(spark, tmp_path):
+    pages_path = _write_pages(tmp_path)
+    loc_csv = str(tmp_path / "location.csv")
+    write_location_csv(loc_csv)
+    loc = read_location_reference(spark, loc_csv)
+
+    cleaned = pipeline.scrape_pipeline(spark, pages_path, location_ref=loc, html_file_fetched_at=1609140460.0)
+    rows = {r["jnc_id"]: r for r in cleaned.collect()}
+    # duplicate resolved keep-FIRST (page 1 rent), geocode join hit
+    assert rows["000000000001"]["rent"] == 69000
+    assert abs(rows["000000000001"]["latitude"] - 35.644942) < 1e-9
+    assert rows["000000000001"]["y"] == 72000.0  # rent + admin_fee
+    # 大田区中央１ -> 中央一丁目 matched too
+    assert abs(rows["000000000003"]["latitude"] - 35.573764) < 1e-9
+    # block-number-less address 西新宿 matched as-is
+    assert abs(rows["000000000006"]["latitude"] - 35.689634) < 1e-9
+    assert set(rows) == {"000000000001", "000000000002", "000000000003", "000000000006"}
+
+    # serving query: predictions join + score + order
+    preds = spark.createDataFrame(
+        [("000000000001", 72000.0, 80000.0), ("000000000003", 126000.0, 110000.0)],
+        ["jnc_id", "y", "y_pred"],
+    )
+    served = pipeline.score_and_serve(preds, cleaned.drop("y"), top_k=10).collect()
+    assert [r["jnc_id"] for r in served] == ["000000000001", "000000000003"]  # sorted by score desc
+    assert abs(served[0]["otokuna_score"] - 80000.0 / 72000.0) < 1e-12
+    assert "monthly_cost" in served[0].asDict() and "monthly_cost_predicted" in served[0].asDict()
+
+
+def test_zip_source(spark, tmp_path):
+    import zipfile
+
+    pages_path = _write_pages(tmp_path)
+    zpath = tmp_path / "crawl.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for name in sorted(os.listdir(pages_path)):
+            zf.write(os.path.join(pages_path, name), name)
+    raw = read_raw_pages(spark, str(zpath))
+    assert raw.count() == 7
+
+
+def test_multimodal_plumbing(spark):
+    from otokuna_spark.sources import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 8), (2, b"\x10\x20" * 4096)], ["media_id", "data"]
+    )
+    feats = multimodal.image_features(df).collect()
+    assert len(feats) == 2
+    f1 = next(r for r in feats if r["media_id"] == 1)
+    assert len(f1["feature"]) == 8
+    assert abs(sum(f1["feature"]) - 1.0) < 1e-5  # normalized histogram
+    # determinism of the stub decoder
+    feats2 = multimodal.image_features(df).collect()
+    assert sorted((r["media_id"], r["sha256"]) for r in feats) == sorted(
+        (r["media_id"], r["sha256"]) for r in feats2
+    )
+    frames = multimodal.frame_sample(df, every_n=2).collect()
+    assert {r["media_id"] for r in frames} == {1, 2}
+    assert all(len(r["frame_bytes"]) <= 1024 for r in frames)

@@ -1,0 +1,56 @@
+"""Structured Streaming tests: AvailableNow file-source runs produce the
+same results as the batch twins."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from otokuna_spark.streaming import jobs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = jobs.events_file_stream(spark, os.path.join(SF_DIR, "events.parquet"))
+    jobs.stream_hourly_rollup(spark, stream, out, ckpt, watermark="0 seconds")
+    got = spark.read.parquet(out)
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    # append mode emits a window once the watermark passes its END; the
+    # final window (containing max event time) stays in state — so the
+    # stream output is the batch result minus at most that one open window.
+    assert got.exceptAll(want).count() == 0
+    assert want.count() - got.count() <= 1
+    missing = want.exceptAll(got).collect()
+    if missing:
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        assert all(r["window_start"] <= max_ts for r in missing)
+
+
+def test_stream_scrape_pipeline(spark, tmp_path):
+    from .test_pipeline import _write_pages
+
+    pages = _write_pages(tmp_path)
+    out = str(tmp_path / "props")
+    ckpt = str(tmp_path / "ckpt2")
+    jobs.stream_scrape_pipeline(spark, pages, out, ckpt)
+    got = spark.read.parquet(out)
+    # same rows as the batch projection (dups still present pre-clean)
+    assert got.count() == 5
+    assert {r["jnc_id"] for r in got.select("jnc_id").collect()} == {
+        "000000000001",
+        "000000000002",
+        "000000000003",
+        "000000000006",
+    }
