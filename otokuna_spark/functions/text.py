@@ -55,16 +55,29 @@ def occurrence_count(col: Column, needle: str) -> Column:
     )
 
 
-def word_occurrence_count(col: Column, word: str) -> Column:
-    """#occurrences of a whole word, counted by padding the text with spaces
-    and searching for ' word ' (portable to SQL verbatim)."""
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
+def padded(col: Column) -> Column:
+    """' ' || text || ' ' — project this ONCE and feed the *_padded
+    counters: referencing the concat inside every counter expression
+    bloats codegen past janino's method limit (interpreted fallback) and
+    costs a re-concat per counter when codegen bails."""
+    return F.concat(F.lit(" "), col, F.lit(" "))
+
+
+def word_count_padded(padded_col: Column, word: str) -> Column:
+    """#whole-word occurrences on a pre-padded text column. Counting by
+    non-overlapping replace of ' word ' with ' ' — consecutive repeats
+    ('x x') count once; the SQL oracle replicates the same replace
+    semantics so parity holds."""
     needle = f" {word} "
-    # overlapping ' a b a ' cases don't occur for space-delimited needles of
-    # distinct words, but consecutive 'x x' would overlap; count via replace
-    # of the needle's leading space only.
-    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
-            / F.lit(len(needle) - 1)).cast("long")
+    return (
+        (F.length(padded_col) - F.length(F.replace(padded_col, F.lit(needle), F.lit(" "))))
+        / F.lit(len(needle) - 1)
+    ).cast("long")
+
+
+def word_occurrence_count(col: Column, word: str) -> Column:
+    """#occurrences of a whole word (see word_count_padded)."""
+    return word_count_padded(padded(col), word)
 
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -79,17 +92,30 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def marker_count(tokens_col: Column, words: tuple[str, ...]) -> Column:
+    """#tokens that are any of ``words`` — ONE array traversal with a
+    set-membership test (vs. a replace-scan per word). SQL twin:
+    len(list_filter(tokens, t -> t IN (...)))."""
+    wset = list(words)
+    return F.size(F.filter(tokens_col, lambda t: t.isin(wset))).cast("long")
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
-    return {
-        lang: sum((word_occurrence_count(col, w) for w in words), F.lit(0).cast("long"))
-        for lang, words in LANG_MARKERS.items()
-    }
+    return lang_scores_tokens(tokens(col))
+
+
+def lang_scores_tokens(tokens_col: Column) -> dict[str, Column]:
+    return {lang: marker_count(tokens_col, words) for lang, words in LANG_MARKERS.items()}
 
 
 def lang_id(col: Column) -> Column:
     """Language-ID heuristic: argmax of marker-stopword counts, ties broken
     by language code order, all-zero -> 'und'."""
-    scores = lang_scores(col)
+    return lang_id_tokens(tokens(col))
+
+
+def lang_id_tokens(tokens_col: Column) -> Column:
+    scores = lang_scores_tokens(tokens_col)
     pairs = sorted(scores.items())  # deterministic tie-break: lang code asc
     best_lang = F.lit("und")
     best_score = F.lit(0).cast("long")
@@ -115,9 +141,13 @@ def quality_score_raw(col: Column) -> Column:
     query layer, never here — Spark's ROUND goes through BigDecimal and
     disagrees with DuckDB's at half-boundaries).
     """
+    return quality_score_raw_tokens(col, tokens(col))
+
+
+def quality_score_raw_tokens(col: Column, tokens_col: Column) -> Column:
     n_chars = F.length(col).cast("double")
-    n_tokens = token_count(col).cast("double")
-    n_stop = sum((word_occurrence_count(col, w) for w in STOPWORDS), F.lit(0).cast("long")).cast("double")
+    n_tokens = F.size(tokens_col).cast("long").cast("double")
+    n_stop = marker_count(tokens_col, STOPWORDS).cast("double")
     n_punct = sum((occurrence_count(col, p) for p in _PUNCT), F.lit(0).cast("long")).cast("double")
     len_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     stop_term = F.least(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)) * 5.0, F.lit(1.0))

@@ -54,16 +54,6 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order: list[Column]) ->
 
 # ------------------------------------------------------------ minhash
 
-def _minhash_cols(shingle: Column, num_hashes: int) -> list[Column]:
-    """K independent hash values of one shingle via salted md5.
-
-    md5 hex strings compare identically in Spark and DuckDB, so `min()`
-    over them is a portable minhash. (xxhash64 is ~5x cheaper but not
-    reproducible in the oracle.)
-    """
-    return [F.md5(F.concat(F.lit(f"{i}:"), shingle)).alias(f"h{i}") for i in range(num_hashes)]
-
-
 def minhash_signatures(
     docs: DataFrame,
     id_col: str,
@@ -73,12 +63,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: explode shingles, take the min of
     each salted hash. One shuffle (groupBy id); map-side combine keeps the
-    shuffle at num_hashes values per (partition, doc)."""
+    shuffle at num_hashes values per (partition, doc).
+
+    Hash family: h_i = hex lane ``i%4`` (8 hex chars = 32 bits) of
+    md5(``i//4`` ':' shingle) — one md5 digest yields FOUR independent
+    lanes, so K hashes cost ceil(K/4) md5 evaluations per shingle (the
+    md5 columns are projected explicitly so codegen computes each digest
+    once). Fixed-width lowercase hex compares lexicographically ==
+    numerically in both Spark and DuckDB, which keeps min() portable for
+    the oracle. Swap to xxhash64 lanes when oracle parity is not needed.
+    """
+    n_salts = (num_hashes + 3) // 4
     sh = docs.select(
         F.col(id_col), F.explode(text.shingles(F.col(text_col), shingle_k)).alias("__shingle")
     )
-    hashes = sh.select(id_col, *_minhash_cols(F.col("__shingle"), num_hashes))
-    return hashes.groupBy(id_col).agg(
+    digests = sh.select(
+        id_col,
+        *[F.md5(F.concat(F.lit(f"{s}:"), F.col("__shingle"))).alias(f"m{s}") for s in range(n_salts)],
+    )
+    lanes = digests.select(
+        id_col,
+        *[
+            F.substring(F.col(f"m{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return lanes.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
@@ -103,6 +113,9 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    # the banded/bucket relation feeds BOTH sides of the self-join; persist
+    # it so the shingle->md5->min pipeline runs once, not twice (at cluster
+    # scale: MEMORY_AND_DISK spills rather than recomputing)
     band_cols = [
         F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
             f"band{b}"
@@ -110,10 +123,12 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)
+    from pyspark import StorageLevel
+
     buckets = banded.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     left = buckets.alias("a")
     right = buckets.alias("b")
     pairs = (
@@ -146,14 +161,33 @@ def ngram_jaccard_pairs(
     (``max_df``), which cannot remove true pairs above the threshold when
     the cap is >> 1/threshold... it can; so default None = exact.
     """
-    sh = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(text.shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    # join/shuffle on a 64-bit hash of the shingle, not the string itself —
+    # smaller shuffle rows and cheaper hash-join probes. A cross-shingle
+    # xxhash64 collision would perturb a count with probability ~2^-64 per
+    # distinct-shingle pair (negligible; the oracle joins on strings and
+    # has matched at every run).
+    from pyspark import StorageLevel
+
+    # the shingle relation is consumed four times (sizes, df-prune, both
+    # join sides) — persist so explode+hash runs once; MEMORY_AND_DISK
+    # spills instead of recomputing at scale
+    sh = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(text.shingles(F.col(text_col), shingle_k)).alias("__s"),
+        )
+        .select(F.col("__id"), F.xxhash64(F.col("__s")).alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n_shingles"))
+    # Most shingles occur in exactly one document and can never produce a
+    # pair — prune them BEFORE the self-join (big fan-in reduction; the
+    # extra count shuffle is over (shingle, df) pairs only).
+    dup_shingles = sh.groupBy("shingle").agg(F.count("*").alias("__df")).where(F.col("__df") >= 2)
+    sh_dup = sh.join(dup_shingles.select("shingle"), on="shingle")
     common = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="shingle")
+        sh_dup.alias("a")
+        .join(sh_dup.alias("b"), on="shingle")
         .where(F.col("a.__id") < F.col("b.__id"))
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))

@@ -341,14 +341,19 @@ def q08_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q09_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile(
+        F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.99))
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.25)), 4).alias("p25"),
-            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.50)), 4).alias("p50"),
-            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.75)), 4).alias("p75"),
-            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.99)), 4).alias("p99"),
-            F.count("*").alias("n"),
+        .agg(pcts.alias("__p"), F.count("*").alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__p", 1), 4).alias("p25"),
+            F.round(F.element_at("__p", 2), 4).alias("p50"),
+            F.round(F.element_at("__p", 3), 4).alias("p75"),
+            F.round(F.element_at("__p", 4), 4).alias("p99"),
+            "n",
         )
         .orderBy("l_returnflag")
     )
@@ -529,7 +534,8 @@ def _minhash_oracle() -> str:
     return f"""
     WITH {_SH_CTE},
     hashes AS (
-        SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+        SELECT doc_id, i,
+               MIN(substring(md5(CAST(i // 4 AS VARCHAR) || ':' || shingle), (i % 4) * 8 + 1, 8)) AS h
         FROM sh, UNNEST(generate_series(0, {_MINHASH_K - 1})) AS u(i)
         GROUP BY doc_id, i
     ),
@@ -608,13 +614,13 @@ def q23_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column functions (functions/text.py) so the two sides cannot drift.
 
 
-def _sql_word_count(col: str, word: str) -> str:
-    """SQL twin of text.word_occurrence_count: pad-with-spaces trick,
-    non-overlapping replace, pure integer arithmetic."""
-    padded = f"' ' || {col} || ' '"
-    return (
-        f"CAST((length({padded}) - length(replace({padded}, ' {word} ', ' '))) / {len(word) + 1} AS BIGINT)"
-    )
+def _sql_marker_count(tokens_expr: str, words: tuple[str, ...]) -> str:
+    """SQL twin of text.marker_count: one list traversal, set membership."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({tokens_expr}, t -> t IN ({inlist}))) AS BIGINT)"
+
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
 
 def _sql_char_count(col: str, ch: str) -> str:
@@ -630,15 +636,15 @@ def _sql_token_count(col: str) -> str:
 
 def _lang_id_oracle() -> str:
     score_defs = {
-        lang: " + ".join(_sql_word_count("text", w) for w in words)
-        for lang, words in sorted(T.LANG_MARKERS.items())
+        lang: _sql_marker_count("toks", words) for lang, words in sorted(T.LANG_MARKERS.items())
     }
     score_cols = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in score_defs.items())
     langs = sorted(T.LANG_MARKERS)
     greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     whens = "\n               ".join(f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs)
     return f"""
-    WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents)
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {score_cols} FROM tok)
     SELECT doc_id, lang,
            CASE WHEN {greatest} <= 0 THEN 'und'
                {whens}
@@ -656,20 +662,26 @@ def _lang_id_oracle() -> str:
 )
 def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+    # project the token array ONCE; the 5 language scores are single-pass
+    # membership filters over it
+    tok = docs.select("doc_id", "lang", T.tokens(F.col("text")).alias("__t"))
+    return tok.select("doc_id", "lang", T.lang_id_tokens(F.col("__t")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )
 
 
 def _quality_oracle() -> str:
-    n_stop = " + ".join(_sql_word_count("text", w) for w in T.STOPWORDS)
+    n_stop = _sql_marker_count("toks", T.STOPWORDS)
     n_punct = " + ".join(_sql_char_count("text", p) for p in (".", ",", "!", "?", ";", ":"))
     return f"""
-    WITH c AS (
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
+    c AS (
         SELECT doc_id,
                CAST(length(text) AS DOUBLE) AS n_chars_d,
-               CAST({_sql_token_count("text")} AS DOUBLE) AS n_tokens_d,
+               CAST(CAST(len(toks) AS BIGINT) AS DOUBLE) AS n_tokens_d,
                CAST({n_stop} AS DOUBLE) AS n_stop_d,
                CAST({n_punct} AS DOUBLE) AS n_punct_d
-        FROM documents
+        FROM tok
     )
     SELECT doc_id,
            CAST(FLOOR((0.4 * LEAST(n_chars_d / 500.0, 1.0)
@@ -689,8 +701,12 @@ def _quality_oracle() -> str:
 )
 def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.floor(T.quality_score_raw(F.col("text")) * 1000000.0).cast("long").alias("quality_m")
+    tok = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("__t"))
+    return tok.select(
+        "doc_id",
+        F.floor(T.quality_score_raw_tokens(F.col("text"), F.col("__t")) * 1000000.0)
+        .cast("long")
+        .alias("quality_m"),
     ).orderBy("doc_id")
 
 
