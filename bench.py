@@ -40,6 +40,16 @@ BENCH_QUERIES = [
     "q26_quality_score",
     "q27_token_stats",
     "q28_fingerprint",
+    "q24_embedding_near_dup",
+    "q29_simhash_pairs",
+    "q31_set_ops",
+    "q32_distinct_agg",
+    "q33_sessionization",
+    "q34_event_deltas",
+    "q35_rollup",
+    "q36_anti_semi_join",
+    "q37_range_join",
+    "q38_bpe_token_count",
 ]
 
 

@@ -75,20 +75,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
-def signed_projection_sketch(df: DataFrame, vec_col: str, planes: list[list[float]]) -> DataFrame:
+def signed_projection_sketch(
+    df: DataFrame, vec_col: str, planes: list[list[float]], band_bits: int = 8
+) -> DataFrame:
     """Random-hyperplane (SimHash-for-cosine) bit sketch as an int column
-    per band of 8 planes. sign(v . p) bits pack into bucket keys."""
+    per band of ``band_bits`` planes. sign(v . p) bits pack into bucket
+    keys; per-band collision probability for angle theta is
+    (1 - theta/pi)^band_bits — narrower bands trade candidate volume for
+    recall at lower similarity thresholds."""
     n = len(planes)
-    assert n % 8 == 0
+    assert n % band_bits == 0
     bits = [
         F.when(vectors.dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, 1).otherwise(0)
         for p in planes
     ]
     out = df
-    for band in range(n // 8):
+    for band in range(n // band_bits):
         key = F.lit(0)
-        for j in range(8):
-            key = key * 2 + bits[band * 8 + j]
+        for j in range(band_bits):
+            key = key * 2 + bits[band * band_bits + j]
         out = out.withColumn(f"__band{band}", key)
     return out
 
@@ -146,17 +151,22 @@ def lsh_topk(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 32, dim: int = 64
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 32,
+    dim: int = 64,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     LSH-banded candidate generation (self-join on sketch bands), exact
-    cosine verify. High thresholds -> high collision probability per band
-    ((1 - theta/pi)^8 per 8-bit band), so recall is strong where it
-    matters."""
+    cosine verify. Tune ``band_bits`` down for lower thresholds (recall
+    1-(1-(1-theta/pi)^band_bits)^n_bands)."""
     planes = _hyperplanes(dim, n_planes)
-    n_bands = n_planes // 8
-    sk = signed_projection_sketch(_with_norm(df, vec_col), vec_col, planes)
+    n_bands = n_planes // band_bits
+    sk = signed_projection_sketch(_with_norm(df, vec_col), vec_col, planes, band_bits)
     buckets = sk.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),

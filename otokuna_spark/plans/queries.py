@@ -835,3 +835,293 @@ def q30_parse_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.parse_n_rooms(F.col("layout_text")).alias("n_rooms"),
         P.parse_ward(F.col("address_text")).alias("ward"),
     ).orderBy("rid")
+
+
+# =====================================================================
+# Coverage extensions: rows-only approx operators, window analytics,
+# set ops, grouping sets, semi/anti joins, range joins
+# =====================================================================
+
+
+@register(
+    "q24_embedding_near_dup",
+    None,  # approximate (LSH recall < 1) -> rows-only check by design
+    "Embedding near-dup pairs via random-hyperplane LSH bands + exact cosine verify "
+    "(approximate candidate generation is not SQL-reproducible; recall vs brute force "
+    "is asserted in tests/test_operators.py)",
+)
+def q24_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    # 4-bit bands: ~50% per-pair recall at cosine 0.45 with 4 bands — the
+    # synthetic embeddings cluster loosely (max pairwise cosine ~0.51)
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=16, band_bits=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1000000.0).cast("long").alias("cosine_m")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q29_simhash_pairs",
+    None,  # xxhash64-based signature -> not reproducible in DuckDB; rows-only
+    "SimHash near-dup pairs: 64-bit bit-vote signatures, pigeonhole band join, "
+    "popcount(xor) Hamming filter — all JVM-side",
+)
+def q29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "q31_set_ops",
+    """
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice >= 50000),
+         recent AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT * FROM hi UNION SELECT * FROM recent) u
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT * FROM hi INTERSECT SELECT * FROM recent) i
+    UNION ALL
+    SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT * FROM hi EXCEPT SELECT * FROM recent) e
+    ORDER BY op
+    """,
+    "Relational set operations (union/intersect/except distinct) — SURVEY §2.8 'free' surface",
+)
+def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") >= 50000).select("o_custkey")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    rows = [
+        ("union", hi.union(recent).distinct()),
+        ("intersect", hi.intersect(recent)),
+        # subtract == SQL EXCEPT (distinct); exceptAll().distinct() would
+        # keep rows that merely occur MORE often on the left
+        ("except", hi.subtract(recent)),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("op")
+
+
+@register(
+    "q32_distinct_agg",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Distinct aggregation (expand-based two-phase distinct agg; approx_count_distinct is the "
+    "documented scale escape hatch)",
+)
+def q32_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SESSION_GAP_US = 1800 * 1000 * 1000  # 30 min
+
+
+@register(
+    "q33_sessionization",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS boundary
+        FROM e
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts_us,
+               CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS session_start,
+           MAX(ts_us) AS session_end,
+           MAX(ts_us) - MIN(ts_us) AS span
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    "Gap-based sessionization (30 min) via lag + running-sum windows over one shuffle — "
+    "batch twin of session_window",
+)
+def q33_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import windows
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    # ts_us is unique per user at microsecond resolution, so ordering by
+    # ts alone matches the oracle's (ts_us, event_id) tie-break
+    sess = windows.sessionize(ev, "user_id", "ts_us", _SESSION_GAP_US)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("session_start"),
+            F.max("ts_us").alias("session_end"),
+            (F.max("ts_us") - F.min("ts_us")).alias("span"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q34_event_deltas",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS seq
+    FROM events
+    ORDER BY user_id, seq
+    """,
+    "lag/lead event-delta analytics (time since previous event per user)",
+)
+def q34_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("delta_us"),
+            F.row_number().over(w).cast("long").alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+@register(
+    "q35_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    "Hierarchical ROLLUP aggregation (grouping sets; single expand + hash agg)",
+)
+def q35_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("long")).alias("sum_qty_c"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty_c",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "q36_anti_semi_join",
+    """
+    SELECT 'no_orders' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'with_hi_order' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice >= 90000)
+    ORDER BY kind
+    """,
+    "Left anti / left semi joins (EXISTS / NOT EXISTS decorrelation)",
+)
+def q36_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    anti = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    semi = customer.join(
+        orders.filter(F.col("o_totalprice") >= 90000),
+        customer.c_custkey == orders.o_custkey,
+        "left_semi",
+    )
+    a = anti.agg(F.count("*").alias("n")).select(F.lit("no_orders").alias("kind"), "n")
+    s = semi.agg(F.count("*").alias("n")).select(F.lit("with_hi_order").alias("kind"), "n")
+    return a.unionByName(s).orderBy("kind")
+
+
+@register(
+    "q37_range_join",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 60000.0), ('high', 60000.0, 1000000000.0)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    "Non-equi (range/theta) join against a broadcast band table — executes as "
+    "BroadcastNestedLoopJoin with the bands side tiny",
+)
+def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("high", 60000.0, 1000000000.0)],
+        ["band", "lo", "hi"],
+    )
+    joined = li.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).alias("sum_price_c"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "q38_bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           + GREATEST(CAST(CEIL(CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+               - CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) / 4.0) AS BIGINT),
+               0) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "BPE-ish subword token estimate (words + ceil(extra chars / 4)) — pure column arithmetic",
+)
+def q38_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
