@@ -1,0 +1,54 @@
+"""io-layer tests: partitioned layout -> partition pruning (S8), small-file
+compaction (S9), serving-table materialization (R3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from otokuna_spark import io as oio
+
+
+def test_partition_pruning_replaces_prefix_listing(spark, tmp_path):
+    # S8: the reference lists S3 keys by regex to find a date's predictions
+    # (app/app.py:283-294). Partitioned parquet turns that into partition
+    # pruning — verify the plan prunes to ONE partition directory.
+    df = spark.createDataFrame(
+        [(i, f"2021-07-{(i % 3) + 1:02d}", float(i)) for i in range(300)],
+        ["jnc_id", "date", "y_pred"],
+    )
+    out = str(tmp_path / "preds")
+    oio.write_parquet(df, out, partition_by=["date"])
+    assert sorted(d for d in os.listdir(out) if d.startswith("date=")) == [
+        "date=2021-07-01",
+        "date=2021-07-02",
+        "date=2021-07-03",
+    ]
+    read = spark.read.parquet(out).filter(F.col("date") == "2021-07-02")
+    assert read.count() == 100
+    # the scan node prunes on the partition column (inputFiles() reports
+    # the pre-pruning listing, so the plan is the evidence)
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date" in plan
+
+
+def test_compaction(spark, tmp_path):
+    src = str(tmp_path / "many")
+    spark.range(1000).repartition(50).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src >= 50
+    dst = str(tmp_path / "few")
+    oio.compact(spark, src, dst, target_files=4)
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst <= 4
+    assert spark.read.parquet(dst).count() == 1000
+
+
+def test_union_daily_batches(spark):
+    # §2.8: daily same-schema batches union with unionByName
+    d1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    d2 = spark.createDataFrame([(2, "b")], ["k", "v"]).select("v", "k")  # column order differs
+    u = d1.unionByName(d2)
+    assert u.count() == 2
+    assert set(u.columns) == {"k", "v"}
