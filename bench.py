@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "q36_anti_semi_join",
     "q37_range_join",
     "q38_bpe_token_count",
+    "q39_moment_stats",
+    "q41_pivot",
+    "q42_rank_functions",
 ]
 
 

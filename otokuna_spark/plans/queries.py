@@ -1125,3 +1125,104 @@ def q38_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
     ).orderBy("doc_id")
+
+
+@register(
+    "q39_moment_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice, 0) AS BIGINT) * CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS BIGINT) AS sumsq,
+           CAST(FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0
+                / CAST(COUNT(*) AS DOUBLE) * 100.0) AS BIGINT) AS mean_c
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Moment statistics via associative integer sums (mean/variance derivable downstream — the "
+    "cross-engine-safe form of avg/stddev aggregation)",
+)
+def q39_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    r = F.round(F.col("l_extendedprice"), 0).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).alias("sum_c"),
+            F.sum(r * r).alias("sumsq"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "sum_c",
+            "sumsq",
+            F.floor(F.col("sum_c").cast("double") / 100.0 / F.col("n").cast("double") * 100.0)
+            .cast("long")
+            .alias("mean_c"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q41_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "Pivot (wide conditional aggregation): per-user event-type counts — one hash agg, no "
+    "N-pass groupBys",
+)
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id",
+        *[F.col(t).cast("long").alias(f"n_{t}") for t in ("click", "view", "purchase", "signup", "error")],
+    ).orderBy("user_id")
+
+
+@register(
+    "q42_rank_functions",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+    "Ranking-function family (rank / dense_rank / ntile / percent_rank) over a keyed window",
+)
+def q42_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+        )
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
