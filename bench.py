@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "q39_moment_stats",
     "q41_pivot",
     "q42_rank_functions",
+    "q43_min_price_supplier",
+    "q44_order_priority_check",
+    "q45_nation_pair_volume",
+    "q46_large_orders",
 ]
 
 

@@ -1,1 +1,1 @@
-from . import asof, dedup, outliers, sampling, similarity, topk, windows  # noqa: F401
+from . import asof, dedup, outliers, sampling, similarity, skew, topk, windows  # noqa: F401

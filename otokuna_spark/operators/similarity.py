@@ -195,3 +195,83 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return pairs
+
+
+def _centroids_from_sample(df: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid pick: the n lowest-id vectors (a k-means--
+    seed stand-in; swap for MLlib KMeans when quality matters more than
+    determinism). Returns [(centroid_id, vector)]."""
+    rows = df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_centroids).collect()
+    return [(i, list(map(float, r[vec_col]))) for i, r in enumerate(rows)]
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]], out_col: str = "centroid_id") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine — one scan,
+    n_centroids fused dot products per row, all codegen."""
+    best_id = F.lit(-1)
+    best_sim = F.lit(-2.0)
+    nrm = vectors.norm(F.col(vec_col))
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(x) for x in cvec])
+        cn = sum(x * x for x in cvec) ** 0.5
+        sim = vectors.dot(F.col(vec_col), carr) / (nrm * F.lit(cn))
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return df.withColumn(out_col, best_id)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are bucketed by nearest centroid
+    (the inverted file); each query probes its ``n_probe`` nearest
+    centroids' buckets and re-ranks exactly.
+
+    At 100 TB the assignment is computed once and persisted as a
+    partitioned column; per-query candidate volume is ~ n_probe/n_centroids
+    of the corpus, and the candidate join is a plain equi-join on
+    centroid_id (broadcast query side)."""
+    qid = query_id_col or id_col
+    centroids = _centroids_from_sample(corpus, id_col, vec_col, n_centroids)
+
+    c_assigned = ivf_assign(_with_norm(corpus, vec_col), vec_col, centroids).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__norm").alias("__cnorm"),
+        "centroid_id",
+    )
+    # each query explodes to its n_probe nearest centroid ids
+    q = _with_norm(queries, vec_col)
+    probes = []
+    nrm = vectors.norm(F.col(vec_col))
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(x) for x in cvec])
+        cn = sum(x * x for x in cvec) ** 0.5
+        probes.append(F.struct((vectors.dot(F.col(vec_col), carr) / (nrm * F.lit(cn))).alias("sim"), F.lit(cid).alias("cid")))
+    probe_ids = F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, n_probe)
+    q_probed = q.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+        F.explode(probe_ids).alias("__probe"),
+    ).select("query_id", "__qvec", "__qnorm", F.col("__probe.cid").alias("centroid_id"))
+
+    cand = (
+        c_assigned.join(F.broadcast(q_probed), on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            vectors.dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

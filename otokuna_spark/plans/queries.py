@@ -1226,3 +1226,163 @@ def q42_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rnk", "o_orderkey")
     )
+
+
+# =====================================================================
+# Spark SQL surface + subquery decorrelation (TPC-H Q2/Q4/Q7/Q18 shapes)
+# =====================================================================
+# These run through spark.sql over temp views — same ANSI text modulo the
+# engine-parity casts — exercising Catalyst's correlated-subquery
+# decorrelation (rewrite to joins/aggregates; the reference has no
+# subquery surface at all, SURVEY §4).
+
+
+def _register(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "q43_min_price_supplier",
+    """
+    SELECT p_partkey, l_suppkey,
+           CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS price_c
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_size >= 45
+      AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    ORDER BY p_partkey, l_suppkey
+    """,
+    "TPC-H Q2 shape: correlated scalar MIN subquery (decorrelated to an aggregate join)",
+)
+def q43_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT p_partkey, l_suppkey,
+               CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS price_c
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_size >= 45
+          AND l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        ORDER BY p_partkey, l_suppkey
+        """
+    )
+
+
+@register(
+    "q44_order_priority_check",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi join",
+)
+def q44_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q45_nation_pair_volume",
+    """
+    SELECT supp_nation, cust_nation, ship_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS volume_s
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               l_extendedprice, l_discount
+        FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+    "TPC-H Q7 shape: nation-pair volume with self-joined dim and disjunctive pair predicate",
+)
+def q45_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("lineitem", "supplier", "orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, ship_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS volume_s
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, ship_year
+        ORDER BY supp_nation, cust_nation, ship_year
+        """
+    )
+
+
+@register(
+    "q46_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS totalprice_c,
+           CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    ORDER BY totalprice_c DESC, o_orderkey
+    LIMIT 50
+    """,
+    "TPC-H Q18 shape: IN over a HAVING aggregate subquery (semi-join of an aggregated subplan)",
+)
+def q46_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS totalprice_c,
+               CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+        )
+        GROUP BY c_custkey, o_orderkey, o_totalprice
+        ORDER BY totalprice_c DESC, o_orderkey
+        LIMIT 50
+        """
+    )

@@ -123,3 +123,55 @@ def test_split_disjoint_exhaustive(spark):
     # deterministic: same assignment on re-run
     again = sampling.train_val_test_split(df, "k")
     assert out.exceptAll(again).count() == 0
+
+
+def test_ivf_topk_finds_near_copy(spark):
+    import random
+
+    rng = random.Random(2)
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(60)]
+    # near-copy pair OUTSIDE the centroid-seed id range (< n_centroids=8),
+    # so both twins land in the same bucket rather than seeding two buckets
+    vecs[47] = [x + rng.gauss(0, 0.01) for x in vecs[23]]
+    df = spark.createDataFrame(list(enumerate(vecs)), ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 23)
+    out = similarity.ivf_topk(df, q, "vec_id", "embedding", k=1, n_centroids=8, n_probe=8)
+    rows = out.collect()
+    # probing ALL centroids == exact: the near-copy must be rank 1
+    assert rows and rows[0]["neighbor_id"] == 47
+    # fewer probes: the twins share a nearest centroid, so n_probe=1 finds it
+    out2 = similarity.ivf_topk(df, q, "vec_id", "embedding", k=1, n_centroids=8, n_probe=1)
+    rows2 = out2.collect()
+    assert rows2 and rows2[0]["neighbor_id"] == 47
+
+
+def test_salted_agg_matches_plain(spark):
+    from otokuna_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("hot", i * 1.0) for i in range(1000)] + [("cold", 1.0)], ["k", "v"]
+    )
+    plain = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["n"])
+        for r in skew.salted_agg(
+            df,
+            ["k"],
+            [F.sum("v").alias("s"), F.count("*").alias("n")],
+            lambda: [F.sum("s").alias("s"), F.sum("n").alias("n")],
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    from otokuna_spark.operators import skew
+
+    big = spark.createDataFrame([("a", i) for i in range(500)] + [("b", 0)], ["k", "v"])
+    small = spark.createDataFrame([("a", "x"), ("b", "y"), ("c", "z")], ["k", "w"])
+    plain = sorted((r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect())
+    salted = sorted((r["k"], r["v"], r["w"]) for r in skew.salted_join(big, small, "k").collect())
+    assert plain == salted
