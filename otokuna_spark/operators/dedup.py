@@ -74,8 +74,12 @@ def minhash_signatures(
     the oracle. Swap to xxhash64 lanes when oracle parity is not needed.
     """
     n_salts = (num_hashes + 3) // 4
-    sh = docs.select(
-        F.col(id_col), F.explode(text.shingles(F.col(text_col), shingle_k)).alias("__shingle")
+    # tokens projected FIRST: shingling over an inline split() re-splits
+    # per element access (no CSE into HOF lambdas) — see
+    # text.shingles_from_tokens
+    toks = docs.select(F.col(id_col), text.tokens(F.col(text_col)).alias("__toks"))
+    sh = toks.select(
+        F.col(id_col), F.explode(text.shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__shingle")
     )
     digests = sh.select(
         id_col,
@@ -171,10 +175,11 @@ def ngram_jaccard_pairs(
     # the shingle relation is consumed four times (sizes, df-prune, both
     # join sides) — persist so explode+hash runs once; MEMORY_AND_DISK
     # spills instead of recomputing at scale
+    toks = docs.select(F.col(id_col).alias("__id"), text.tokens(F.col(text_col)).alias("__toks"))
     sh = (
-        docs.select(
-            F.col(id_col).alias("__id"),
-            F.explode(text.shingles(F.col(text_col), shingle_k)).alias("__s"),
+        toks.select(
+            F.col("__id"),
+            F.explode(text.shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__s"),
         )
         .select(F.col("__id"), F.xxhash64(F.col("__s")).alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)

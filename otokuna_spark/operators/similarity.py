@@ -19,6 +19,8 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -27,6 +29,25 @@ from ..functions import vectors
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn("__norm", vectors.norm(F.col(vec_col)))
+
+
+def _pair_cosine_udf():
+    """Vectorized cosine over two array columns — rowwise numpy einsum on
+    Arrow batches. The HOF-fold formulation is fine for small candidate
+    sets but interprets 2*dim lambda evals per pair once candidate volume
+    reaches millions (codegen can't fuse folds of this size)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        mb = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    return pair_cosine
 
 
 def brute_force_topk(
@@ -82,20 +103,35 @@ def signed_projection_sketch(
     per band of ``band_bits`` planes. sign(v . p) bits pack into bucket
     keys; per-band collision probability for angle theta is
     (1 - theta/pi)^band_bits — narrower bands trade candidate volume for
-    recall at lower similarity thresholds."""
+    recall at lower similarity thresholds.
+
+    Implemented as ONE Arrow-batched pandas UDF doing a numpy matmul:
+    n_planes inline literal-array folds blow codegen past janino's method
+    limit (interpreted fallback measured ~7s at 5k rows); the (n, dim) @
+    (dim, n_planes) matmul is the natural formulation and vectorizes the
+    whole batch."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
     n = len(planes)
     assert n % band_bits == 0
-    bits = [
-        F.when(vectors.dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, 1).otherwise(0)
-        for p in planes
-    ]
-    out = df
-    for band in range(n // band_bits):
-        key = F.lit(0)
-        for j in range(band_bits):
-            key = key * 2 + bits[band * band_bits + j]
-        out = out.withColumn(f"__band{band}", key)
-    return out
+    n_bands = n // band_bits
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (2 ** np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def band_keys(v: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])  # (batch, dim)
+        bits = (m @ plane_mat) >= 0  # (batch, n_planes)
+        out = np.zeros((len(v), n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            out[:, b] = bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+        return pd.Series(out.tolist())
+
+    out = df.withColumn("__bands", band_keys(F.col(vec_col)))
+    for band in range(n_bands):
+        out = out.withColumn(f"__band{band}", F.element_at(F.col("__bands"), band + 1))
+    return out.drop("__bands")
 
 
 def lsh_topk(
@@ -122,30 +158,39 @@ def lsh_topk(
 
     c_buckets = csk.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        F.col("__norm").alias("__cnorm"),
         F.explode(
             F.array(*[F.concat_ws(":", F.lit(str(b)), F.col(f"__band{b}")) for b in range(n_bands)])
         ).alias("bucket"),
     )
     q_buckets = qsk.select(
         F.col(qid).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.col("__norm").alias("__qnorm"),
         F.explode(
             F.array(*[F.concat_ws(":", F.lit(str(b)), F.col(f"__band{b}")) for b in range(n_bands)])
         ).alias("bucket"),
     )
+    # id-only candidate dedup, vectors re-attached afterwards (see
+    # embedding_near_dup_pairs)
     cand = (
         c_buckets.join(F.broadcast(q_buckets), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__qnorm", "__cvec", "__cnorm")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        vectors.dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
-    ).select("query_id", "neighbor_id", "cosine")
+    cvecs = _with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), F.col("__norm").alias("__cnorm")
+    )
+    qvecs = _with_norm(queries, vec_col).select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"), F.col("__norm").alias("__qnorm")
+    )
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(cvecs, "neighbor_id")
+        .withColumn(
+            "cosine",
+            vectors.dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -166,31 +211,30 @@ def embedding_near_dup_pairs(
     1-(1-(1-theta/pi)^band_bits)^n_bands)."""
     planes = _hyperplanes(dim, n_planes)
     n_bands = n_planes // band_bits
-    sk = signed_projection_sketch(_with_norm(df, vec_col), vec_col, planes, band_bits)
+    sk = signed_projection_sketch(df, vec_col, planes, band_bits)
+    # bucket relation carries ONLY ids — deduplicating candidate pairs
+    # before re-attaching vectors keeps the distinct's shuffle at 16 bytes
+    # per row instead of two embedded float arrays (measured ~GBs at
+    # band-collision fan-out)
     buckets = sk.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        F.col("__norm").alias("__n"),
         F.explode(
             F.array(*[F.concat_ws(":", F.lit(str(b)), F.col(f"__band{b}")) for b in range(n_bands)])
         ).alias("bucket"),
     )
-    pairs = (
+    cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), "bucket")
         .where(F.col("a.__id") < F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__vec").alias("__va"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__vec").alias("__vb"),
-            F.col("b.__n").alias("__nb"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
-        .withColumn(
-            "cosine", vectors.dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-        )
+    )
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    pair_cosine = _pair_cosine_udf()
+    pairs = (
+        cand.join(vecs.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(vecs.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+        .withColumn("cosine", pair_cosine(F.col("__va"), F.col("__vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
