@@ -187,3 +187,16 @@ def build_address_join_key(address: Column) -> Column:
     block_kanji = F.when(block != "", F.concat(_int2kanji(block), F.lit("丁目"))).otherwise(F.lit(""))
     key = F.concat(pref, ward, district_fixed, block_kanji)
     return F.when(pref == "", F.lit("")).otherwise(key)
+
+
+# ------------------------------------------------------------ P12
+
+
+def iso_to_date(col: Column) -> Column:
+    """P12a — app/app.py:199-204: ISO datetime string -> date string."""
+    return F.date_format(F.to_timestamp(col), "yyyy-MM-dd")
+
+
+def date_to_midnight_epoch(col: Column) -> Column:
+    """P12b — app/app.py:207-212: 'YYYY-MM-DD' -> midnight UTC epoch secs."""
+    return F.unix_timestamp(F.to_timestamp(col, "yyyy-MM-dd")).cast("long")

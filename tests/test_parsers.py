@@ -172,3 +172,59 @@ def test_parse_banner_timestamp(spark):
     s = "var x = 'foo&times=1609140469000&bar';"
     assert one(spark, s, P.parse_banner_timestamp) == 1609140469.0
     assert one(spark, "no banner here", P.parse_banner_timestamp) is None
+
+
+def test_p12_date_helpers(spark):
+    assert one(spark, "2021-07-04T12:34:56", P.iso_to_date) == "2021-07-04"
+    # session tz is UTC in tests -> midnight epoch is exact
+    assert one(spark, "2021-07-04", P.date_to_midnight_epoch) == 1625356800
+
+
+# ---------------------------------------------------------- property-based
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    import pytest as _pytest
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=9999))
+    def test_parse_age_roundtrip_property(spark, years):
+        assert one(spark, f"築{years}年", P.parse_age) == years
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=999),
+        st.integers(min_value=0, max_value=99),
+    )
+    def test_parse_money_matches_reference_semantics(spark, whole, frac):
+        # reference: int(float(s) * 10000) — truncation of the double product
+        s = f"{whole}.{frac:02d}万円"
+        expected = int(float(f"{whole}.{frac:02d}") * 10000)
+        assert one(spark, s, P.parse_money) == expected
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=1, max_value=99), st.integers(min_value=1, max_value=99))
+    def test_parse_floor_range_sorted_property(spark, a, b):
+        s = f"{a}-{b}階"
+        lo, hi = one(spark, s, P.parse_min_floor), one(spark, s, P.parse_max_floor)
+        assert (lo, hi) == (min(a, b), max(a, b))
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(min_value=1, max_value=99))
+    def test_int2kanji_matches_kanjize_semantics(spark, n):
+        # independent model of kanjize for 1..99
+        digits = "〇一二三四五六七八九"
+        if n < 10:
+            want = digits[n]
+        else:
+            tens, ones = divmod(n, 10)
+            want = (digits[tens] if tens > 1 else "") + "十" + (digits[ones] if ones else "")
+        got = one(spark, f"東京都渋谷区桜丘町{n}", P.build_address_join_key)
+        assert got == f"東京都渋谷区桜丘町{want}丁目"
