@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "q44_order_priority_check",
     "q45_nation_pair_volume",
     "q46_large_orders",
+    "q47_shipmode_priority",
+    "q48_promo_revenue_share",
+    "q49_disjunctive_join",
+    "q50_signup_to_purchase",
+    "q51_top_terms_per_lang",
 ]
 
 

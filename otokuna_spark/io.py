@@ -75,3 +75,31 @@ def compact(spark: SparkSession, path: str, out_path: str, target_files: int = 8
     """Small-file compaction (replaces zip consolidation, S9:
     svc/zip_property_data.py:34-100)."""
     spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(out_path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    WRITE time so repeated joins/aggregations on those keys skip the
+    shuffle entirely — the 100 TB play for fact-fact joins that recur
+    (e.g. orders x lineitem on orderkey every night). Sorted buckets also
+    enable shuffle-free sort-merge joins."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join_is_shuffle_free(spark: SparkSession, left_table: str, right_table: str, key: str) -> bool:
+    """Diagnostic: does joining the two bucketed tables on `key` avoid a
+    shuffle? (True when both are bucketed on the key with equal bucket
+    counts — the plan has no Exchange above either scan.)"""
+    joined = spark.table(left_table).join(spark.table(right_table), key)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan

@@ -1386,3 +1386,169 @@ def q46_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@register(
+    "q47_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           CAST(COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+           CAST(COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    "TPC-H Q12 shape: join + conditional (FILTER) aggregation by priority class",
+)
+def q47_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lo_ts = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi_ts = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where((F.col("l_shipdate") >= lo_ts) & (F.col("l_shipdate") < hi_ts))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q48_promo_revenue_share",
+    """
+    SELECT CAST(SUM(CAST(ROUND(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1.0 - l_discount) * 10000.0 ELSE 0.0 END, 0) AS BIGINT)) AS BIGINT) AS promo_s,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS total_s
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    "TPC-H Q14 shape: promo revenue share — conditional scaled sums over a fact-dim join "
+    "(the ratio is derived downstream from exact integers)",
+)
+def q48_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    lo_ts = F.lit("1997-09-01 00:00:00").cast("timestamp")
+    hi_ts = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 10000.0
+    return (
+        li.where((F.col("l_shipdate") >= lo_ts) & (F.col("l_shipdate") < hi_ts))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0)), 0
+                ).cast("long")
+            ).alias("promo_s"),
+            F.sum(F.round(rev, 0).cast("long")).alias("total_s"),
+        )
+    )
+
+
+@register(
+    "q49_disjunctive_join",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS revenue_s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 5 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 10 AND l_quantity <= 40)
+    """,
+    "TPC-H Q19 shape: disjunctive multi-attribute predicate over a fact-dim join (tests "
+    "predicate normalization / partial pushdown)",
+)
+def q49_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    c1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20)
+    c2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(5, 30)
+    c3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(10, 40)
+    return j.where(c1 | c2 | c3).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 10000.0, 0).cast("long")
+        ).alias("revenue_s"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q50_signup_to_purchase",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) FILTER (event_type = 'signup') AS first_signup_us,
+               MIN(epoch_us(ts)) FILTER (event_type = 'purchase') AS first_purchase_us
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, first_signup_us, first_purchase_us,
+           CASE WHEN first_purchase_us >= first_signup_us
+                THEN first_purchase_us - first_signup_us END AS conversion_us
+    FROM firsts
+    WHERE first_signup_us IS NOT NULL
+    ORDER BY user_id
+    """,
+    "Funnel/retention analytics: first signup -> first purchase conversion latency per user "
+    "(conditional MIN aggregation, no self-join)",
+)
+def q50_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("first_signup_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("first_purchase_us"),
+    )
+    return (
+        firsts.where(F.col("first_signup_us").isNotNull())
+        .select(
+            "user_id",
+            "first_signup_us",
+            "first_purchase_us",
+            F.when(
+                F.col("first_purchase_us") >= F.col("first_signup_us"),
+                F.col("first_purchase_us") - F.col("first_signup_us"),
+            ).alias("conversion_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q51_top_terms_per_lang",
+    """
+    SELECT lang, token, n, rank FROM (
+        SELECT lang, token, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+        FROM (
+            SELECT lang, u.token AS token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(token)
+            GROUP BY lang, u.token
+        ) tf
+    ) ranked
+    WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+    "Corpus term-frequency top-k per language: token explode -> (lang, token) count -> "
+    "grouped top-k (the TF side of TF-IDF at corpus scale)",
+)
+def q51_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", T.tokens(F.col("text")).alias("__toks"))
+        .select("lang", F.explode("__toks").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = topk.grouped_top_k(tf, ["lang"], [F.desc("n"), F.asc("token")], 5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+    return ranked.select("lang", "token", "n", "rank").orderBy("lang", "rank")

@@ -48,6 +48,7 @@ def get_spark(app_name: str = "otokuna-spark", shuffle_partitions: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/otokuna-spark-warehouse"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

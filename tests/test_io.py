@@ -52,3 +52,24 @@ def test_union_daily_batches(spark):
     u = d1.unionByName(d2)
     assert u.count() == 2
     assert set(u.columns) == {"k", "v"}
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    oio.write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    oio.write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", ["o_orderkey"], n_buckets=8)
+    # co-located: the join must plan without a shuffle on either side
+    assert oio.bucketed_join_is_shuffle_free(spark, "b_orders", "b_lineitem", "o_orderkey")
+    # and a plain (non-bucketed) join of the same data does shuffle
+    plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plain_plan or "BroadcastExchange" in plain_plan
+    n_bucketed = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey").count()
+    assert n_bucketed == plain.count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
