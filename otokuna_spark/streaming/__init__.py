@@ -1,1 +1,1 @@
-from . import jobs  # noqa: F401
+from . import jobs, stateful  # noqa: F401

@@ -54,3 +54,56 @@ def test_stream_scrape_pipeline(spark, tmp_path):
         "000000000003",
         "000000000006",
     }
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState keyed first-seen dedup: keys repeated within
+    and ACROSS micro-batches emit exactly once."""
+    import json
+
+    from otokuna_spark.streaming import stateful
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # batch 1: k1 twice (order decides first), k2 once
+    write_batch("b1.json", [
+        {"k": "k1", "v": "late", "o": 2},
+        {"k": "k1", "v": "first", "o": 1},
+        {"k": "k2", "v": "only", "o": 5},
+    ])
+
+    schema = "k STRING, v STRING, o LONG"
+
+    def run_available():
+        stream = spark.readStream.schema(schema).json(str(src))
+        deduped = stateful.streaming_first_seen(stream, "k", "v", "o")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_available()
+    got1 = {r["key"]: r["first_value"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"k1": "first", "k2": "only"}
+
+    # batch 2 (new file): k1 again (must be suppressed by state), k3 new
+    write_batch("b2.json", [
+        {"k": "k1", "v": "dup-again", "o": 9},
+        {"k": "k3", "v": "fresh", "o": 1},
+    ])
+    run_available()
+    got2 = {r["key"]: r["first_value"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {"k1": "first", "k2": "only", "k3": "fresh"}
