@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "q49_disjunctive_join",
     "q50_signup_to_purchase",
     "q51_top_terms_per_lang",
+    "q52_tfidf_top_terms",
+    "q53_rich_idle_customers",
+    "q54_top_supplier_share",
 ]
 
 

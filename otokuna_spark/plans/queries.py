@@ -1552,3 +1552,127 @@ def q51_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", F.col("rank").cast("long")
     )
     return ranked.select("lang", "token", "n", "rank").orderBy("lang", "rank")
+
+
+@register(
+    "q52_tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, u.token AS token
+        FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(token)
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)) AS tfidf
+        FROM tf JOIN df USING (token), n
+    ),
+    ranked AS (
+        SELECT doc_id, token,
+               CAST(FLOOR(tfidf * 1000000.0) AS BIGINT) AS tfidf_m,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, tfidf_m, rank FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    "TF-IDF: corpus document frequencies (one agg) joined back to term frequencies, per-doc "
+    "top-3 terms — the feature-weighting pass of a text training pipeline",
+)
+def q52_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", T.tokens(F.col("text")).alias("__t")).select(
+        "doc_id", F.explode("__t").alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; the oracle computes the same constant
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf", F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.floor(F.col("tfidf") * 1000000.0).cast("long").alias("tfidf_m"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "q53_rich_idle_customers",
+    """
+    SELECT SUBSTRING(c_name, 1, 9) AS name_prefix,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_bal_c
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice >= 300000.0)
+    GROUP BY SUBSTRING(c_name, 1, 9)
+    ORDER BY name_prefix
+    """,
+    "TPC-H Q22 shape: uncorrelated scalar AVG subquery + anti join (customers with "
+    "above-average balance and no orders)",
+)
+def q53_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT SUBSTRING(c_name, 1, 9) AS name_prefix,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_bal_c
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice >= 300000.0)
+        GROUP BY SUBSTRING(c_name, 1, 9)
+        ORDER BY name_prefix
+        """
+    )
+
+
+@register(
+    "q54_top_supplier_share",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS total_s
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_s
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_s = (SELECT MAX(total_s) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 shape: max-over-derived-relation scalar subquery (the 'revenue view' pattern; "
+    "exact integer revenue makes the MAX tie-safe cross-engine)",
+)
+def q54_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS total_s
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_s
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_s = (SELECT MAX(total_s) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )

@@ -1,0 +1,98 @@
+"""Multi-day incremental pipeline integration (SURVEY §3.2's daily cron
+contract): each day's crawl is scraped, enriched, cleaned, scored, and
+upserted into the date-partitioned serving table; cross-day listings keep
+the FIRST-seen row; re-running a day overwrites only that partition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otokuna_spark.plans import pipeline, serving
+from otokuna_spark.sources.html import read_raw_pages
+from otokuna_spark.sources.location import read_location_reference
+
+from .fixtures import building, page, room, write_location_csv
+
+
+def _day_pages(tmp_path, day: str, rooms_spec):
+    d = tmp_path / f"pages_{day}"
+    d.mkdir(parents=True)
+    # vary layout/area/age per row: uniform values would make the Q1
+    # equality filter (q99 == the single distinct value) wipe the batch
+    layouts = ["1K", "2DK", "3LDK", "2LDK", "1DK"]
+    blds = [
+        building(
+            [room(jnc, rent=rent, layout=layouts[j % 5], area=f"{20 + 7 * j}.5m2")],
+            address=addr,
+            title=f"t{j}",
+            age=f"築{5 + j}年",
+        )
+        for j, (jnc, rent, addr) in enumerate(rooms_spec)
+    ]
+    (d / "page_000001.html").write_text(page(blds), encoding="utf-8")
+    return str(d)
+
+
+def test_incremental_daily_serving(spark, tmp_path):
+    loc_csv = str(tmp_path / "loc.csv")
+    write_location_csv(loc_csv)
+    loc = read_location_reference(spark, loc_csv)
+    serving_path = str(tmp_path / "serving")
+
+    days = {
+        "2021-07-04": [
+            ("000000000101", "6.9万円", "東京都渋谷区恵比寿南１"),
+            ("000000000102", "7.5万円", "東京都大田区中央１"),
+            ("000000000103", "9.9万円", "東京都新宿区西新宿"),
+        ],
+        # day 2 re-lists 101 at a new rent and adds a new listing
+        "2021-07-05": [
+            ("000000000101", "7.2万円", "東京都渋谷区恵比寿南１"),
+            ("000000000104", "8.8万円", "東京都渋谷区千駄ヶ谷１"),
+            ("000000000105", "5.5万円", "東京都大田区中央１"),
+        ],
+    }
+    for day, spec in days.items():
+        pages = _day_pages(tmp_path, day, spec)
+        props = pipeline.make_properties_df(read_raw_pages(spark, pages))
+        enriched = pipeline.add_target_variable(pipeline.add_address_coords(props, loc))
+        cleaned = pipeline.clean_df(enriched)
+        preds = cleaned.select("jnc_id", "y", (F.col("y") * 1.1).alias("y_pred"))
+        serving.materialize_serving_table(preds, cleaned.drop("y"), serving_path, day)
+
+    assert serving.available_dates(spark, serving_path) == ["2021-07-04", "2021-07-05"]
+    d2 = serving.serving_view(spark, serving_path, "2021-07-05")
+    ids_d2 = {r["jnc_id"] for r in d2.select("jnc_id").collect()}
+    assert ids_d2 == {"000000000101", "000000000104", "000000000105"}
+
+    # re-listing carries day-2's rent in day-2's partition; day-1 untouched
+    d1 = spark.read.parquet(serving_path).filter(F.col("date") == "2021-07-04")
+    rents_101 = {
+        r["date"].isoformat() if hasattr(r["date"], "isoformat") else str(r["date"]): r["rent"]
+        for r in spark.read.parquet(serving_path)
+        .filter(F.col("jnc_id") == "000000000101")
+        .select("date", "rent")
+        .collect()
+    }
+    assert rents_101 == {"2021-07-04": 69000, "2021-07-05": 72000}
+    assert d1.count() == 3
+
+    # cross-day union + keep-first dedup (the historical-corpus view)
+    full = spark.read.parquet(serving_path)
+    from otokuna_spark.operators import dedup
+
+    hist = dedup.dedup_keep_first(
+        full.withColumn("date", F.col("date").cast("string")), ["jnc_id"], [F.asc("date")]
+    )
+    first_rent = {r["jnc_id"]: r["rent"] for r in hist.select("jnc_id", "rent").collect()}
+    assert first_rent["000000000101"] == 69000  # day-1 row won
+    assert len(first_rent) == 5
+
+    # re-run day 2 (idempotent upsert: dynamic partition overwrite)
+    pages = _day_pages(tmp_path / "rerun", "2021-07-05", days["2021-07-05"])
+    props = pipeline.make_properties_df(read_raw_pages(spark, pages))
+    enriched = pipeline.add_target_variable(pipeline.add_address_coords(props, loc))
+    cleaned = pipeline.clean_df(enriched)
+    preds = cleaned.select("jnc_id", "y", (F.col("y") * 1.1).alias("y_pred"))
+    serving.materialize_serving_table(preds, cleaned.drop("y"), serving_path, "2021-07-05")
+    assert spark.read.parquet(serving_path).count() == 6  # no duplication
