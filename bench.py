@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q52_tfidf_top_terms",
     "q53_rich_idle_customers",
     "q54_top_supplier_share",
+    "q55_near_dup_clusters",
 ]
 
 

@@ -295,3 +295,78 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------------ clustering
+
+
+def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (node, cluster) where
+    cluster = min node id of the component (the canonical id).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; near-dup graphs have tiny
+    diameters (dup clusters are cliques-ish), so this converges in a few
+    rounds. Each round is one join + one agg; lineage is cut with
+    localCheckpoint so the plan doesn't grow exponentially.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The full near-dup dedup pipeline a training corpus needs:
+
+    MinHash-LSH candidates -> exact Jaccard verify (>= threshold) ->
+    connected components -> keep the min-id document per cluster.
+    Returns docs with duplicates removed (canonical row per cluster,
+    all never-matched docs untouched).
+    """
+    cand = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    verified = (
+        ngram_jaccard_pairs(docs, id_col, text_col, jaccard_threshold, shingle_k)
+        .join(cand, on=["id_a", "id_b"], how="leftsemi")
+    )
+    clusters = cluster_pairs(verified)
+    losers = clusters.where(F.col("node") != F.col("cluster")).select(F.col("node").alias(id_col))
+    return docs.join(losers, on=id_col, how="left_anti")

@@ -1676,3 +1676,43 @@ def q54_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+@register(
+    "q55_near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    closure(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a
+    )
+    SELECT a AS node, LEAST(MIN(b), a) AS cluster
+    FROM closure
+    GROUP BY a
+    ORDER BY node
+    """,
+    "Connected-components clustering of exact-Jaccard near-dup pairs (canonical-id labels) — "
+    "iterative min-label propagation vs the oracle's recursive-CTE transitive closure",
+)
+def q55_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    return dedup.cluster_pairs(pairs).select(
+        F.col("node").cast("long").alias("node"), F.col("cluster").cast("long").alias("cluster")
+    ).orderBy("node")

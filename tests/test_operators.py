@@ -175,3 +175,26 @@ def test_salted_join_matches_plain(spark):
     plain = sorted((r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect())
     salted = sorted((r["k"], r["v"], r["w"]) for r in skew.salted_join(big, small, "k").collect())
     assert plain == salted
+
+
+def test_cluster_pairs_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (3, 4)], ["id_a", "id_b"]
+    )  # components {1,2,3,4} and {7,9}
+    labels = {r["node"]: r["cluster"] for r in dedup.cluster_pairs(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_near_dup_dedup_end_to_end(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    near1 = base.replace("mu", "nu")  # near-dup of base
+    near2 = base.replace("alpha", "omega")  # near-dup of base (and near1)
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(10, base), (11, near1), (12, near2), (20, other)], ["doc_id", "text"]
+    )
+    kept = dedup.near_dup_dedup(df, "doc_id", "text", jaccard_threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # one canonical survivor (min id) from the near-dup cluster + the
+    # unrelated doc
+    assert ids == [10, 20]
