@@ -141,3 +141,48 @@ def predict_quantiles(model: PipelineModel, leaf_quantiles: DataFrame, df: DataF
     cols = model.stages[0].getInputCols()
     scored = model.transform(_with_numeric_features(df, cols))
     return scored.join(F.broadcast(leaf_quantiles), on="leaf", how="left")
+
+
+def tune_gbt(
+    df: DataFrame,
+    label: str = "y",
+    feature_cols: list[str] | None = None,
+    max_iter_grid: tuple[int, ...] = (5, 20, 50),
+    max_depth_grid: tuple[int, ...] = (3, 5),
+    seed: int = 456,
+):
+    """M2's early-stopping analog: CatBoost stops boosting when val MAE
+    plateaus (ml/train.py:48-54); MLlib's equivalent knob is selecting
+    maxIter/maxDepth on a validation split. TrainValidationSplit evaluates
+    the grid distributed and returns the best model + the per-candidate
+    validation metrics."""
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    cols = feature_cols or FEATURE_COLS
+    df = _with_numeric_features(df, cols)
+    gbt = GBTRegressor(
+        featuresCol="features",
+        labelCol=label,
+        predictionCol="y_pred",
+        lossType="absolute",
+        seed=seed,
+    )
+    pipe = Pipeline(stages=[_assembler(cols), gbt])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(gbt.maxIter, list(max_iter_grid))
+        .addGrid(gbt.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    evaluator = RegressionEvaluator(labelCol=label, predictionCol="y_pred", metricName="mae")
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        trainRatio=0.75,
+        seed=seed,
+        parallelism=4,
+    )
+    model = tvs.fit(df)
+    metrics = dict(zip([str(m) for m in model.getEstimatorParamMaps()], model.validationMetrics))
+    return model.bestModel, metrics

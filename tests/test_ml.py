@@ -57,3 +57,28 @@ def test_leaf_quantile_tree(spark, toy_df):
 def test_mae_metric(spark):
     df = spark.createDataFrame([(1.0, 2.0), (3.0, 1.0)], ["y", "y_pred"])
     assert abs(mlp.mae(df) - 1.5) < 1e-12
+
+
+def test_tune_gbt_selects_on_validation(toy_df):
+    best, metrics = mlp.tune_gbt(
+        toy_df, feature_cols=["f1", "f2"], max_iter_grid=(2, 10), max_depth_grid=(2,)
+    )
+    assert len(metrics) == 2  # one validation MAE per grid point
+    preds = mlp.predict(best, toy_df)
+    assert preds.count() == 200
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    # the documented scale escape hatches: approx_count_distinct (HLL) and
+    # percentile_approx vs their exact twins
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_d"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
+    assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.01
