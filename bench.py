@@ -79,6 +79,27 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+
+    # Scrape-stage throughput, directly comparable to the reference's
+    # headline daily-crawl number (~1,500 pages / ~75k listings in ~3.6 min
+    # single-node, svc/serverless.yml:98 + README.md:191). Page generation
+    # is NOT timed; the timed span is the full Spark DAG: distributed read
+    # -> DOM-parse UDTF -> parse-layer projection -> clean.
+    import shutil
+    import tempfile
+
+    from otokuna_spark.plans.pipeline import scrape_pipeline
+    from otokuna_spark.sources.synth import generate_crawl
+
+    crawl_dir = tempfile.mkdtemp(prefix="otokuna_crawl_")
+    try:
+        n_listings = generate_crawl(crawl_dir, n_pages=1500, rooms_per_page=50)
+        t0 = time.perf_counter()
+        n_clean = scrape_pipeline(spark, crawl_dir).count()
+        timings["scrape_pipeline_75k_listings"] = round(time.perf_counter() - t0, 3)
+        assert n_clean > 0.5 * n_listings, (n_clean, n_listings)
+    finally:
+        shutil.rmtree(crawl_dir, ignore_errors=True)
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
         t0 = time.perf_counter()
