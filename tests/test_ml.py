@@ -82,3 +82,24 @@ def test_approx_aggregates_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
     assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.01
+
+
+def test_sample_fraction_seeded(spark):
+    from otokuna_spark.operators import sampling
+
+    df = spark.range(10000)
+    s1 = sampling.sample_fraction(df, 0.1, seed=123)
+    s2 = sampling.sample_fraction(df, 0.1, seed=123)
+    n1 = s1.count()
+    assert 700 <= n1 <= 1300  # Bernoulli around 10%
+    assert s1.exceptAll(s2).count() == 0  # same seed -> same sample
+
+
+def test_write_metrics_json(tmp_path):
+    import json
+
+    path = str(tmp_path / "metrics.json")
+    mlp.write_metrics_json({"mae_train": 7271.90, "mae_val": 7739.77}, path)
+    with open(path) as f:
+        got = json.load(f)
+    assert got == {"mae_train": 7271.90, "mae_val": 7739.77}
