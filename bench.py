@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q53_rich_idle_customers",
     "q54_top_supplier_share",
     "q55_near_dup_clusters",
+    "q56_sole_late_supplier",
 ]
 
 

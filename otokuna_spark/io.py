@@ -103,3 +103,39 @@ def bucketed_join_is_shuffle_free(spark: SparkSession, left_table: str, right_ta
     joined = spark.table(left_table).join(spark.table(right_table), key)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" not in plan
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Key-level upsert into a Parquet table (poor-man's MERGE; a table
+    format like Delta/Iceberg does this transactionally — this is the
+    dependency-free equivalent with read-modify-write semantics).
+
+    Existing rows whose key appears in ``updates`` are replaced; new keys
+    appended. When ``partition_by`` is set and updates only touch some
+    partitions, use dynamic partition overwrite via
+    serving.materialize_serving_table instead — it avoids rewriting
+    untouched partitions.
+    """
+    import os as _os
+
+    if _os.path.exists(path):
+        current = spark.read.parquet(path)
+        kept = current.join(updates.select(key).distinct(), on=key, how="left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    # write via a temp location: the plan reads `path` lazily, so an
+    # in-place overwrite would delete its own input mid-scan
+    tmp = path.rstrip("/") + "__upsert_tmp"
+    write_parquet(merged, tmp, partition_by=partition_by)
+    final = spark.read.parquet(tmp)
+    write_parquet(final, path, partition_by=partition_by)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -312,6 +312,16 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    # the pair graph is usually tiny relative to the corpus — right-size
+    # its partitioning or each label-propagation round pays full-width
+    # task-scheduling overhead for near-empty partitions
+    n_edges = edges.count()
+    parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
+    if parts < edges.rdd.getNumPartitions():
+        small = edges.coalesce(parts).persist()
+        small.count()
+        edges.unpersist()
+        edges = small
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -1716,3 +1716,54 @@ def q55_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_pairs(pairs).select(
         F.col("node").cast("long").alias("node"), F.col("cluster").cast("long").alias("cluster")
     ).orderBy("node")
+
+
+@register(
+    "q56_sole_late_supplier",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape: double correlated subquery on the same fact (EXISTS another supplier in "
+    "the order, NOT EXISTS another LATE supplier) — the hardest decorrelation in the suite",
+)
+def q56_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+            JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """
+    )

@@ -73,3 +73,16 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     assert n_bucketed == plain.count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_upsert_by_key(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    oio.upsert_by_key(spark, path, base, "k")
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"])
+    oio.upsert_by_key(spark, path, updates, "k")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # idempotent re-apply
+    oio.upsert_by_key(spark, path, updates, "k")
+    assert spark.read.parquet(path).count() == 4
