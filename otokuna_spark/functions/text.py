@@ -170,6 +170,53 @@ def fingerprint(col: Column) -> Column:
     return F.md5(canon)
 
 
+# ---------------------------------------------------------------------
+# PII detection / redaction (training-data hygiene pass)
+#
+# Patterns are kept to syntax that Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: character classes, bounded repetition, \b word
+# boundaries (supported by both), no backreferences/lookaround.
+# ---------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # NANP-ish phone: optional +1 / 1, 3-3-4 groups with -, ., space or (area)
+    "phone": r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # 13-16 digit card-ish runs, optionally 4-grouped
+    "card": r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{1,4}\b",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """#matches of one PII pattern (JVM-side regexp_count)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    return {kind: pii_count(col, kind) for kind in PII_PATTERNS}
+
+
+def redact_pii(col: Column, replacement: str = "<PII>") -> Column:
+    """Replace every PII match with ``replacement``. Order matters: email
+    before card/phone so digit-bearing local parts are consumed as one
+    email token, matching the oracle's identical replace order."""
+    out = col
+    for kind in ("email", "card", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], replacement)
+    return out
+
+
+def bigrams_from_tokens(toks: Column) -> Column:
+    """Word bigrams (NON-distinct, order-preserving) from a materialized
+    token array — the unit for Gopher-style repetition filters (fraction
+    of bigrams taken by the most frequent bigram). Same CSE caveat as
+    shingles_from_tokens: ``toks`` must be a projected column."""
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+
+
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """Word k-shingles (distinct) from a MATERIALIZED token-array column.
 

@@ -241,6 +241,46 @@ def embedding_near_dup_pairs(
     return pairs
 
 
+def blocked_near_dup_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Near-dup pairs by exact cosine within blocking-key groups, with an
+    ORACLE-REPRODUCIBLE score: dot and squared norms are scaled-integer
+    sums (vectors.dot_scaled_int), so cosine = dot_s/sqrt(na_s*nb_s) is
+    bit-identical in any engine that floors the same per-element products
+    — this is the exact-verify stage of a dedup pipeline, pinned against
+    SQL. Blocking (here a precomputed key; in production an LSH band, see
+    embedding_near_dup_pairs) keeps the self-join from going quadratic:
+    the join is a shuffle-hash equi-join on the block key, and pair volume
+    is sum_b(n_b^2)/2 instead of N^2/2.
+
+    Output: (id_a, id_b, cosine_m) with cosine_m = floor(cosine * 1e6).
+    """
+    e = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n2s", vectors.norm2_scaled_int(F.col("__v"), scale))
+    a, b = e.alias("a"), e.alias("b")
+    dot_s = vectors.dot_scaled_int(F.col("a.__v"), F.col("b.__v"), scale)
+    cosine = dot_s.cast("double") / F.sqrt(F.col("a.__n2s").cast("double") * F.col("b.__n2s").cast("double"))
+    return (
+        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        .withColumn("__cos", cosine)
+        .where(F.col("__cos") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.floor(F.col("__cos") * 1000000.0).cast("long").alias("cosine_m"),
+        )
+    )
+
+
 def _centroids_from_sample(df: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> list[tuple[int, list[float]]]:
     """Deterministic centroid pick: the n lowest-id vectors (a k-means--
     seed stand-in; swap for MLlib KMeans when quality matters more than
