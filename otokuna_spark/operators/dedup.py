@@ -271,7 +271,12 @@ def simhash_pairs(
         .alias(f"c{i}")
         for i in range(n_chunks)
     ]
-    banded = sig.select(id_col, "simhash", *chunks)
+    # banded feeds BOTH sides of n_chunks self-joins (2*n_chunks scans) —
+    # without a persist the pandas-UDF signature recomputes up to 8x;
+    # same rationale as minhash_lsh_pairs/ngram_jaccard_pairs
+    from pyspark import StorageLevel
+
+    banded = sig.select(id_col, "simhash", *chunks).persist(StorageLevel.MEMORY_AND_DISK)
     cand = None
     for i in range(n_chunks):
         a = banded.alias("a")

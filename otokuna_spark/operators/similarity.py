@@ -281,6 +281,97 @@ def blocked_near_dup_pairs_exact(
     )
 
 
+def lsh_near_dup_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    scale: float = 1e6,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH near-dup pairs with a fully ORACLE-REPRODUCIBLE plan: both the
+    candidate blocking and the verify score are deterministic integer math,
+    so an independent SQL engine derives the identical pair set.
+
+    - Blocking: sign-sketch bands where each sign bit is the sign of a
+      scaled-integer dot (sum of floor(v_i * w_i * scale) as BIGINT —
+      associative, so reduction order can't flip a near-zero sign the way
+      an IEEE double matmul can). The hyperplanes come from the same
+      seeded LCG as ``_hyperplanes`` and are re-derivable in SQL via a
+      recursive CTE, bit-for-bit.
+    - Verify: exact scaled-integer cosine >= threshold (same device as
+      ``blocked_near_dup_pairs_exact``), emitted as cosine_m =
+      floor(cosine * 1e6).
+
+    Plan shape: posexplode(vec) ⋈ broadcast(planes) -> two reduce
+    shuffles keyed by id (dot per plane, then band keys) -> band-key self
+    equi-join -> distinct id-only candidates -> vectors re-attached for
+    the verify. Candidate volume is sum of squared bucket occupancies,
+    never N^2. The 64x element explode is the price of integer-exact
+    sketches; ``embedding_near_dup_pairs`` (one numpy matmul per Arrow
+    batch) is the cheaper production path when cross-engine
+    reproducibility is not required.
+    """
+    spark = df.sparkSession
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_rows = [
+        (p, i, float(w)) for p, row in enumerate(planes) for i, w in enumerate(row)
+    ]
+    planes_df = spark.createDataFrame(plane_rows, "plane_id INT, idx INT, w DOUBLE")
+    e = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    elems = e.select("__id", F.posexplode("__v").alias("idx", "val"))
+    dots = (
+        elems.join(F.broadcast(planes_df), "idx")
+        .groupBy("__id", "plane_id")
+        .agg(F.sum(F.floor(F.col("val") * F.col("w") * F.lit(scale)).cast("long")).alias("dot_s"))
+    )
+    # pack sign bits into per-band integer keys: key = sum of 2^(pos in
+    # band) over set bits — pow(2, small int) is exact in doubles, so the
+    # cast is lossless and the same expression runs in any SQL engine
+    keys = (
+        dots.groupBy("__id", F.expr(f"plane_id div {band_bits}").alias("band"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot_s") >= 0,
+                    F.expr(f"cast(pow(2, plane_id % {band_bits}) as long)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), ["band", "band_key"])
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    withn = e.withColumn("__n2s", vectors.norm2_scaled_int(F.col("__v"), scale))
+    a_side = withn.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n2s").alias("__na")
+    )
+    b_side = withn.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n2s").alias("__nb")
+    )
+    cosine = vectors.dot_scaled_int(F.col("__va"), F.col("__vb"), scale).cast("double") / F.sqrt(
+        F.col("__na").cast("double") * F.col("__nb").cast("double")
+    )
+    return (
+        cand.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn("__cos", cosine)
+        .where(F.col("__cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.floor(F.col("__cos") * 1000000.0).cast("long").alias("cosine_m")
+        )
+    )
+
+
 def _centroids_from_sample(df: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> list[tuple[int, list[float]]]:
     """Deterministic centroid pick: the n lowest-id vectors (a k-means--
     seed stand-in; swap for MLlib KMeans when quality matters more than

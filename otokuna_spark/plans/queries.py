@@ -843,34 +843,119 @@ def q30_parse_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+def _q24_oracle(
+    threshold: float = 0.45, n_planes: int = 16, band_bits: int = 4, dim: int = 64
+) -> str:
+    """SQL twin of similarity.lsh_near_dup_pairs_exact: the hyperplanes are
+    re-derived with the SAME seeded LCG (recursive CTE over u64 state —
+    verified bit-identical to _hyperplanes), sign bits come from
+    scaled-integer dots (associative, order-free), and the verify is the
+    scaled-integer cosine. No float reduction anywhere -> identical pairs."""
+    state0 = (7 * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+    return f"""
+    WITH RECURSIVE lcg(n, state) AS (
+        SELECT 0, CAST({state0} AS HUGEINT)
+        UNION ALL
+        SELECT n + 1, (state * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        FROM lcg WHERE n < {n_planes * dim}
+    ),
+    planes AS (
+        SELECT CAST((n - 1) // {dim} AS INT) AS plane_id, CAST((n - 1) % {dim} AS INT) AS idx,
+               CAST(state // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 AS w
+        FROM lcg WHERE n >= 1
+    ),
+    ex AS (
+        SELECT vec_id, i - 1 AS idx, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    dots AS (
+        SELECT vec_id, plane_id, CAST(SUM(CAST(FLOOR(v * w * 1000000.0) AS BIGINT)) AS BIGINT) AS dot_s
+        FROM ex JOIN planes USING (idx) GROUP BY vec_id, plane_id
+    ),
+    bands AS (
+        SELECT vec_id, plane_id // {band_bits} AS band,
+               CAST(SUM(CASE WHEN dot_s >= 0 THEN CAST(POW(2, plane_id % {band_bits}) AS BIGINT) ELSE 0 END) AS BIGINT) AS band_key
+        FROM dots GROUP BY vec_id, plane_id // {band_bits}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    ),
+    n2s AS (
+        SELECT vec_id, CAST(SUM(CAST(FLOOR(v * v * 1000000.0) AS BIGINT)) AS BIGINT) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    pairdots AS (
+        SELECT c.id_a, c.id_b, CAST(SUM(CAST(FLOOR(ea.v * eb.v * 1000000.0) AS BIGINT)) AS BIGINT) AS dot_s
+        FROM cand c
+        JOIN ex ea ON ea.vec_id = c.id_a
+        JOIN ex eb ON eb.vec_id = c.id_b AND eb.idx = ea.idx
+        GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+        SELECT p.id_a, p.id_b,
+               CAST(p.dot_s AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+        FROM pairdots p JOIN n2s na ON p.id_a = na.vec_id JOIN n2s nb ON p.id_b = nb.vec_id
+    )
+    SELECT id_a, id_b, CAST(FLOOR(cos * 1000000.0) AS BIGINT) AS cosine_m
+    FROM scored WHERE cos >= {threshold!r} ORDER BY id_a, id_b
+    """
+
+
 @register(
     "q24_embedding_near_dup",
-    None,  # approximate (LSH recall < 1) -> rows-only check by design
-    "Embedding near-dup pairs via random-hyperplane LSH bands + exact cosine verify "
-    "(approximate candidate generation is not SQL-reproducible; recall vs brute force "
-    "is asserted in tests/test_operators.py)",
+    _q24_oracle(),
+    "Embedding near-dup pairs via deterministic sign-sketch LSH bands + exact "
+    "scaled-integer cosine verify — candidate blocking AND score are integer-exact, "
+    "so the full pair set (not just the verify) matches the SQL oracle",
 )
 def q24_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     # 4-bit bands: ~50% per-pair recall at cosine 0.45 with 4 bands — the
     # synthetic embeddings cluster loosely (max pairwise cosine ~0.51)
-    pairs = similarity.embedding_near_dup_pairs(
+    pairs = similarity.lsh_near_dup_pairs_exact(
         emb, "vec_id", "embedding", threshold=0.45, n_planes=16, band_bits=4
     )
-    return pairs.select(
-        "id_a", "id_b", F.floor(F.col("cosine") * 1000000.0).cast("long").alias("cosine_m")
-    ).orderBy("id_a", "id_b")
+    return pairs.orderBy("id_a", "id_b")
+
+
+_Q29_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ),
+    tokbits AS (
+        SELECT doc_id, pos,
+               ((strpos('0123456789abcdef', substr(md5(tok), (pos // 4) + 1, 1)) - 1) >> (3 - pos % 4)) & 1 AS bit
+        FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+    ),
+    sigbits AS (
+        SELECT doc_id, pos, CASE WHEN SUM(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sig
+        FROM tokbits GROUP BY doc_id, pos
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(CASE WHEN a.sig <> b.sig THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM sigbits a JOIN sigbits b ON a.pos = b.pos AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+    """
 
 
 @register(
     "q29_simhash_pairs",
-    None,  # xxhash64-based signature -> not reproducible in DuckDB; rows-only
-    "SimHash near-dup pairs: 64-bit bit-vote signatures, pigeonhole band join, "
-    "popcount(xor) Hamming filter — all JVM-side",
+    _Q29_ORACLE,
+    "SimHash near-dup pairs: 64-bit md5 bit-vote signatures, pigeonhole band join, "
+    "popcount(xor) Hamming filter. The pigeonhole banding (max_hamming+1 chunks) is "
+    "EXACT, so the oracle's brute-force all-pairs Hamming <= 3 over the same bit-vote "
+    "signature (md5 hex nibbles -> per-position votes) yields the identical pair set",
 )
 def q29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 @register(
