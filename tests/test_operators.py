@@ -198,3 +198,36 @@ def test_near_dup_dedup_end_to_end(spark):
     # one canonical survivor (min id) from the near-dup cluster + the
     # unrelated doc
     assert ids == [10, 20]
+
+
+def test_lsh_near_dup_exact_vectorized_matches_codegen(spark):
+    # the vectorized (numpy) and codegen (HOF/explode-join) formulations
+    # must produce bit-identical pair sets — both are floor-scaled integer
+    # math, so this pins the Arrow path against the SQL-twin path
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    # plant some near-dups
+    for i in range(0, 12, 3):
+        base[i + 1] = [x + rng.uniform(-0.05, 0.05) for x in base[i]]
+    df = spark.createDataFrame(list(enumerate(base)), ["vec_id", "embedding"])
+    kw = dict(threshold=0.6, n_planes=8, band_bits=4, dim=16)
+    fast = similarity.lsh_near_dup_pairs_exact(df, "vec_id", "embedding", impl="vectorized", **kw)
+    slow = similarity.lsh_near_dup_pairs_exact(df, "vec_id", "embedding", impl="codegen", **kw)
+    f = sorted(map(tuple, fast.collect()))
+    s = sorted(map(tuple, slow.collect()))
+    assert f == s
+    assert len(f) >= 4  # the planted near-dups actually surface
+
+
+def test_simhash_pairs_signature_cached(spark):
+    # banded (the pandas-UDF signature relation) feeds both sides of
+    # n_chunks self-joins — assert it is served from cache, not recomputed
+    df = spark.createDataFrame(
+        [(i, f"some shared boilerplate text plus token{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
