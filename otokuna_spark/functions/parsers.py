@@ -30,13 +30,19 @@ def _extract(col: Column, pattern: str, group: int) -> Column:
 
 
 def parse_age(col: Column) -> Column:
-    """P1 — scraping.py:36-41: 新築 -> 0, else 築(\\d+)年 -> years."""
-    return F.when(col == "新築", F.lit(0)).otherwise(_extract(col, r"築(\d+)年", 1).cast("long"))
+    """P1 — scraping.py:36-41: 新築 -> 0, else 築(\\d+)年 -> years.
+
+    The reference uses ``re.match`` = anchored at START only (trailing text
+    allowed, leading garbage rejected). Java's regexp_extract is find()
+    (unanchored both ends), so every parser here prefixes ``^`` and omits
+    ``$`` to mirror re.match exactly.
+    """
+    return F.when(col == "新築", F.lit(0)).otherwise(_extract(col, r"^築(\d+)年", 1).cast("long"))
 
 
 def parse_floors(col: Column) -> Column:
     """P2 — scraping.py:44-49: (地下N地上)?M階建 -> above-ground floors M."""
-    return _extract(col, r"(地下\d+地上)?(\d+)階建", 2).cast("long")
+    return _extract(col, r"^(地下\d+地上)?(\d+)階建", 2).cast("long")
 
 
 def parse_transportation(col: Column) -> Column:
@@ -102,8 +108,8 @@ def parse_min_floor(col: Column) -> Column:
 
     A single value duplicates; the pair is sorted (handles inverted 1-B1階).
     """
-    g1 = _extract(col, r"^(B?\d+)-?(B?\d+)?階$", 1)
-    g2 = _extract(col, r"^(B?\d+)-?(B?\d+)?階$", 2)
+    g1 = _extract(col, r"^(B?\d+)-?(B?\d+)?階", 1)
+    g2 = _extract(col, r"^(B?\d+)-?(B?\d+)?階", 2)
     v1 = _floor_value(g1)
     v2 = F.coalesce(_floor_value(g2), v1)
     return F.least(v1, v2)
@@ -111,35 +117,45 @@ def parse_min_floor(col: Column) -> Column:
 
 def parse_max_floor(col: Column) -> Column:
     """P6b — max of the (sorted) floor pair."""
-    g1 = _extract(col, r"^(B?\d+)-?(B?\d+)?階$", 1)
-    g2 = _extract(col, r"^(B?\d+)-?(B?\d+)?階$", 2)
+    g1 = _extract(col, r"^(B?\d+)-?(B?\d+)?階", 1)
+    g2 = _extract(col, r"^(B?\d+)-?(B?\d+)?階", 2)
     v1 = _floor_value(g1)
     v2 = F.coalesce(_floor_value(g2), v1)
     return F.greatest(v1, v2)
 
 
 def parse_area(col: Column) -> Column:
-    """P7 — scraping.py:109-112: (\\d*[.]?\\d+)m2 -> float m^2."""
-    return _extract(col, r"^(\d*[.]?\d+)m2$", 1).cast("double")
+    """P7 — scraping.py:109-112: (\\d*[.]?\\d+)m2 -> float m^2 (re.match:
+    trailing text like '30.2m2(壁芯)' parses)."""
+    return _extract(col, r"^(\d*[.]?\d+)m2", 1).cast("double")
 
 
 def parse_n_rooms(col: Column) -> Column:
-    """P8a — scraping.py:115-127: ワンルーム -> 1 else leading digits of layout."""
+    """P8a — scraping.py:115-127: ワンルーム -> 1 else leading digits of layout
+    (re.match: '2LDK+S(納戸)' parses as 2)."""
     return F.when(col == "ワンルーム", F.lit(1).cast("long")).otherwise(
-        _extract(col, r"^(\d+)[SLDK]+$", 1).cast("long")
+        _extract(col, r"^(\d+)[SLDK]+", 1).cast("long")
     )
 
 
 def parse_layout_flag(col: Column, letter: str) -> Column:
-    """P8b — membership flags for S/L/D/K; ワンルーム -> all false."""
-    valid = (col == "ワンルーム") | (F.regexp_extract(col, r"^(\d+)[SLDK]+$", 1) != "")
+    """P8b — membership flags for S/L/D/K; ワンルーム -> all false. The
+    reference tests ``char in s`` on the WHOLE string (scraping.py:127), so
+    '2LDK+S(納戸)' has S=True even though the match stops at the '+'."""
+    valid = (col == "ワンルーム") | (F.regexp_extract(col, r"^(\d+)[SLDK]+", 1) != "")
     return F.when(valid, F.when(col == "ワンルーム", F.lit(False)).otherwise(col.contains(letter)))
 
 
 def parse_banner_timestamp(col: Column) -> Column:
-    """P9 — scraping.py:130-147: '&times=(\\d+)' ms -> seconds, rounded."""
+    """P9 — scraping.py:130-147: '&times=(\\d+)' ms -> seconds, rounded.
+
+    The reference uses Python round() = HALF_EVEN (banker's); Spark's
+    ``round`` is BigDecimal HALF_UP, which differs at exact .5 boundaries
+    (ms ending in 500) — ``bround`` is Spark's HALF_EVEN twin. This one is
+    re.search (unanchored), not re.match.
+    """
     ms = _extract(col, r"&times=(\d+)", 1).cast("double")
-    return F.round(ms / 1000.0, 0)
+    return F.bround(ms / 1000.0, 0)
 
 
 # ------------------------------------------------------------ P11

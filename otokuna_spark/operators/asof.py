@@ -62,17 +62,22 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
 
+    # __r as the final key totalizes the order among right rows that share
+    # (key, ts): last(__r, ignorenulls) then always carries the MAX right
+    # struct of the tie group (struct ordering is lexicographic by field),
+    # identical across runs and partitionings. Without it the carried row is
+    # whichever the sort happened to place last.
     if direction == "backward":
         # right rows sort before left rows at equal ts so a tie matches
         w = (
             Window.partitionBy(key)
-            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__r").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(key)
-            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc(), F.col("__r").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 

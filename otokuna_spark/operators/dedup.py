@@ -309,11 +309,16 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
     """Connected components over near-dup pairs -> (node, cluster) where
     cluster = min node id of the component (the canonical id).
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors; near-dup graphs have tiny
-    diameters (dup clusters are cliques-ish), so this converges in a few
-    rounds. Each round is one join + one agg; lineage is cut with
-    localCheckpoint so the plan doesn't grow exponentially.
+    Iterative min-label propagation with POINTER DOUBLING: each round every
+    node takes the min label among itself and its neighbors, then shortcuts
+    through its label's label (cluster <- min(cluster, cluster(cluster))),
+    so convergence is O(log diameter) rounds even for chain-shaped
+    components — a 2^20-long chain converges in ~20 rounds, not 2^20.
+    Each round is two joins + one agg; lineage is cut with localCheckpoint
+    so the plan doesn't grow exponentially.
+
+    Raises RuntimeError if labels still changed after ``max_iter`` rounds —
+    silently returning split clusters would corrupt downstream dedup.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
@@ -333,17 +338,31 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
         .withColumn("cluster", F.col("node"))
     ).localCheckpoint()
 
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        propagated = labels.join(neighbor_min, on="node", how="left").select(
+            "node",
+            F.least(F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))).alias(
+                "cluster"
+            ),
+        )
+        # pointer doubling: follow the label's own label one hop — halves
+        # the remaining path length every round
         new_labels = (
-            labels.join(neighbor_min, on="node", how="left")
+            propagated.alias("x")
+            .join(
+                propagated.alias("y"),
+                F.col("x.cluster") == F.col("y.node"),
+                "left",
+            )
             .select(
-                "node",
-                F.least(F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))).alias(
+                F.col("x.node").alias("node"),
+                F.least(F.col("x.cluster"), F.coalesce(F.col("y.cluster"), F.col("x.cluster"))).alias(
                     "cluster"
                 ),
             )
@@ -358,6 +377,11 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"cluster_pairs did not converge within max_iter={max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels
 
 

@@ -20,13 +20,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_INF = float("inf")
+_NAN = float("nan")
+
+
 def remove_outliers(df: DataFrame, columns: list[str], q: float = 0.99) -> DataFrame:
-    quantiles = df.agg(
-        *[F.percentile(F.col(c), F.lit(q)).alias(f"__q_{c}") for c in columns]
-    )
+    # pandas .quantile skips NaN; Spark percentile sorts NaN above every
+    # double — nanvl to NULL (which percentile ignores) mirrors skipna.
+    # When the interpolation window touches ±inf, numpy's lerp (which
+    # pandas delegates to) does NOT return the percentile's inf: with
+    # a = sorted[lo] and b = sorted[hi] it computes a + (b-a)*t for
+    # t < 0.5 and b - (b-a)*(1-t) otherwise, so inf-inf / inf*0 propagate
+    # to NaN in every branch except (a finite, b = +inf, 0 < t < 0.5) -> +inf
+    # and its mirror (a = -inf, b finite, t >= 0.5) -> -inf. The CASE below
+    # reproduces exactly those observable outcomes from counts, keeping the
+    # whole computation a single aggregation pass (probed empirically
+    # against pandas 2.x / numpy 1.26 in tests).
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        not_nan = F.nanvl(col, F.lit(None).cast("double"))
+        aggs += [
+            F.percentile(not_nan, F.lit(q)).alias(f"__p_{c}"),
+            F.count(not_nan).alias(f"__n_{c}"),
+            F.count(F.when(col == _INF, 1)).alias(f"__pi_{c}"),
+            F.count(F.when(col == -_INF, 1)).alias(f"__ni_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    qcols = []
+    for c in columns:
+        p = F.col(f"__p_{c}")
+        n = F.col(f"__n_{c}")
+        n_pos, n_neg = F.col(f"__pi_{c}"), F.col(f"__ni_{c}")
+        virt = F.lit(q) * (n - 1).cast("double")
+        lo = F.floor(virt)
+        t = virt - lo
+        fin_end = n - n_pos  # 0-based sorted index of the first +inf
+        adj = (
+            F.when(F.isnan(p), p)
+            .when(
+                p == _INF,
+                F.when((t > 0) & (t < 0.5) & (lo < fin_end), F.lit(_INF)).otherwise(F.lit(_NAN)),
+            )
+            .when(
+                p == -_INF,
+                F.when((t >= 0.5) & (lo + 1 >= n_neg) & (lo + 1 < fin_end), F.lit(-_INF)).otherwise(
+                    F.lit(_NAN)
+                ),
+            )
+            .otherwise(p)
+        )
+        qcols.append(adj.alias(f"__q_{c}"))
+    quantiles = stats.select(*qcols)
     joined = df.crossJoin(F.broadcast(quantiles))
     flag = None
     for c in columns:
-        f = F.col(c) == F.col(f"__q_{c}")
+        qc = F.col(f"__q_{c}")
+        v = F.col(c).cast("double")
+        # pandas parity: NaN == anything is False (Spark says NaN = NaN is
+        # TRUE), and a NULL value/quantile must mean "not flagged" — never a
+        # NULL that makes filter(~flag) silently drop the row
+        f = F.when(F.isnan(v) | F.isnan(qc), F.lit(False)).otherwise(
+            F.coalesce(v == qc, F.lit(False))
+        )
         flag = f if flag is None else (flag | f)
     return joined.filter(~flag).drop(*[f"__q_{c}" for c in columns])

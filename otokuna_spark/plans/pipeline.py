@@ -133,8 +133,15 @@ def clean_df(df: DataFrame) -> DataFrame:
     deduped = dedup.dedup_keep_first(
         df, ["jnc_id"], [F.asc("source_file"), F.asc("building_idx"), F.asc("room_idx")]
     )
+    # pandas division-by-zero yields inf (or NaN for 0/0) and the reference
+    # KEEPS those rows (equality vs the quantile is False; dropna ignores
+    # inf) — Spark's x/0.0 is NULL, which would poison the outlier flag and
+    # silently drop the row, so mirror the float semantics explicitly
     with_ratio = deduped.withColumn(
-        "rent_admin_fee_ratio", F.col("admin_fee").cast("double") / F.col("rent").cast("double")
+        "rent_admin_fee_ratio",
+        F.when(F.col("rent") != 0, F.col("admin_fee").cast("double") / F.col("rent").cast("double"))
+        .when(F.col("admin_fee") != 0, F.lit(float("inf")))
+        .otherwise(F.lit(float("nan"))),
     )
     filtered = outliers.remove_outliers(with_ratio, OUTLIER_COLS, 0.99).drop("rent_admin_fee_ratio")
     return filtered.na.drop("any")

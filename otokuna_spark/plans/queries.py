@@ -764,6 +764,12 @@ _PARSE_ROWS = [
     (4, "築5年", "2階建", "5000円", "30m2", "B2-B1階", "3LDK", "東京都千代田区丸の内１"),
     (5, "築100年", "地下2地上30階建", ".5万円", "100.0m2", "1-B1階", "4SLDK", "東京都練馬区桜台２"),
     (6, "新築そっくり", "平屋", "未定", "20畳", "2-階", "5SLLDDKK", "神奈川県横浜市中区"),
+    # 7: trailing text after the match — re.match ACCEPTS these (start-anchored
+    # only); a $-anchored mirror would wrongly NULL-drop every one of them
+    (7, "築14年3ヶ月", "地下1地上9階建ての", "6.9万円にて", "30.2m2(壁芯)", "2階 メゾネット", "2LDK+S(納戸)", "東京都渋谷区初台２丁目"),
+    # 8: leading garbage before the match — re.match REJECTS these; an
+    # unanchored mirror would wrongly parse every one of them
+    (8, "リフォーム済築20年", "木造2階建", "管理費5000円", "約30m2", "B1-2階の物件", "+2LDK", "首都圏東京都北区"),
 ]
 
 
@@ -777,38 +783,38 @@ def _parse_oracle() -> str:
     )
     SELECT rid,
         CASE WHEN age_text = '新築' THEN 0
-             ELSE TRY_CAST(NULLIF(regexp_extract(age_text, '築(\\d+)年', 1), '') AS BIGINT) END AS age,
+             ELSE TRY_CAST(NULLIF(regexp_extract(age_text, '^築(\\d+)年', 1), '') AS BIGINT) END AS age,
         TRY_CAST(NULLIF(regexp_extract(floors_text, '^(地下\\d+地上)?(\\d+)階建', 2), '') AS BIGINT) AS floors,
         CASE WHEN money_text = '-' THEN 0
              ELSE CAST(FLOOR(TRY_CAST(NULLIF(regexp_extract(money_text, '^(\\d*[.]?\\d+)(万?円)', 1), '') AS DOUBLE)
                   * (CASE WHEN regexp_extract(money_text, '^(\\d*[.]?\\d+)(万?円)', 2) = '万円' THEN 10000 ELSE 1 END)) AS BIGINT) END AS money,
-        TRY_CAST(NULLIF(regexp_extract(area_text, '^(\\d*[.]?\\d+)m2$', 1), '') AS DOUBLE) AS area,
+        TRY_CAST(NULLIF(regexp_extract(area_text, '^(\\d*[.]?\\d+)m2', 1), '') AS DOUBLE) AS area,
         LEAST(
-            CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') LIKE 'B%'
-                 THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), ''), 2) AS BIGINT) + 1
-                 ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') AS BIGINT) END,
+            CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), '') LIKE 'B%'
+                 THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), ''), 2) AS BIGINT) + 1
+                 ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), '') AS BIGINT) END,
             COALESCE(
-                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), '') LIKE 'B%'
-                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), ''), 2) AS BIGINT) + 1
-                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), '') AS BIGINT) END,
-                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') LIKE 'B%'
-                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), ''), 2) AS BIGINT) + 1
-                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') AS BIGINT) END)
+                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 2), '') LIKE 'B%'
+                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 2), ''), 2) AS BIGINT) + 1
+                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 2), '') AS BIGINT) END,
+                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), '') LIKE 'B%'
+                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), ''), 2) AS BIGINT) + 1
+                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), '') AS BIGINT) END)
         ) AS min_floor,
         GREATEST(
-            CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') LIKE 'B%'
-                 THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), ''), 2) AS BIGINT) + 1
-                 ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') AS BIGINT) END,
+            CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), '') LIKE 'B%'
+                 THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), ''), 2) AS BIGINT) + 1
+                 ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), '') AS BIGINT) END,
             COALESCE(
-                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), '') LIKE 'B%'
-                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), ''), 2) AS BIGINT) + 1
-                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 2), '') AS BIGINT) END,
-                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') LIKE 'B%'
-                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), ''), 2) AS BIGINT) + 1
-                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階$', 1), '') AS BIGINT) END)
+                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 2), '') LIKE 'B%'
+                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 2), ''), 2) AS BIGINT) + 1
+                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 2), '') AS BIGINT) END,
+                CASE WHEN NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), '') LIKE 'B%'
+                     THEN -TRY_CAST(substr(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), ''), 2) AS BIGINT) + 1
+                     ELSE TRY_CAST(NULLIF(regexp_extract(floor_text, '^(B?\\d+)-?(B?\\d+)?階', 1), '') AS BIGINT) END)
         ) AS max_floor,
         CASE WHEN layout_text = 'ワンルーム' THEN 1
-             ELSE TRY_CAST(NULLIF(regexp_extract(layout_text, '^(\\d+)[SLDK]+$', 1), '') AS BIGINT) END AS n_rooms,
+             ELSE TRY_CAST(NULLIF(regexp_extract(layout_text, '^(\\d+)[SLDK]+', 1), '') AS BIGINT) END AS n_rooms,
         NULLIF(regexp_extract(address_text, '^東京都(.+区)(\\D*)', 1), '') AS ward
     FROM raw
     ORDER BY rid

@@ -231,3 +231,57 @@ def test_simhash_pairs_signature_cached(spark):
     pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_remove_outliers_null_and_nan_kept(spark):
+    # pandas parity: NaN/NULL values are never outlier-flagged (NaN == q is
+    # False) and NaN is excluded from the quantile (skipna) — previously a
+    # NULL poisoned the OR-chain and filter(~flag) silently dropped the row
+    rows = [(float(i),) for i in range(1, 100)] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, ["a"])
+    out = outliers.remove_outliers(df, ["a"])
+    assert out.count() == 101  # interpolated quantile equals no value; all kept
+
+
+def test_asof_join_right_tie_deterministic(spark):
+    # several right rows at the same (key, ts): the carried row must be the
+    # max right struct, identical across partitionings
+    left = spark.createDataFrame([(1, 10, "p")], ["k", "ts", "pl"])
+    right = spark.createDataFrame(
+        [(1, 9, "v1"), (1, 9, "v3"), (1, 9, "v2")], ["k", "ts", "pr"]
+    )
+    for parts in (1, 7):
+        out = asof.asof_join(left.repartition(parts), right.repartition(parts), key="k").collect()
+        assert [r.r_pr for r in out] == ["v3"]
+
+
+def test_cluster_pairs_chain_converges_via_pointer_doubling(spark):
+    # a 200-node chain has diameter 200 — plain min-label propagation needs
+    # ~200 rounds; pointer doubling must land it well inside max_iter=12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(200)], ["id_a", "id_b"])
+    labels = dedup.cluster_pairs(pairs, max_iter=12)
+    clusters = {r.cluster for r in labels.collect()}
+    assert clusters == {0}
+
+
+def test_cluster_pairs_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cluster_pairs(pairs, max_iter=1)
+
+
+def test_remove_outliers_inf_window_matches_pandas(spark):
+    # probed pandas/numpy behavior: quantile window touching +inf gives NaN
+    # for t >= 0.5 (no rows flagged) but +inf for 0 < t < 0.5 (inf rows
+    # flagged, since inf == inf)
+    import pandas as pd
+
+    vals = [0.0, 0.05, float("inf")]
+    for qq in (0.99, 0.6):
+        pq = pd.Series(vals).quantile(qq)
+        df = spark.createDataFrame([(v,) for v in vals], ["a"])
+        kept = {r.a for r in outliers.remove_outliers(df, ["a"], qq).collect()}
+        expect = {v for v in vals if not (v == pq)}  # NaN quantile flags nothing
+        assert kept == expect, (qq, pq, kept)

@@ -228,3 +228,43 @@ if HAVE_HYPOTHESIS:
             want = (digits[tens] if tens > 1 else "") + "十" + (digits[ones] if ones else "")
         got = one(spark, f"東京都渋谷区桜丘町{n}", P.build_address_join_key)
         assert got == f"東京都渋谷区桜丘町{want}丁目"
+
+
+REMATCH_CASES = [
+    # (parser, input, expected) — re.match semantics: trailing text allowed,
+    # leading garbage rejected (ADVICE round 1)
+    ("age", "築14年3ヶ月", 14),
+    ("age", "リフォーム済築20年", None),
+    ("floors", "地下1地上9階建ての", 9),
+    ("floors", "木造2階建", None),
+    ("area", "30.2m2(壁芯)", 30.2),
+    ("area", "約30m2", None),
+    ("n_rooms", "2LDK+S(納戸)", 2),
+    ("n_rooms", "+2LDK", None),
+]
+
+
+def test_rematch_anchor_semantics(spark):
+    fns = {
+        "age": P.parse_age,
+        "floors": P.parse_floors,
+        "area": P.parse_area,
+        "n_rooms": P.parse_n_rooms,
+    }
+    for kind, s, expected in REMATCH_CASES:
+        assert one(spark, s, fns[kind]) == expected, (kind, s)
+
+
+def test_layout_flag_checks_whole_string(spark):
+    # reference tests `char in s` on the WHOLE string: the S after '+' counts
+    assert one(spark, "2LDK+S(納戸)", lambda c: P.parse_layout_flag(c, "S")) is True
+    assert one(spark, "2LDK", lambda c: P.parse_layout_flag(c, "S")) is False
+
+
+def test_banner_timestamp_half_even(spark):
+    # ms ending in exactly 500: Python round() is HALF_EVEN -> 1609140470.5
+    # rounds to 1609140470 (even), not 1609140471 (HALF_UP)
+    s = "...&times=1609140470500..."
+    assert one(spark, s, P.parse_banner_timestamp) == 1609140470.0
+    s2 = "...&times=1609140469500..."
+    assert one(spark, s2, P.parse_banner_timestamp) == 1609140470.0  # .5 up to even

@@ -161,3 +161,27 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.frame_sample(df, every_n=2).collect()
     assert {r["media_id"] for r in frames} == {1, 2}
     assert all(len(r["frame_bytes"]) <= 1024 for r in frames)
+
+
+def test_clean_df_keeps_zero_rent_rows(spark):
+    # rent_text '-' parses to rent=0; pandas computes admin_fee/0 = inf (or
+    # NaN for 0/0) and KEEPS the row (quantile-equality is False, dropna
+    # ignores inf). Spark division by zero is NULL — the guard must not let
+    # that silently drop the row. NaN (0/0) rows: ratio col is transient, so
+    # they also survive to the end.
+    from otokuna_spark.plans.pipeline import clean_df
+
+    rows = [
+        # jnc_id, source_file, building_idx, room_idx, area, n_rooms, building_age, rent, admin_fee
+        ("a", "f1", 0, 0, 20.0, 1, 5, 100000, 5000),
+        ("b", "f1", 0, 1, 25.0, 2, 10, 0, 3000),   # rent 0, admin > 0 -> inf ratio
+        ("c", "f1", 0, 2, 30.0, 2, 15, 0, 0),      # 0/0 -> NaN ratio
+        ("d", "f1", 0, 3, 35.0, 3, 20, 120000, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "jnc_id string, source_file string, building_idx int, room_idx int, "
+        "area double, n_rooms int, building_age int, rent long, admin_fee long",
+    )
+    out = clean_df(df)
+    assert sorted(r.jnc_id for r in out.collect()) == ["a", "b", "c", "d"]
