@@ -100,9 +100,14 @@ def bucketed_join_is_shuffle_free(spark: SparkSession, left_table: str, right_ta
     """Diagnostic: does joining the two bucketed tables on `key` avoid a
     shuffle? (True when both are bucketed on the key with equal bucket
     counts — the plan has no Exchange above either scan.)"""
+    import contextlib
+    import io as _io
+
     joined = spark.table(left_table).join(spark.table(right_table), key)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" not in plan
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(mode="formatted")
+    return "Exchange hashpartitioning" not in buf.getvalue()
 
 
 def upsert_by_key(
@@ -120,9 +125,31 @@ def upsert_by_key(
     appended. When ``partition_by`` is set and updates only touch some
     partitions, use dynamic partition overwrite via
     serving.materialize_serving_table instead — it avoids rewriting
-    untouched partitions.
+    untouched partitions. (Without partition_by this is a full-table
+    read-modify-write by construction — at real scale hand the problem to a
+    transactional table format.)
+
+    The merged output is written ONCE to a temp dir (the plan reads
+    ``path`` lazily, so an in-place overwrite would delete its own input
+    mid-scan), then swapped in with two directory renames — not a second
+    write job, which would double the most expensive daily operation.
+    Crash-safety: a run that died between the renames leaves
+    ``path`` missing and ``path__upsert_old`` present; the next call
+    restores the backup before merging, so no committed state is ever lost.
     """
     import os as _os
+    import shutil as _shutil
+
+    base = path.rstrip("/")
+    tmp = base + "__upsert_tmp"
+    old = base + "__upsert_old"
+    # recover from a previous crash between the two renames
+    if not _os.path.exists(path) and _os.path.exists(old):
+        _os.rename(old, path)
+    # stale leftovers from an interrupted run are safe to discard
+    _shutil.rmtree(tmp, ignore_errors=True)
+    if _os.path.exists(path) and _os.path.exists(old):
+        _shutil.rmtree(old, ignore_errors=True)
 
     if _os.path.exists(path):
         current = spark.read.parquet(path)
@@ -130,12 +157,8 @@ def upsert_by_key(
         merged = kept.unionByName(updates)
     else:
         merged = updates
-    # write via a temp location: the plan reads `path` lazily, so an
-    # in-place overwrite would delete its own input mid-scan
-    tmp = path.rstrip("/") + "__upsert_tmp"
     write_parquet(merged, tmp, partition_by=partition_by)
-    final = spark.read.parquet(tmp)
-    write_parquet(final, path, partition_by=partition_by)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    if _os.path.exists(path):
+        _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old, ignore_errors=True)

@@ -1858,3 +1858,113 @@ def q56_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# =====================================================================
+# Training-data hygiene: PII detection/redaction + Gopher repetition
+# =====================================================================
+# The synthetic documents carry no PII, so q57 appends deterministic
+# PII-bearing snippets (constructed IDENTICALLY in both engines from
+# doc_id) before counting and redacting — the patterns under test are the
+# shared constants in functions/text.py (Java-regex/RE2-portable subset).
+
+
+def _q57_oracle() -> str:
+    pats = {k: p.replace("'", "''") for k, p in T.PII_PATTERNS.items()}
+    aug = (
+        "text || CASE doc_id % 3 "
+        "WHEN 0 THEN ' contact a' || CAST(doc_id AS VARCHAR) || '@example.com now' "
+        "WHEN 1 THEN ' call (555) 123-4567 or 192.168.1.99 ok' "
+        "ELSE ' card 4111-1111-1111-1111 end' END"
+    )
+    count_cols = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(aug, '{p}')) AS BIGINT) AS {k}_n" for k, p in pats.items()
+    )
+    red = "aug"
+    for kind in ("email", "card", "phone", "ipv4"):  # same order as T.redact_pii
+        red = f"regexp_replace({red}, '{pats[kind]}', '<PII>', 'g')"
+    return f"""
+    WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+    SELECT doc_id,
+           {count_cols},
+           CAST(length({red}) AS BIGINT) AS redacted_len
+    FROM a ORDER BY doc_id
+    """
+
+
+@register(
+    "q57_pii_stats",
+    _q57_oracle(),
+    "PII detection + redaction (training-data hygiene): per-kind regexp_count and the "
+    "redacted length after ordered regexp_replace passes (email before card/phone so "
+    "digit-bearing local parts are consumed as one email token) — all JVM-side regex, "
+    "patterns restricted to the Java/RE2-portable subset",
+)
+def q57_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact a"), F.col("doc_id").cast("string"), F.lit("@example.com now")
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(" call (555) 123-4567 or 192.168.1.99 ok"))
+        .otherwise(F.lit(" card 4111-1111-1111-1111 end")),
+    )
+    d = docs.select("doc_id", aug.alias("__aug"))
+    counts = T.pii_counts(F.col("__aug"))
+    return d.select(
+        "doc_id",
+        *[c.alias(f"{k}_n") for k, c in counts.items()],
+        F.length(T.redact_pii(F.col("__aug"))).cast("long").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+_Q58_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram),
+    top AS (
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_n, CAST(SUM(n) AS BIGINT) AS n_bigrams
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, top_n,
+           CAST(FLOOR(CAST(top_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) * 1000000.0) AS BIGINT) AS top_frac_m,
+           CAST(FLOOR(CAST(top_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) * 1000000.0) AS BIGINT) > 180000 AS is_repetitive
+    FROM top ORDER BY doc_id
+    """
+
+
+@register(
+    "q58_repetition_filter",
+    _Q58_ORACLE,
+    "Gopher-style repetition filter: fraction of word bigrams taken by the most "
+    "frequent bigram (explode -> two-level hash agg, map-side partial both levels); "
+    "docs with <2 tokens have no bigrams and are excluded by construction",
+)
+def q58_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("__t"))
+    bg = toks.select("doc_id", F.explode(T.bigrams_from_tokens(F.col("__t"))).alias("bigram"))
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+    top = cnt.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("top_n"), F.sum("n").cast("long").alias("n_bigrams")
+    )
+    frac_m = F.floor(
+        F.col("top_n").cast("double") / F.col("n_bigrams").cast("double") * 1000000.0
+    ).cast("long")
+    return top.select(
+        "doc_id",
+        "n_bigrams",
+        "top_n",
+        frac_m.alias("top_frac_m"),
+        (frac_m > 180000).alias("is_repetitive"),
+    ).orderBy("doc_id")

@@ -86,3 +86,60 @@ def test_upsert_by_key(spark, tmp_path):
     # idempotent re-apply
     oio.upsert_by_key(spark, path, updates, "k")
     assert spark.read.parquet(path).count() == 4
+
+
+def test_upsert_single_write_job(spark, tmp_path, monkeypatch):
+    # the merge must be written exactly ONCE (tmp write + directory swap) —
+    # a second write job would double the most expensive daily operation
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    oio.upsert_by_key(spark, path, base, "k")
+
+    calls = []
+    real = oio.write_parquet
+
+    def counting(df, p, partition_by=None, mode="overwrite"):
+        calls.append(p)
+        real(df, p, partition_by=partition_by, mode=mode)
+
+    monkeypatch.setattr(oio, "write_parquet", counting)
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    oio.upsert_by_key(spark, path, updates, "k")
+    assert len(calls) == 1
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_upsert_recovers_from_crash_between_renames(spark, tmp_path, monkeypatch):
+    import os
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    oio.upsert_by_key(spark, path, base, "k")
+
+    # crash exactly between the two renames: path -> old succeeded, tmp ->
+    # path never happened
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def failing_rename(src, dst):
+        real_rename(src, dst)
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("simulated crash after first rename")
+
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    monkeypatch.setattr(os, "rename", failing_rename)
+    try:
+        oio.upsert_by_key(spark, path, updates, "k")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.exists(path)  # mid-crash state: table dir missing
+
+    # next upsert restores the backup and applies cleanly
+    oio.upsert_by_key(spark, path, updates, "k")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.exists(path + "__upsert_old")
+    assert not os.path.exists(path + "__upsert_tmp")

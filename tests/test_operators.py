@@ -285,3 +285,37 @@ def test_remove_outliers_inf_window_matches_pandas(spark):
         kept = {r.a for r in outliers.remove_outliers(df, ["a"], qq).collect()}
         expect = {v for v in vals if not (v == pq)}  # NaN quantile flags nothing
         assert kept == expect, (qq, pq, kept)
+
+
+def test_redact_pii_email_before_card_ordering(spark):
+    # a digit-bearing email local part must be consumed as ONE email token;
+    # if the card pattern ran first it would eat the digits and split the
+    # redaction into fragments
+    from otokuna_spark.functions import text as T
+
+    df = spark.createDataFrame([("ok 4111-1111-1111-1111@x.io fine",)], ["s"])
+    out = df.select(T.redact_pii(F.col("s")).alias("r")).collect()[0].r
+    assert out == "ok <PII> fine"
+
+
+def test_pii_counts_each_kind(spark):
+    from otokuna_spark.functions import text as T
+
+    s = "mail a@b.co phone (555) 123-4567 ip 10.0.0.1 card 4111 1111 1111 1111"
+    df = spark.createDataFrame([(s,)], ["s"])
+    row = df.select(
+        *[c.alias(k) for k, c in T.pii_counts(F.col("s")).items()]
+    ).collect()[0]
+    assert (row.email, row.phone, row.ipv4, row.card) == (1, 1, 1, 1)
+
+
+def test_word_occurrence_count_whole_word_nonoverlapping(spark):
+    from otokuna_spark.functions import text as T
+
+    df = spark.createDataFrame([("x the them the x the", "the them")], ["s", "s2"])
+    # 'them' must not count as 'the' (whole-word only)
+    row = df.select(
+        T.word_occurrence_count(F.col("s"), "the").alias("n"),
+        T.word_occurrence_count(F.col("s2"), "the").alias("n2"),
+    ).collect()[0]
+    assert (row.n, row.n2) == (3, 1)
