@@ -34,24 +34,36 @@ def assert_parity(df: DataFrame, a: str, b: str, rtol: float = 1e-5) -> float:
     return ape
 
 
-def onnx_predict_udf(spark: SparkSession, model_bytes: bytes, feature_cols: list[str]):
+def onnx_predict_udf(
+    spark: SparkSession, model_bytes: bytes, feature_cols: list[str], session_factory=None
+):
     """Build a pandas_udf scoring with onnxruntime over float32 features.
 
     The model bytes are broadcast once per executor; each Arrow batch is
     assembled into an (n, d) float32 matrix and scored in one session run
-    — no per-row Python. Raises ImportError where onnxruntime is absent
-    (this container); see tests for the stubbed session-protocol check.
-    """
-    import onnxruntime  # noqa: F401  (gate: not available in this container)
+    — no per-row Python.
 
+    ``session_factory(model_bytes) -> session`` defaults to a real
+    ``onnxruntime.InferenceSession`` (import-gated: onnxruntime is absent
+    in this container). Tests inject a fake session implementing the same
+    protocol (``get_inputs()[0].name`` + ``run(None, {name: x})``), which
+    drives the ENTIRE UDF body — broadcast, input-name discovery, float32
+    assembly, batch scoring, reshape — end-to-end (test_ml.py).
+    """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    if session_factory is None:
+        import onnxruntime  # gate: not available in this container
+
+        def session_factory(b: bytes):
+            return onnxruntime.InferenceSession(b)
 
     bc = spark.sparkContext.broadcast(model_bytes)
 
     @pandas_udf("double")
     def predict(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
-        sess = onnxruntime.InferenceSession(bc.value)
+        sess = session_factory(bc.value)
         input_name = sess.get_inputs()[0].name
         for pdf in it:
             x = pdf[feature_cols].to_numpy(dtype=np.float32)
@@ -59,6 +71,25 @@ def onnx_predict_udf(spark: SparkSession, model_bytes: bytes, feature_cols: list
             yield pd.Series(out.reshape(-1).astype(float))
 
     return predict
+
+
+def check_onnx_gate(
+    df: DataFrame,
+    feature_cols: list[str],
+    native_col: str,
+    model_bytes: bytes,
+    session_factory=None,
+    rtol: float = 1e-5,
+) -> float:
+    """The reference's ml/check_onnx.py contract: score the same rows
+    through the ONNX path and the native path, gate on maxAPE <= rtol
+    (reference records maxAPE 3.89e-6 in ml/check_onnx.json:1). Returns
+    the observed maxAPE; raises AssertionError on breach."""
+    udf = onnx_predict_udf(df.sparkSession, model_bytes, feature_cols, session_factory)
+    scored = df.withColumn(
+        "__onnx_pred", udf(F.struct(*[F.col(c) for c in feature_cols]))
+    )
+    return assert_parity(scored, native_col, "__onnx_pred", rtol)
 
 
 def assemble_float32_batches(df: DataFrame, feature_cols: list[str], score_fn) -> DataFrame:

@@ -1968,3 +1968,66 @@ def q58_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac_m.alias("top_frac_m"),
         (frac_m > 180000).alias("is_repetitive"),
     ).orderBy("doc_id")
+
+
+# =====================================================================
+# TPC-H Q17/Q20 decorrelation shapes (correlated scalar-average compare,
+# nested IN over an aggregated correlated subquery)
+# =====================================================================
+# l_quantity is integral (1..50), so SUM/AVG over doubles are exact and the
+# correlated comparisons are reduction-order-free — both engines derive the
+# identical row set with no scaled-integer tricks needed on the predicate.
+
+_Q59_SQL = """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#4', 'Brand#2')
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """
+
+
+@register(
+    "q59_small_quantity_revenue",
+    _Q59_SQL,
+    "TPC-H Q17 shape: correlated scalar-AVG comparison (rows below 20% of their "
+    "part's average quantity). Catalyst decorrelates the scalar subquery into a "
+    "per-partkey aggregate joined back to the probe — one extra shuffle on "
+    "l_partkey, no per-row subquery execution",
+)
+def q59_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q59_SQL)
+
+
+_Q60_SQL = """
+    SELECT s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small ring%')
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_quantity > (
+              SELECT 0.98 * MAX(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+    )
+    ORDER BY s.s_name
+    """
+
+
+@register(
+    "q60_near_max_part_suppliers",
+    _Q60_SQL,
+    "TPC-H Q20 shape: nested IN (supplier <- lineitem <- part name filter) with an "
+    "aggregated correlated subquery in the inner predicate (quantity above 98% of the "
+    "part's max). Decorrelates to semi-joins over a per-partkey MAX aggregate — the "
+    "IN chains become left-semi hash joins, never row-at-a-time subqueries",
+)
+def q60_near_max_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, ("supplier", "lineitem", "part"))
+    return spark.sql(_Q60_SQL)

@@ -103,3 +103,75 @@ def test_write_metrics_json(tmp_path):
     with open(path) as f:
         got = json.load(f)
     assert got == {"mae_train": 7271.90, "mae_val": 7739.77}
+
+
+# --- ONNX gate: fake session drives the real UDF body end-to-end ---------
+
+class _FakeOnnxInput:
+    name = "features"
+
+
+class _FakeOnnxSession:
+    """Implements the onnxruntime protocol (get_inputs()[0].name +
+    run(None, {name: x})) over broadcast model bytes = float64 weights."""
+
+    def __init__(self, model_bytes, w_scale=1.0):
+        import numpy as np
+
+        self.w = np.frombuffer(model_bytes, dtype=np.float64) * w_scale
+
+    def get_inputs(self):
+        return [_FakeOnnxInput()]
+
+    def run(self, _, feeds):
+        import numpy as np
+
+        (x,) = feeds.values()
+        return [x @ self.w.astype(np.float32)]
+
+
+def test_onnx_gate_parity_passes_and_maxape_small(spark):
+    import numpy as np
+
+    from otokuna_spark.ml import onnx_infer
+
+    w = np.array([0.5, -1.25, 2.0, 0.75])
+    rows = [(i, 1.0 + i * 0.1, 2.0 - i * 0.05, 0.3 * i, 1.5) for i in range(50)]
+    df = spark.createDataFrame(rows, ["row_id", "f1", "f2", "f3", "f4"])
+    feature_cols = ["f1", "f2", "f3", "f4"]
+    native = sum((F.col(c) * float(wi) for c, wi in zip(feature_cols, w)), F.lit(0.0))
+    scored = df.withColumn("y_native", native)
+    ape = onnx_infer.check_onnx_gate(
+        scored,
+        feature_cols,
+        "y_native",
+        model_bytes=w.tobytes(),
+        session_factory=lambda b: _FakeOnnxSession(b),
+        rtol=1e-5,
+    )
+    # float32 matmul vs float64 native: relative error ~1e-7, same order as
+    # the reference's recorded maxAPE 3.89e-6 (ml/check_onnx.json:1)
+    assert 0 <= ape < 1e-5
+
+
+def test_onnx_gate_fails_on_broken_parity(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from otokuna_spark.ml import onnx_infer
+
+    w = np.array([0.5, -1.25, 2.0, 0.75])
+    rows = [(i, 1.0 + i * 0.1, 2.0 - i * 0.05, 0.3 * i, 1.5) for i in range(20)]
+    df = spark.createDataFrame(rows, ["row_id", "f1", "f2", "f3", "f4"])
+    feature_cols = ["f1", "f2", "f3", "f4"]
+    native = sum((F.col(c) * float(wi) for c, wi in zip(feature_cols, w)), F.lit(0.0))
+    scored = df.withColumn("y_native", native)
+    with _pytest.raises(AssertionError, match="parity"):
+        onnx_infer.check_onnx_gate(
+            scored,
+            feature_cols,
+            "y_native",
+            model_bytes=w.tobytes(),
+            session_factory=lambda b: _FakeOnnxSession(b, w_scale=1.001),
+            rtol=1e-5,
+        )
