@@ -35,6 +35,19 @@ def distinct_token_count(col: Column) -> Column:
     return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(F.array_distinct(tokens(col)))).cast("long")
 
 
+def token_count_tokens(col: Column, toks: Column) -> Column:
+    """token_count over a MATERIALIZED token array — use when several
+    counters share one tokenization (inline split re-tokenizes per counter:
+    Catalyst does not CSE into sibling expressions)."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+
+
+def distinct_token_count_tokens(col: Column, toks: Column) -> Column:
+    return (
+        F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(F.array_distinct(toks))).cast("long")
+    )
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """Subword-ish token count: split on word/number/punct boundaries.
 

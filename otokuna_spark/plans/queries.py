@@ -725,10 +725,14 @@ def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q27_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
+    # tokenize ONCE, derive both counters from the materialized array —
+    # inline token_count/distinct_token_count would each re-run the regex
+    # split over every document (~2x the scan cost at sf0.1)
+    tok = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("__t"))
+    return tok.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        T.distinct_token_count(F.col("text")).alias("n_distinct_tokens"),
+        T.token_count_tokens(F.col("text"), F.col("__t")).alias("n_tokens"),
+        T.distinct_token_count_tokens(F.col("text"), F.col("__t")).alias("n_distinct_tokens"),
         F.length(F.col("text")).cast("long").alias("n_chars_computed"),
     ).orderBy("doc_id")
 

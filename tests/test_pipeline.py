@@ -185,3 +185,31 @@ def test_clean_df_keeps_zero_rent_rows(spark):
     )
     out = clean_df(df)
     assert sorted(r.jnc_id for r in out.collect()) == ["a", "b", "c", "d"]
+
+
+def test_multimodal_metadata_only_plan_prunes_binary(spark, tmp_path):
+    # the multimodal docstring's claim, pinned: a width/height-only query
+    # over a media table must never read the binary payload — ReadSchema at
+    # the parquet scan excludes `data` entirely
+    import contextlib
+    import io
+    import re
+
+    rows = [(i, 32 + i, 24, bytes([i % 256]) * 64) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id long, width int, height int, data binary")
+    path = str(tmp_path / "media")
+    df.write.parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .where(F.col("width") > 16)
+        .select("media_id", "width", "height")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    plan = buf.getvalue()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "data" not in s, s
+        assert "width" in s
