@@ -15,6 +15,7 @@ rerun picks up the previous stage's Parquet instead of recrawling.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time as _time
@@ -23,6 +24,55 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import write_parquet
 from . import pipeline
+
+
+def _tree_fingerprint(path: str, params: tuple = ()) -> str:
+    """Content fingerprint of an input tree, DVC-lock style (reference
+    ml/dvc.yaml + dvc.lock pin each stage to md5s of its deps).
+
+    Deliberately listing-only — md5 over sorted ``(relpath, size,
+    mtime_ns)`` — not file contents: DVC re-reads every dep to hash it,
+    which at 100 TB means a full extra pass over the corpus per run. The
+    (size, mtime) pair is the object-store analogue (S3 LIST returns
+    ETag/Size/LastModified with no GETs). ``params`` folds stage
+    parameters into the hash so a param change busts the cache.
+    """
+    h = hashlib.md5()
+    for p in params:
+        h.update(repr(p).encode())
+        h.update(b"\x00")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        for root_, _dirs, files in sorted(os.walk(path)):
+            for name in sorted(files):
+                fp = os.path.join(root_, name)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+                h.update(b"\x00")
+    return h.hexdigest()
+
+
+def _stage_cached(lock_path: str, fingerprint: str, out_key: str) -> bool:
+    """A stage may be skipped iff its lock matches the current input
+    fingerprint AND the checkpoint it points at is a complete write
+    (_SUCCESS marker — a crash mid-write leaves no marker, so a torn
+    checkpoint is recomputed, never served)."""
+    try:
+        with open(lock_path) as f:
+            lock = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return lock.get("input_fingerprint") == fingerprint and os.path.exists(
+        os.path.join(out_key, "_SUCCESS")
+    )
+
+
+def _write_lock(lock_path: str, fingerprint: str, out_key: str) -> None:
+    with open(lock_path, "w") as f:
+        json.dump({"input_fingerprint": fingerprint, "output": out_key}, f, sort_keys=True)
 
 
 def generate_base_path(root: str, timestamp: float | None = None) -> dict:
@@ -43,18 +93,32 @@ def scrape_stage(
     checkpoints: bool = True,
 ) -> tuple[dict, DataFrame]:
     """Stages 2-4 (dump is external; zip subsumed by the distributed read):
-    pages -> properties projection. Adds scraped_data_key."""
+    pages -> properties projection. Adds scraped_data_key.
+
+    In checkpointed mode the stage is skipped DVC-style when the pages
+    tree and the stage params are unchanged since the recorded lock
+    (reference: ml/dvc.yaml `scrape` stage deps) — the previous Parquet
+    checkpoint is served instead and ``scrape_cached`` is set."""
     from ..sources.html import read_raw_pages
 
-    props = pipeline.make_properties_df(
-        read_raw_pages(spark, pages_path), html_file_fetched_at=manifest["timestamp"]
-    )
     manifest = dict(manifest, raw_data_key=pages_path)
     if checkpoints:
         key = os.path.join(manifest["base_path"], "scraped.parquet")
-        write_parquet(props, key)
-        props = spark.read.parquet(key)
+        lock = key + ".lock.json"
+        fp = _tree_fingerprint(pages_path, params=("scrape", manifest["timestamp"]))
         manifest["scraped_data_key"] = key
+        if _stage_cached(lock, fp, key):
+            manifest["scrape_cached"] = True
+            return manifest, spark.read.parquet(key)
+        props = pipeline.make_properties_df(
+            read_raw_pages(spark, pages_path), html_file_fetched_at=manifest["timestamp"]
+        )
+        write_parquet(props, key)
+        _write_lock(lock, fp, key)
+        return manifest, spark.read.parquet(key)
+    props = pipeline.make_properties_df(
+        read_raw_pages(spark, pages_path), html_file_fetched_at=manifest["timestamp"]
+    )
     return manifest, props
 
 
@@ -68,8 +132,25 @@ def predict_stage(
 ) -> tuple[dict, DataFrame]:
     """Stage 5 (svc/predict.py): enrich -> clean -> score. Adds
     prediction_data_key. Without a model, y_pred falls back to a
-    deterministic placeholder so the serving contract is exercised."""
+    deterministic placeholder so the serving contract is exercised.
+
+    Skipped DVC-style when the upstream scrape checkpoint is unchanged
+    (its Parquet tree fingerprint matches the lock). Model / location-ref
+    CONTENTS are not fingerprinted (they are live objects, not files) —
+    only their presence is a param; swapping the model object requires
+    deleting the lock, as documented here."""
     from pyspark.sql import functions as F
+
+    fp = None
+    if checkpoints and "scraped_data_key" in manifest:
+        key = os.path.join(manifest["base_path"], "prediction.parquet")
+        fp = _tree_fingerprint(
+            manifest["scraped_data_key"],
+            params=("predict", model is not None, location_ref is not None),
+        )
+        if _stage_cached(key + ".lock.json", fp, key):
+            manifest = dict(manifest, prediction_data_key=key, predict_cached=True)
+            return manifest, spark.read.parquet(key)
 
     enriched = scraped
     if location_ref is not None:
@@ -84,6 +165,8 @@ def predict_stage(
     if checkpoints:
         key = os.path.join(manifest["base_path"], "prediction.parquet")
         write_parquet(preds, key)
+        if fp is not None:
+            _write_lock(key + ".lock.json", fp, key)
         preds = spark.read.parquet(key)
         manifest = dict(manifest, prediction_data_key=key)
     return manifest, preds
