@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -2035,3 +2035,211 @@ _Q60_SQL = """
 def q60_near_max_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, ("supplier", "lineitem", "part"))
     return spark.sql(_Q60_SQL)
+
+
+# =====================================================================
+# LLM-corpus preprocessing extensions: chunking, decontamination,
+# filter funnel, deterministic stratified sampling
+# =====================================================================
+
+_CHUNK_W, _CHUNK_S = 32, 16  # token window / stride (50% overlap)
+
+_Q61_ORACLE = rf"""
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    ch AS (
+        SELECT doc_id, CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+               t[s + 1 : s + {_CHUNK_W}] AS c
+        FROM tok, UNNEST(generate_series(0, len(t) - 1, {_CHUNK_S})) AS u(s)
+    )
+    SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_fp
+    FROM ch ORDER BY doc_id, chunk_idx
+    """
+
+
+@register(
+    "q61_doc_chunking",
+    _Q61_ORACLE,
+    "Fixed-token-window chunking with 50% stride overlap (the canonical LLM "
+    "pretraining prep step): one sequence+transform+posexplode per doc — pure "
+    "codegen array ops, no shuffle until the final presentation sort; chunk "
+    "identity pinned by md5 fingerprint so both engines must produce "
+    "byte-identical chunk text",
+)
+def q61_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("__t"))
+    starts = F.sequence(F.lit(0), F.size("__t") - 1, F.lit(_CHUNK_S))
+    ch = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(F.col("__t"), s + 1, _CHUNK_W))
+        ).alias("chunk_idx", "__c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__c").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "__c")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_Q62_ORACLE = r"""
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    ng AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 2], ' ')) AS g
+        FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, g FROM ng WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM corp GROUP BY doc_id),
+    hit AS (
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM corp c JOIN bench b USING (g) GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_grams, h.n_hit,
+           CAST(FLOOR(CAST(h.n_hit AS DOUBLE) / CAST(t.n_grams AS DOUBLE) * 1000000.0) AS BIGINT) AS contam_frac_m
+    FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+@register(
+    "q62_contamination",
+    _Q62_ORACLE,
+    "Benchmark decontamination: fraction of each corpus doc's distinct token "
+    "3-grams that appear in the held-out benchmark slice (doc_id % 97 == 0). "
+    "The benchmark n-gram set is tiny by construction -> broadcast hash join "
+    "(eval sets are ~1e4 docs vs a 100 TB corpus; no shuffle of the corpus "
+    "side); per-doc distinct sets built JVM-side via transform+array_distinct",
+)
+def q62_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("__t")).where(F.size("__t") >= 3)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 2),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i, 3))),
+        )
+    )
+    ng = toks.select("doc_id", F.explode(grams).alias("g"))
+    bench = ng.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    corp = ng.where(F.col("doc_id") % 97 != 0)
+    tot = corp.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hit = corp.join(F.broadcast(bench), "g").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    return (
+        tot.join(hit, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.floor(
+                F.col("n_hit").cast("double") / F.col("n_grams").cast("double") * 1000000.0
+            )
+            .cast("long")
+            .alias("contam_frac_m"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q63_ORACLE = r"""
+    WITH d AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+               length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_ns,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))) AS n_stop
+        FROM documents
+    ),
+    f AS (
+        SELECT n_tok BETWEEN 30 AND 10000 AS p1,
+               n_chars_ns >= 3 * n_tok AND n_chars_ns <= 12 * n_tok AS p2,
+               50 * n_stop >= n_tok AS p3,
+               10 * n_distinct >= 3 * n_tok AS p4
+        FROM d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_wordlen_ok,
+           CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok,
+           CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse_ok
+    FROM f
+    """
+
+
+@register(
+    "q63_filter_funnel",
+    _Q63_ORACLE,
+    "C4/Gopher-style quality-filter funnel: cumulative survivor counts for a "
+    "4-stage cascade (length, mean word length, stopword ratio, lexical "
+    "diversity) in ONE scan via conditional aggregation — the per-stage "
+    "thresholds are all-integer reformulations (50*n_stop >= n_tok etc.) so "
+    "no float boundary can split the engines; partial aggregation makes this "
+    "a map-side-only pass at any corpus size",
+)
+def q63_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "text", T.tokens(F.col("text")).alias("__t")
+    ).select(
+        F.size("__t").alias("n_tok"),
+        F.size(F.array_distinct("__t")).alias("n_distinct"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_chars_ns"),
+        T.marker_count(F.col("__t"), T.STOPWORDS).alias("n_stop"),
+    )
+    p1 = F.col("n_tok").between(30, 10000)
+    p2 = (F.col("n_chars_ns") >= 3 * F.col("n_tok")) & (F.col("n_chars_ns") <= 12 * F.col("n_tok"))
+    p3 = 50 * F.col("n_stop") >= F.col("n_tok")
+    p4 = 10 * F.col("n_distinct") >= 3 * F.col("n_tok")
+
+    def survivors(pred) -> Column:
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+    return d.agg(
+        F.count("*").alias("n_total"),
+        survivors(p1).alias("n_len_ok"),
+        survivors(p1 & p2).alias("n_wordlen_ok"),
+        survivors(p1 & p2 & p3).alias("n_stopword_ok"),
+        survivors(p1 & p2 & p3 & p4).alias("n_diverse_ok"),
+    )
+
+
+# per-language keep fractions as 6-hex-digit md5-prefix thresholds:
+# fraction f -> keep iff substr(md5(key),1,6) < hex(floor(f * 16^6)).
+# Lexicographic compare of fixed-width lowercase hex == numeric compare,
+# identical in both engines — no int parsing needed.
+_STRATA = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625, "zh": 0.03125}
+_STRATA_HEX = {lang: format(int(f * 16**6), "06x") for lang, f in _STRATA.items()}
+
+
+def _q64_oracle() -> str:
+    cases = " ".join(f"WHEN '{lang}' THEN '{h}'" for lang, h in sorted(_STRATA_HEX.items()))
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <
+          CASE lang {cases} ELSE '000000' END
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q64_stratified_sample",
+    _q64_oracle(),
+    "Deterministic stratified sampling: per-language keep fractions applied "
+    "via md5-prefix threshold on the key — a pure row-local predicate (no "
+    "shuffle, no RNG state), reproducible under repartitioning and across "
+    "engines; the standard down-sample-overrepresented-languages step when "
+    "mixing corpus sources",
+)
+def q64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    thr = F.lit("000000")
+    for lang, h in sorted(_STRATA_HEX.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(h)).otherwise(thr)
+    return (
+        docs.where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < thr)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
