@@ -2243,3 +2243,192 @@ def q64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# =====================================================================
+# TPC-H Q11/Q13 shapes, RANGE-frame rolling windows, token-budget sampling
+# =====================================================================
+
+_Q65_ORACLE = """
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS value_c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(value_c) AS BIGINT) AS total_c
+        FROM pv
+    )
+    SELECT p.l_partkey, p.value_c
+    FROM pv p, tot t
+    WHERE 10 * p.value_c * t.n_parts > 13 * t.total_c
+    ORDER BY p.value_c DESC, p.l_partkey
+    """
+
+
+@register(
+    "q65_part_value_concentration",
+    _Q65_ORACLE,
+    "TPC-H Q11 shape: HAVING against a global scalar-aggregate subquery (parts "
+    "whose revenue exceeds 1.3x the per-part average). The global (count, sum) pair "
+    "is a 1-row aggregate broadcast against the grouped relation — one shuffle for "
+    "the per-part agg, zero for the threshold; the share test is all-integer "
+    "(10 * value_c * n_parts > 13 * total_c), scale-free and float-boundary-free",
+)
+def q65_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).alias("value_c")
+    )
+    tot = pv.agg(
+        F.count("*").alias("n_parts"), F.sum("value_c").alias("total_c")
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .where(10 * F.col("value_c") * F.col("n_parts") > 13 * F.col("total_c"))
+        .select("l_partkey", "value_c")
+        .orderBy(F.desc("value_c"), "l_partkey")
+    )
+
+
+_Q66_ORACLE = """
+    WITH co AS (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """
+
+
+@register(
+    "q66_order_count_distribution",
+    _Q66_ORACLE,
+    "TPC-H Q13 shape: left outer join with a non-equi residual predicate inside "
+    "the ON clause (so customers with only urgent orders still count as 0), then "
+    "a two-level aggregation (orders-per-customer -> customers-per-count). "
+    "COUNT(col) over the null-extended side gives the 0 bucket for free; both "
+    "aggs are map-side-partial hash aggs",
+)
+def q66_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    co = (
+        cust.join(
+            orders,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q67_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+_Q67_ORACLE = f"""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(FLOOR(value * 100.0) AS BIGINT) AS v_c
+        FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(SUM(v_c) OVER w AS BIGINT) AS roll_sum_c,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_Q67_WINDOW_US} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """
+
+
+@register(
+    "q67_rolling_window",
+    _Q67_ORACLE,
+    "Event-time rolling aggregate via a RANGE frame (trailing 1-hour sum/count "
+    "per user) — the time-decayed-metric primitive. RANGE frames are "
+    "tie-inclusive in both engines (peers share a frame), so per-row results "
+    "are deterministic even with duplicate timestamps; one shuffle on user_id, "
+    "values summed as floor-scaled BIGINTs for reduction-order-free parity",
+)
+def q67_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") * 100.0).cast("long").alias("v_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_Q67_WINDOW_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum("v_c").over(w).cast("long").alias("roll_sum_c"),
+        F.count("*").over(w).cast("long").alias("roll_n"),
+    ).orderBy("event_id")
+
+
+_Q68_BUDGET = 2000  # tokens per language
+
+_Q68_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        FROM d
+    )
+    SELECT doc_id, lang, n_tok, cum_tok
+    FROM c WHERE cum_tok <= {_Q68_BUDGET}
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q68_token_budget_sample",
+    _Q68_ORACLE,
+    "Token-budget corpus sampling: docs admitted per language in deterministic "
+    "md5(doc_id) order until a cumulative token budget is hit — how a mixing "
+    "recipe ('N tokens of each language') is materialized without an RNG. The "
+    "md5 order is total (unique key), so the running sum is engine-independent; "
+    "one shuffle on lang, running-sum window, row-local filter",
+)
+def q68_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .where(F.col("cum_tok") <= _Q68_BUDGET)
+        .select("doc_id", "lang", "n_tok", "cum_tok")
+        .orderBy("doc_id")
+    )
