@@ -121,3 +121,105 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     else:
         stream = reader.parquet(path)
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_sliding_rollup(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """Sliding event-time window rollup (overlapping windows): count +
+    sum(value) per (window, event_type). Each event lands in
+    window/slide overlapping windows; state per open window is bounded by
+    the watermark. The batch twin is the same ``F.window(ts, w, s)``
+    expression over the static table."""
+    agg = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_dedup_within_watermark(
+    events_stream: DataFrame,
+    keys: list[str],
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Streaming exact dedup on ``keys`` with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only until
+    the watermark passes it, so state does not grow with the full key
+    history (the unbounded-state hazard of plain dropDuplicates on a
+    stream). Duplicates arriving within the watermark horizon are
+    suppressed exactly once; the batch twin is ``dropDuplicates(keys)``
+    when all duplicates fall inside one horizon."""
+    deduped = events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Stream-stream inner join with an event-time interval condition:
+    pair each left event with right events of the SAME user arriving in
+    (left.ts, left.ts + max_lag]. Both sides are watermarked so Spark can
+    bound the join state (left rows expire once no right row within
+    max_lag can still arrive; right rows once they are past the horizon).
+    The signup->purchase attribution shape of plans.queries
+    q50_signup_to_purchase, incremental.
+
+    Expects both inputs to carry (user_id, ts TIMESTAMP, event_id)."""
+    l = left_stream.select(
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    ).withWatermark("l_ts", watermark)
+    r = right_stream.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    ).withWatermark("r_ts", watermark)
+    joined = l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -107,3 +107,102 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     run_available()
     got2 = {r["key"]: r["first_value"] for r in spark.read.parquet(out).collect()}
     assert got2 == {"k1": "first", "k2": "only", "k3": "fresh"}
+
+
+def test_stream_sliding_rollup_matches_batch(spark, tmp_path):
+    """Overlapping sliding windows (1h window / 30m slide): stream output
+    equals the batch twin except for still-open windows at the tail."""
+    out = str(tmp_path / "out_slide")
+    ckpt = str(tmp_path / "ckpt_slide")
+    stream = jobs.events_file_stream(spark, os.path.join(SF_DIR, "events.parquet"))
+    jobs.stream_sliding_rollup(spark, stream, out, ckpt, watermark="0 seconds")
+    got = spark.read.parquet(out)
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    assert got.exceptAll(want).count() == 0
+    # every emitted row exact; unemitted rows are only the <=2 windows still
+    # overlapping the max event time (window/slide = 2 open windows per type)
+    missing = want.exceptAll(got).collect()
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    assert all(r["window_start"] <= max_ts for r in missing)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys across micro-batch files inside the watermark horizon
+    emit exactly once; output matches batch dropDuplicates on the key."""
+    import datetime
+    import json
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    out = str(tmp_path / "out_dedup")
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iso(m):
+        return (t0 + datetime.timedelta(minutes=m)).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+    rows = [
+        {"k": "a", "ts": iso(0)},
+        {"k": "a", "ts": iso(5)},   # dup within horizon
+        {"k": "b", "ts": iso(10)},
+        {"k": "b", "ts": iso(12)},  # dup within horizon
+        {"k": "c", "ts": iso(20)},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows[:3]:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "b2.json", "w") as f:
+        for r in rows[3:]:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "k STRING, ts TIMESTAMP"
+    stream = spark.readStream.schema(schema).json(str(src))
+    jobs.stream_dedup_within_watermark(stream, ["k"], out, ckpt, watermark="1 hour")
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["k"] for r in got.collect()} == {"a", "b", "c"}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (signup->purchase within 1h)
+    equals the batch join twin over the same inputs."""
+    out = str(tmp_path / "out_ssj")
+    ckpt = str(tmp_path / "ckpt_ssj")
+    path = os.path.join(SF_DIR, "events.parquet")
+
+    left = jobs.events_file_stream(spark, path).where(F.col("event_type") == "view")
+    right = jobs.events_file_stream(spark, path).where(F.col("event_type") == "purchase")
+    jobs.stream_stream_interval_join(left, right, out, ckpt)
+    got = spark.read.parquet(out)
+
+    ev = spark.read.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    l = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_event_id")
+    )
+    r = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    want = l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+    ).select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+    # AvailableNow emits every joinable pair whose inputs arrived; with a
+    # single batch over a static dir the result is exactly the batch join
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
