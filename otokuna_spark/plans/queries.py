@@ -2432,3 +2432,148 @@ def q68_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tok", "cum_tok")
         .orderBy("doc_id")
     )
+
+
+_Q69_ORACLE = """
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'SMALL'
+      AND p.p_size IN (1, 4, 7)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """
+
+
+@register(
+    "q69_supplier_diversity",
+    _Q69_ORACLE,
+    "TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute with a NOT IN "
+    "exclusion subquery. The NOT IN becomes a null-aware left-anti hash join "
+    "(supplier is a broadcast-size dim); distinct-count runs as a two-level "
+    "aggregate (expand on the distinct key, then count) — no per-group set "
+    "materialization; part predicates reach the parquet scan as PushedFilters",
+)
+def q69_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    excluded = supp.where(F.col("s_name").like("%77%")).select("s_suppkey")
+    p = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 4, 7)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+_Q70_ORACLE = """
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(GROUPING(n.n_name) * 2 + GROUPING(o.o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY CUBE (n.n_name, o.o_orderpriority)
+    ORDER BY gid, n.n_name, o.o_orderpriority
+    """
+
+
+@register(
+    "q70_cube_order_stats",
+    _Q70_ORACLE,
+    "CUBE over (nation, priority) with GROUPING() lineage ids — all four "
+    "grouping sets (full, by-nation, by-priority, grand total) in ONE scan via "
+    "a single Expand + hash aggregate (4x row replication map-side, partial agg "
+    "before the shuffle), vs four separate groupBys; completes the q35 ROLLUP "
+    "family (SURVEY §2.5 extension)",
+)
+def q70_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        j.cube("n_name", "o_orderpriority")
+        .agg(
+            (F.grouping("n_name") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias(
+                "sum_price_c"
+            ),
+        )
+        .orderBy("gid", "n_name", "o_orderpriority")
+    )
+
+
+_Q71_SEQ_LEN = 64  # training sequence length in tokens
+
+_Q71_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM d
+    )
+    SELECT doc_id, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS tok_offset,
+           CAST((cum - n_tok) // {_Q71_SEQ_LEN} AS BIGINT) AS seq_start,
+           CAST((cum - 1) // {_Q71_SEQ_LEN} AS BIGINT) AS seq_end
+    FROM c WHERE n_tok > 0
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q71_sequence_packing",
+    _Q71_ORACLE,
+    "GPT-style sequence packing: concatenate all docs in a deterministic "
+    "md5(doc_id) order and split the token stream into fixed-length training "
+    "sequences — each doc gets its global token offset and the [seq_start, "
+    "seq_end] range it spans. The global running sum is a single-partition "
+    "window over (doc_id, n_tok) pairs ONLY (two BIGINTs per doc — fine for "
+    "billions of docs; the text itself never passes through the window); "
+    "all-integer math, engine-exact",
+)
+def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn("cum", F.sum("n_tok").over(w).cast("long"))
+    off = F.col("cum") - F.col("n_tok")
+    return (
+        c.where(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "n_tok",
+            off.cast("long").alias("tok_offset"),
+            F.floor(off / _Q71_SEQ_LEN).cast("long").alias("seq_start"),
+            F.floor((F.col("cum") - 1) / _Q71_SEQ_LEN).cast("long").alias("seq_end"),
+        )
+        .orderBy("doc_id")
+    )
