@@ -161,7 +161,10 @@ def quality_score_raw_tokens(col: Column, tokens_col: Column) -> Column:
     n_chars = F.length(col).cast("double")
     n_tokens = F.size(tokens_col).cast("long").cast("double")
     n_stop = marker_count(tokens_col, STOPWORDS).cast("double")
-    n_punct = sum((occurrence_count(col, p) for p in _PUNCT), F.lit(0).cast("long")).cast("double")
+    # one regex pass over the text vs. len(_PUNCT) replace-scans (each of
+    # which allocates a full copy of the string); counts are identical —
+    # the class matches exactly the same single-char occurrences
+    n_punct = F.regexp_count(col, F.lit(r"[.,!?;:]")).cast("double")
     len_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     stop_term = F.least(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)) * 5.0, F.lit(1.0))
     punct_term = 1.0 - F.least(F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)) * 10.0, F.lit(1.0))

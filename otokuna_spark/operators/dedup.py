@@ -338,6 +338,23 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
         .withColumn("cluster", F.col("node"))
     ).localCheckpoint()
 
+    # every round runs 2-3 shuffles over the label set, which is the same
+    # order of magnitude as the (tiny, already-LSH-verified) edge set — at
+    # the session default width (200 in a vanilla session) each round pays
+    # hundreds of near-empty tasks; pin the exchange width to the same
+    # right-sized partition count as the edges for the loop's duration
+    spark = pairs.sparkSession
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = _propagate_labels(edges, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+    edges.unpersist()
+    return labels
+
+
+def _propagate_labels(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     changed = -1
     for _ in range(max_iter):
         neighbor_min = (
@@ -347,12 +364,15 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
         )
         propagated = labels.join(neighbor_min, on="node", how="left").select(
             "node",
+            F.col("cluster").alias("__old"),
             F.least(F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))).alias(
                 "cluster"
             ),
         )
         # pointer doubling: follow the label's own label one hop — halves
-        # the remaining path length every round
+        # the remaining path length every round. The pre-round label rides
+        # along as __old so the convergence check below is a narrow count
+        # on the checkpointed result, not an extra label-vs-label join job.
         new_labels = (
             propagated.alias("x")
             .join(
@@ -362,21 +382,16 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
             )
             .select(
                 F.col("x.node").alias("node"),
+                F.col("x.__old").alias("__old"),
                 F.least(F.col("x.cluster"), F.coalesce(F.col("y.cluster"), F.col("x.cluster"))).alias(
                     "cluster"
                 ),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("cluster") != F.col("__old")).count()
+        labels = new_labels.select("node", "cluster")
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"cluster_pairs did not converge within max_iter={max_iter} rounds "
