@@ -853,7 +853,7 @@ def q30_parse_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-def _q24_oracle(
+def _q24_ctes(
     threshold: float = 0.45, n_planes: int = 16, band_bits: int = 4, dim: int = 64
 ) -> str:
     """SQL twin of similarity.lsh_near_dup_pairs_exact: the hyperplanes are
@@ -906,7 +906,13 @@ def _q24_oracle(
         SELECT p.id_a, p.id_b,
                CAST(p.dot_s AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
         FROM pairdots p JOIN n2s na ON p.id_a = na.vec_id JOIN n2s nb ON p.id_b = nb.vec_id
-    )
+    )"""
+
+
+def _q24_oracle(
+    threshold: float = 0.45, n_planes: int = 16, band_bits: int = 4, dim: int = 64
+) -> str:
+    return f"""{_q24_ctes(threshold, n_planes, band_bits, dim)}
     SELECT id_a, id_b, CAST(FLOOR(cos * 1000000.0) AS BIGINT) AS cosine_m
     FROM scored WHERE cos >= {threshold!r} ORDER BY id_a, id_b
     """
@@ -2576,4 +2582,42 @@ def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("cum") - 1) / _Q71_SEQ_LEN).cast("long").alias("seq_end"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _q72_oracle() -> str:
+    return f"""{_q24_ctes()},
+    p AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.45),
+    e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    closure(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT c.a, e2.b FROM closure c JOIN e e2 ON c.b = e2.a
+    )
+    SELECT a AS node, LEAST(MIN(b), a) AS cluster
+    FROM closure GROUP BY a ORDER BY node
+    """
+
+
+@register(
+    "q72_embedding_dup_clusters",
+    _q72_oracle(),
+    "End-to-end embedding dedup: deterministic sign-sketch LSH near-dup pairs "
+    "(q24's integer-exact path) fed into connected-components min-label "
+    "propagation — semantic duplicate groups over vectors, the embedding twin "
+    "of q55's text clusters; oracle is the recursive-CTE transitive closure "
+    "over the identical pair set",
+)
+def q72_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_near_dup_pairs_exact(
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=16, band_bits=4
+    ).select("id_a", "id_b")
+    return (
+        dedup.cluster_pairs(pairs)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("cluster").cast("long").alias("cluster"),
+        )
+        .orderBy("node")
     )
