@@ -93,20 +93,21 @@ def resolve_condition_codes(
     wanted = {"ts": building_categories, "sc": wards, "tc": special_conditions}
     labels_by_for = {}
     for label in root.find_all("label"):
-        if "for" in label.attrs:
+        for_val = label.attr("for")
+        if for_val is not None:
             strings = [s for s in label.text().split("\n") if s.strip()]
             if strings:
-                labels_by_for[label.attrs["for"]] = strings[0].strip()
+                labels_by_for[for_val] = strings[0].strip()
     out: dict[str, list[str]] = {}
     for cond_id, values in wanted.items():
         if values is None:
             continue
         codes_by_value = {}
         for box in root.find_all("input"):
-            if box.attrs.get("type") == "checkbox" and box.attrs.get("name") == cond_id:
-                value = labels_by_for.get(box.attrs.get("id"))
+            if box.attr("type") == "checkbox" and box.attr("name") == cond_id:
+                value = labels_by_for.get(box.attr("id"))
                 if value is not None:
-                    codes_by_value[value] = box.attrs["value"]
+                    codes_by_value[value] = box.attr("value")
         missing = set(values) - set(codes_by_value)
         if missing:
             raise ValueError(f"invalid values for condition {cond_id}: {missing}")

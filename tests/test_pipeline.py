@@ -213,3 +213,64 @@ def test_multimodal_metadata_only_plan_prunes_binary(spark, tmp_path):
     for s in schemas:
         assert "data" not in s, s
         assert "width" in s
+
+
+def test_fast_tokenizer_matches_stdlib_dom():
+    """The regex fast path in sources.html must build node-for-node the
+    same tree as HTMLParser(convert_charrefs=True): entities in text and
+    attributes, raw-text script content (no entity conversion, embedded
+    '</div>' inside a JS string), comments/doctype dropped, self-closing
+    and void tags, full-width text."""
+    from otokuna_spark.sources import html as H
+
+    from .fixtures import building, page, room
+
+    def tree_eq(a, b, path="root"):
+        assert a.tag == b.tag, path
+        assert a.cls_pad == b.cls_pad, path
+        assert list(a.attrs) == list(b.attrs), (path, a.attrs, b.attrs)
+        assert a.text_parts == b.text_parts, (path, a.text_parts, b.text_parts)
+        assert len(a.children) == len(b.children), path
+        for i, (ca, cb) in enumerate(zip(a.children, b.children)):
+            tree_eq(ca, cb, f"{path}/{ca.tag}[{i}]")
+
+    pages = [
+        page([building([room("000000000001", new=True), room("000000000002")])]),
+        # entity + rawtext + malformed edge cases
+        '<!DOCTYPE html><div class="a b"><!-- x --><br/>'
+        '<span class="x" data-v="A&amp;B" flag>A&amp;B &times; &#65; &lt;tag&gt;</span>'
+        '<script>if (a&&b<c) { x="</div>"; y="&amp;"; }</script>'
+        "<p class='single'>tail <b>bold</b> 1 < 2</p></div>",
+        "<ul><li>no closing tags<li>second item</ul>",
+        "<table><tbody><tr><td class=\"unquoted\" width=5>cell</td></tr></tbody></table>",
+    ]
+    for p in pages:
+        tree_eq(H.parse_dom(p), H.parse_dom_stdlib(p))
+
+
+def test_extract_page_matches_stdlib_parse(monkeypatch):
+    """Row-level parity: extract_page output is identical whether the DOM
+    comes from the fast tokenizer or the stdlib parser."""
+    from otokuna_spark.sources import html as H
+
+    from .fixtures import building, page, room
+
+    p = page(
+        [
+            building([room("000000000001", new=True), room("000000000002", gratuity="7.2万円")]),
+            building([room("000000000003", floor="-")], title="別のビル", age="新築"),
+        ]
+    )
+    fast = H.extract_page(p, "x.html", 1000.0)
+
+    class _StdlibDom:
+        def __init__(self, html):
+            b = H._DomBuilder()
+            b.feed(html)
+            self.root = b.root
+            self.scripts = b.scripts
+            self.buildings = b.buildings
+
+    monkeypatch.setattr(H, "_parse_page", _StdlibDom)
+    slow = H.extract_page(p, "x.html", 1000.0)
+    assert fast == slow and len(fast) == 3
