@@ -2621,3 +2621,160 @@ def q72_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+_Q73_BUCKET, _Q73_BATCH = 16, 8  # token-length bucket width / sequences per batch
+
+_Q73_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tok, n_tok // {_Q73_BUCKET} AS bucket,
+               CAST(ROW_NUMBER() OVER (PARTITION BY n_tok // {_Q73_BUCKET} ORDER BY h) - 1 AS BIGINT) AS rn
+        FROM d
+    ),
+    g AS (
+        SELECT bucket, rn // {_Q73_BATCH} AS batch_idx,
+               CAST(COUNT(*) AS BIGINT) AS batch_n,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        FROM b GROUP BY bucket, rn // {_Q73_BATCH}
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, batch_idx, batch_n, max_tok, sum_tok,
+           batch_n * max_tok - sum_tok AS pad_waste
+    FROM g ORDER BY bucket, batch_idx
+    """
+
+
+@register(
+    "q73_length_bucket_batches",
+    _Q73_ORACLE,
+    "Length-bucketed batch packing: docs grouped into token-length buckets, "
+    "assigned to fixed-size batches in deterministic md5 order, and each "
+    "batch's padding waste computed (batch_n * max_len - sum_len) — the "
+    "pad-efficiency accounting every seq2seq training pipeline runs. Window "
+    "row_number within bucket + one hash agg; only (doc_id, n_tok) pairs "
+    "pass through the window",
+)
+def q73_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.floor(F.col("n_tok") / _Q73_BUCKET))
+    w = Window.partitionBy("bucket").orderBy("h")
+    b = d.withColumn("rn", (F.row_number().over(w) - 1).cast("long"))
+    g = (
+        b.withColumn("batch_idx", F.floor(F.col("rn") / _Q73_BATCH))
+        .groupBy("bucket", "batch_idx")
+        .agg(
+            F.count("*").alias("batch_n"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+    )
+    return g.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "batch_idx",
+        "batch_n",
+        "max_tok",
+        "sum_tok",
+        (F.col("batch_n") * F.col("max_tok") - F.col("sum_tok")).alias("pad_waste"),
+    ).orderBy("bucket", "batch_idx")
+
+
+_Q74_ORACLE = """
+    SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                                - p.p_retailprice * 0.5 * l.l_quantity) * 100.0) AS BIGINT)) AS BIGINT) AS profit_c
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY n.n_name, o_year DESC
+    """
+
+
+@register(
+    "q74_nation_year_profit",
+    _Q74_ORACLE,
+    "TPC-H Q9 shape: five-way star join (fact + 3 dims + orders) with a "
+    "substring part filter and a (nation, year) profit rollup. nation/"
+    "supplier/part broadcast; orders co-shuffles with lineitem on orderkey. "
+    "o_orderdate is TIMESTAMP_NTZ so year() is timezone-free in both "
+    "engines; the profit expression is floor-scaled per row before the SUM",
+)
+def q74_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    profit_c = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * 0.5 * F.col("l_quantity")
+        )
+        * 100.0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit_c).alias("profit_c"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+_Q75_ORACLE = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue_c DESC, c.c_custkey
+    LIMIT 20
+    """
+
+
+@register(
+    "q75_returned_item_customers",
+    _Q75_ORACLE,
+    "TPC-H Q10 shape: top-k customers by returned-item revenue in a date "
+    "window — fact filter pushed to the scan, customer join, grouped "
+    "revenue, TakeOrderedAndProject top-20 with a custkey tiebreaker so the "
+    "limit boundary is deterministic cross-engine",
+)
+def q75_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0).cast("long")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("revenue_c"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue_c"), "c_custkey")
+        .limit(20)
+    )

@@ -132,3 +132,64 @@ def frame_sample(
             )
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(_batches, schema=schema)
+
+
+def audio_windows(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    sample_rate: int = 16_000,
+    window_s: float = 1.0,
+    hop_s: float = 0.5,
+) -> DataFrame:
+    """Audio windowing plumbing: one clip row -> overlapping fixed-duration
+    window rows (the ASR/audio-embedding prep step).
+
+    The stub treats the payload as 16-bit mono PCM (``n_samples =
+    len(bytes) // 2``) and slices byte ranges per window; a real
+    implementation decodes with soundfile/ffmpeg first. As with
+    ``frame_sample``, the 1->N expansion and the (id, offset) addressing
+    scheme are the parts that matter for partition sizing, and they are
+    real. Windows shorter than half a window (the tail) are dropped, so
+    every emitted row is analysis-worthy.
+    """
+    schema = sty.StructType(
+        [
+            sty.StructField("media_id", sty.LongType()),
+            sty.StructField("window_idx", sty.IntegerType()),
+            sty.StructField("start_sample", sty.LongType()),
+            sty.StructField("n_samples", sty.IntegerType()),
+            sty.StructField("window_bytes", sty.BinaryType()),
+        ]
+    )
+    win = int(sample_rate * window_s)
+    hop = int(sample_rate * hop_s)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, lens, payloads = [], [], [], [], []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(data)
+                n_samples = len(raw) // 2
+                w = 0
+                for start in range(0, max(n_samples, 1), hop):
+                    n = min(win, n_samples - start)
+                    if n < win // 2:
+                        break
+                    ids.append(int(mid))
+                    idxs.append(w)
+                    starts.append(start)
+                    lens.append(n)
+                    payloads.append(raw[start * 2 : (start + n) * 2])
+                    w += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "start_sample": pd.Series(starts, dtype="int64"),
+                    "n_samples": pd.Series(lens, dtype="int32"),
+                    "window_bytes": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(_batches, schema=schema)

@@ -274,3 +274,24 @@ def test_extract_page_matches_stdlib_parse(monkeypatch):
     monkeypatch.setattr(H, "_parse_page", _StdlibDom)
     slow = H.extract_page(p, "x.html", 1000.0)
     assert fast == slow and len(fast) == 3
+
+
+def test_audio_windows_expansion(spark):
+    """audio_windows: 1 clip -> overlapping windows with correct sample
+    addressing; short tails dropped; byte slices line up with offsets."""
+    from otokuna_spark.sources import multimodal
+
+    # 3 seconds of fake 16kHz 16-bit PCM -> 6 windows at 1s/0.5s hop
+    # (5 full + the half-window tail at 40000, kept because >= win/2)
+    clip = bytes(range(256)) * (3 * 16_000 * 2 // 256)
+    df = spark.createDataFrame([(1, clip), (2, b"\x00" * 100)], "media_id long, data binary")
+    rows = multimodal.audio_windows(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    w1 = sorted(by_id[1], key=lambda r: r["window_idx"])
+    assert [r["start_sample"] for r in w1] == [0, 8000, 16000, 24000, 32000, 40000]
+    assert [r["n_samples"] for r in w1] == [16000] * 5 + [8000]
+    assert bytes(w1[1]["window_bytes"]) == clip[8000 * 2 : 24000 * 2]
+    # clip 2: 50 samples < half a window -> dropped entirely
+    assert 2 not in by_id
