@@ -320,7 +320,11 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
     Raises RuntimeError if labels still changed after ``max_iter`` rounds —
     silently returning split clusters would corrupt downstream dedup.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # materialize the (possibly very expensive) pair relation ONCE before
+    # anything references it twice — the forward/reverse union below and
+    # every propagation round would otherwise re-run the upstream pipeline
+    # (an LSH + verify chain for near-dup inputs) per reference
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint()
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
     # the pair graph is usually tiny relative to the corpus — right-size
     # its partitioning or each label-propagation round pays full-width

@@ -406,6 +406,12 @@ def lsh_near_dup_pairs_exact(
                 ).alias("band_key")
             )
         )
+    # the band-key relation feeds BOTH sides of the self-join — persist so
+    # the sketch (UDF batches or the two-shuffle codegen twin) runs once,
+    # not once per side (same rationale as minhash_lsh_pairs' bucket persist)
+    from pyspark import StorageLevel
+
+    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         keys.alias("a")
         .join(keys.alias("b"), ["band", "band_key"])
