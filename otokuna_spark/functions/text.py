@@ -113,10 +113,6 @@ def marker_count(tokens_col: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens_col, lambda t: t.isin(wset))).cast("long")
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    return lang_scores_tokens(tokens(col))
-
-
 def lang_scores_tokens(tokens_col: Column) -> dict[str, Column]:
     return {lang: marker_count(tokens_col, words) for lang, words in LANG_MARKERS.items()}
 

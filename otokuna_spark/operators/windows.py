@@ -11,10 +11,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_prev_ts(df: DataFrame, key: str, ts: str, out_col: str = "prev_ts") -> Column | DataFrame:
-    w = Window.partitionBy(key).orderBy(F.asc(ts))
-    return df.withColumn(out_col, F.lag(F.col(ts)).over(w))
-
 
 def sessionize(
     df: DataFrame,
@@ -39,17 +35,3 @@ def sessionize(
     return df.withColumn(session_col, F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
 
 
-def session_stats(
-    df: DataFrame,
-    key: str,
-    ts: str,
-    gap: int,
-) -> DataFrame:
-    """Per-session aggregates: event count, span, start/end."""
-    s = sessionize(df, key, ts, gap)
-    return s.groupBy(key, "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min(ts).alias("session_start"),
-        F.max(ts).alias("session_end"),
-        (F.max(ts) - F.min(ts)).alias("span"),
-    )

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions import parsers as P
-from ..io import read_table
+from ..io import read_table, register_views
 from ..operators import asof, dedup, outliers, sampling, similarity, topk
 
 
@@ -1339,8 +1339,7 @@ def q42_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
-    for n in names:
-        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    register_views(spark, sf_dir, names)
 
 
 @register(

@@ -319,3 +319,45 @@ def test_word_occurrence_count_whole_word_nonoverlapping(spark):
         T.word_occurrence_count(F.col("s2"), "the").alias("n2"),
     ).collect()[0]
     assert (row.n, row.n2) == (3, 1)
+
+
+def test_blocked_near_dup_pairs_exact_matches_brute_force(spark):
+    """The generic bring-your-own-blocking-key exact verifier: within-block
+    pairs >= threshold must equal a brute-force scaled-int cosine over the
+    same blocks, and cross-block pairs are never emitted."""
+    import itertools
+    import math
+
+    from otokuna_spark.operators import similarity
+
+    rows = [
+        # block 0: two near-identical vectors + one orthogonal
+        (1, 0, [1.0, 0.0, 0.5, 0.2]),
+        (2, 0, [0.99, 0.01, 0.5, 0.2]),
+        (3, 0, [0.0, 1.0, -0.5, 0.1]),
+        # block 1: near-dup of vec 1 but in ANOTHER block -> must not pair
+        (4, 1, [1.0, 0.0, 0.5, 0.2]),
+        (5, 1, [1.0, 0.01, 0.49, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk int, vec array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_m"]
+        for r in similarity.blocked_near_dup_pairs_exact(
+            df, "id", "vec", "blk", threshold=0.9
+        ).collect()
+    }
+
+    scale = 1e6
+    def cos_m(u, v):
+        dot = sum(math.floor(x * y * scale) for x, y in zip(u, v))
+        nu = sum(math.floor(x * x * scale) for x in u)
+        nv = sum(math.floor(x * x * scale) for x in v)
+        return math.floor(dot / math.sqrt(nu * nv) * 1e6)
+
+    want = {}
+    for (ia, ba, va), (ib, bb, vb) in itertools.combinations(rows, 2):
+        if ba == bb and cos_m(va, vb) >= 0.9 * 1e6:
+            want[(ia, ib)] = cos_m(va, vb)
+    assert want, "fixture must produce at least one pair"
+    assert got == want
+    assert all(a < b for a, b in got)
