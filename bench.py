@@ -41,8 +41,14 @@ def main() -> None:
     spark = get_spark("otokuna-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup (JVM + parquet footer caches), not counted
+    # warmup (JVM + parquet footer caches + Python/Arrow workers), not
+    # counted — without the mapInPandas ping, the first timed query that
+    # crosses the Python boundary pays ~5-8 s of worker fork/import cost
+    # that is steady-state-irrelevant
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     import shutil
     import tempfile
