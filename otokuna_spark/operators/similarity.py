@@ -524,3 +524,166 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# =====================================================================
+# Product quantization (PQ) — the memory-bound ANN scale path
+# =====================================================================
+# IVF/LSH shrink the CANDIDATE SET; PQ shrinks the BYTES PER VECTOR: a
+# d-dim float32 vector (256 B at d=64) becomes m uint8 codes (m bytes,
+# 32x smaller at m=8). At 100 TB of embeddings that is the difference
+# between "the index fits in cluster memory" and "every query hits disk".
+# Classic ADC pipeline (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split each vector into m subvectors,
+# k-means each subspace to n_codes centroids (the codebook), store each
+# vector as its m nearest-centroid ids, and score a query by summing
+# per-subspace dot-product lookup tables (ADC) — no decompression.
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 2048,
+    n_iter: int = 10,
+    id_col: str | None = None,
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks with seeded Lloyd k-means on a BOUNDED
+    driver-side sample (deterministic: lowest-id rows, like the IVF
+    centroid pick — codebook training is a fixed-size problem independent
+    of corpus scale; assignment/encoding stays distributed).
+
+    ``normalize`` MUST match how vectors are fed to ``pq_encode``: the
+    cosine/ADC path (pq_adc_topk) encodes unit-normalized vectors, so its
+    codebooks must be trained on unit-normalized samples too — codewords
+    trained at raw scale quantize unit vectors to garbage.
+
+    Returns ``codebooks[m][n_codes][d/m]`` as plain lists (picklable,
+    broadcast-friendly).
+    """
+    sample = corpus.select(vec_col) if id_col is None else corpus.select(vec_col, id_col).orderBy(id_col)
+    rows = sample.limit(sample_rows).collect()
+    x = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if normalize:
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        # deterministic init: evenly-strided sample rows (data-dependent,
+        # seed-free — identical across runs and partitionings)
+        idx = np.linspace(0, len(xs) - 1, n_codes).astype(int)
+        cb = xs[idx].copy()
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = xs[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        codebooks.append(cb.tolist())
+    return codebooks
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks: list[list[list[float]]], out_col: str = "pq_codes") -> DataFrame:
+    """Encode vectors to ``array<int>`` of length m (nearest codeword per
+    subspace, L2). Vectorized pandas UDF: per Arrow batch this is m small
+    (batch x n_codes) distance matrices via the ||a-b||^2 expansion — one
+    matmul each. A codegen formulation would be m*n_codes literal dot
+    products (janino blowup at d=64 already; see the round-1 sketch-UDF
+    measurements)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            # ||a-b||^2 = ||a||^2 - 2ab + ||b||^2; argmin drops ||a||^2
+            d2 = -2.0 * xs @ cb[j].T + (cb[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_id_col: str | None = None,
+    codes_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation: the
+    query stays exact, each corpus vector is its PQ codes, and the score is
+    m lookup-table reads (query . codeword_j) summed — never a d-dim dot
+    product, never a decode.
+
+    Normalize-then-PQ makes the ADC dot an approximate cosine. The query
+    side carries its per-subspace lookup table (m*n_codes floats) as a
+    column; scoring is one vectorized gather per pair batch. Corpus-side
+    cost per query: m byte-lookups instead of d multiplies, over an index
+    32x smaller — the scan fits in memory at scales where raw vectors
+    don't. Exact re-rank of the ADC top-k (fetch true vectors for k<<N
+    ids) is the standard refinement; omitted here to keep the operator a
+    pure index scan.
+
+    ``codes_col``: reuse pre-encoded codes (the 100 TB path encodes ONCE
+    at ingest and persists; don't re-encode per query batch).
+    """
+    qid = query_id_col or id_col
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    n_codes = cb[0].shape[0]
+    dsub = cb[0].shape[1]
+
+    # unit-normalize corpus before encoding so ADC-dot ~ cosine
+    nrm = vectors.norm(F.col(vec_col))
+    if codes_col is None:
+        c_norm = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col(vec_col), lambda x: x / nrm).alias("__nv"),
+        )
+        c_codes = pq_encode(c_norm, "__nv", codebooks, out_col="__codes").drop("__nv")
+    else:
+        c_codes = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__codes"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def lut(v: pd.Series) -> pd.Series:
+        x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        out = np.empty((len(x), m * n_codes), dtype=np.float64)
+        for j in range(m):
+            out[:, j * n_codes : (j + 1) * n_codes] = x[:, j * dsub : (j + 1) * dsub] @ cb[j].T
+        return pd.Series(list(out))
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, luts: pd.Series) -> pd.Series:
+        c = np.vstack([np.asarray(e, dtype=np.int64) for e in codes])
+        t = np.vstack([np.asarray(e, dtype=np.float64) for e in luts])
+        offs = np.arange(m) * n_codes
+        return pd.Series(np.take_along_axis(t, c + offs[None, :], axis=1).sum(axis=1))
+
+    q_tab = queries.select(F.col(qid).alias("query_id"), lut(F.col(vec_col)).alias("__lut"))
+    scored = (
+        c_codes.join(F.broadcast(q_tab), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_score", adc(F.col("__codes"), F.col("__lut")))
+        .select("query_id", "neighbor_id", "adc_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -2777,3 +2777,98 @@ def q75_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_c"), "c_custkey")
         .limit(20)
     )
+
+
+# =====================================================================
+# TPC-H Q6/Q8 shapes — completes the 22-query TPC-H shape family
+# =====================================================================
+
+_Q76_ORACLE = """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+
+
+@register(
+    "q76_forecast_revenue",
+    _Q76_ORACLE,
+    "TPC-H Q6 shape: pure scan-filter-aggregate, no join — every predicate "
+    "(date range, discount band, quantity cap) must reach the parquet scan "
+    "as a pushed filter, and the single global SUM is a two-stage partial/"
+    "final aggregation over a 1-row result. The degenerate-but-canonical "
+    "scan benchmark: at 100 TB this is bounded by I/O after pruning, "
+    "nothing else",
+)
+def q76_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100.0).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("revenue_c"), F.count("*").alias("n_rows"))
+    )
+
+
+_Q77_ORACLE = """
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n.n_name = 'NATION_3'
+                         THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS num_c,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS den_c,
+           CAST((SUM(CASE WHEN n.n_name = 'NATION_3'
+                          THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT)
+                          ELSE 0 END) * 1000000)
+                // SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS share_ppm
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY EXTRACT(year FROM o.o_orderdate)
+    ORDER BY o_year
+    """
+
+
+@register(
+    "q77_market_share",
+    _Q77_ORACLE,
+    "TPC-H Q8 shape: per-year market share of one supplier nation within a "
+    "part-type market — conditional (CASE) numerator and total denominator "
+    "in ONE grouped aggregation over the same five-way star join as Q9. "
+    "The share is emitted as integer ppm via BIGINT floor-division on the "
+    "scaled sums (num*1e6 div den): double division of two large sums is "
+    "not bit-portable across engines, integer division of identical "
+    "integers is. Both positive, so Spark's div (trunc) == DuckDB's // "
+    "(floor)",
+)
+def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    vol = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0).cast("long"))).alias("num_c"),
+            F.sum(vol).alias("den_c"),
+        )
+        .withColumn("share_ppm", F.expr("num_c * 1000000 div den_c"))
+        .orderBy("o_year")
+    )

@@ -361,3 +361,55 @@ def test_blocked_near_dup_pairs_exact_matches_brute_force(spark):
     assert want, "fixture must produce at least one pair"
     assert got == want
     assert all(a < b for a, b in got)
+
+
+def test_pq_encode_shapes_and_range(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(vecs)), ["vec_id", "embedding"])
+    cb = similarity.pq_train(df, "embedding", m=4, n_codes=8, sample_rows=40, id_col="vec_id")
+    assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == 4
+    rows = similarity.pq_encode(df, "embedding", cb).collect()
+    for r in rows:
+        assert len(r["pq_codes"]) == 4
+        assert all(0 <= c < 8 for c in r["pq_codes"])
+
+
+def test_pq_adc_topk_finds_near_copy(spark):
+    import random
+
+    rng = random.Random(4)
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(60)]
+    vecs[47] = [x + rng.gauss(0, 0.01) for x in vecs[23]]
+    df = spark.createDataFrame(list(enumerate(vecs)), ["vec_id", "embedding"])
+    cb = similarity.pq_train(df, "embedding", m=4, n_codes=16, sample_rows=60, id_col="vec_id")
+    q = df.filter(F.col("vec_id") == 23)
+    out = similarity.pq_adc_topk(df, q, "vec_id", "embedding", cb, k=1).collect()
+    # the near-copy encodes to (nearly) the query's own codes -> its ADC
+    # score is the max the index can produce for this query
+    assert out and out[0]["neighbor_id"] == 47
+
+
+def test_pq_adc_topk_precoded_corpus_matches(spark):
+    import random
+
+    rng = random.Random(5)
+    vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    df = spark.createDataFrame(list(enumerate(vecs)), ["vec_id", "embedding"])
+    cb = similarity.pq_train(df, "embedding", m=4, n_codes=8, sample_rows=30, id_col="vec_id")
+    q = df.filter(F.col("vec_id") < 3)
+    live = similarity.pq_adc_topk(df, q, "vec_id", "embedding", cb, k=3)
+    # the ingest-time path: normalize + encode once, reuse codes
+    from otokuna_spark.functions import vectors as V
+
+    nrm = V.norm(F.col("embedding"))
+    pre = similarity.pq_encode(
+        df.select("vec_id", F.transform(F.col("embedding"), lambda x: x / nrm).alias("__nv")),
+        "__nv", cb, out_col="codes",
+    ).drop("__nv")
+    cached = similarity.pq_adc_topk(pre, q, "vec_id", "embedding", cb, k=3, codes_col="codes")
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in live.collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in cached.collect()}
+    assert a == b
