@@ -223,3 +223,81 @@ def stream_stream_interval_join(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_session_rollup(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> None:
+    """Event-time SESSION windows per user: consecutive events closer than
+    ``gap`` merge into one variable-length window (Spark's native
+    ``session_window`` — dynamic gap-merge state, not fixed buckets). The
+    incremental twin of plans.queries q33_sessionization's gaps-and-islands
+    batch formulation; a session emits once the watermark passes its end
+    (last event + gap). State per user is bounded: only sessions the
+    watermark hasn't closed stay in the store."""
+    agg = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_upsert_serving(
+    spark: SparkSession,
+    updates_stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key: str,
+    order_col: str,
+) -> None:
+    """Incremental MERGE into a serving table: each micro-batch keeps its
+    LATEST row per key (max ``order_col``) and upserts it via
+    ``io.upsert_by_key`` — the streaming twin of the reference's daily
+    replace-by-id serving refresh (app/app.py:283-294), with the file-source
+    checkpoint supplying exactly-once batch tracking.
+
+    ``foreachBatch`` is the right sink here because MERGE needs the
+    CURRENT table as join input — a plain parquet sink can only append.
+    Parquet-directory-swap upsert serializes writers; at real scale the
+    same foreachBatch body targets a transactional format (Delta/Iceberg
+    MERGE INTO) unchanged."""
+    from pyspark.sql import Window
+    from ..io import upsert_by_key
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(F.desc(order_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_by_key(batch_df.sparkSession, table_path, latest, key)
+
+    q = (
+        updates_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

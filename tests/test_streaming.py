@@ -206,3 +206,72 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_session_rollup_matches_batch(spark, tmp_path):
+    """Session windows (30m gap per user): every emitted session matches the
+    batch session_window twin; only sessions the watermark never closed
+    (at the event-time tail) may be missing."""
+    out = str(tmp_path / "out_sess")
+    ckpt = str(tmp_path / "ckpt_sess")
+    stream = jobs.events_file_stream(spark, os.path.join(SF_DIR, "events.parquet"))
+    jobs.stream_session_rollup(spark, stream, out, ckpt, gap="30 minutes", watermark="0 seconds")
+    got = spark.read.parquet(out)
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    missing = want.exceptAll(got).collect()
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # unemitted sessions are exactly those still open at the final
+    # watermark (= max event time at 0s delay): end = last event + gap
+    assert all(r["session_end"] >= max_ts for r in missing)
+
+
+def test_stream_upsert_serving_across_batches(spark, tmp_path):
+    """foreachBatch MERGE: keys repeated across micro-batches keep only the
+    latest row; unrelated keys survive."""
+    import json
+
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    table = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt_upsert")
+
+    def run():
+        stream = spark.readStream.schema("k STRING, v STRING, o LONG").json(str(src))
+        jobs.stream_upsert_serving(spark, stream, table, ckpt, key="k", order_col="o")
+
+    with open(src / "b1.json", "w") as f:
+        for r in [
+            {"k": "a", "v": "a1", "o": 1},
+            {"k": "a", "v": "a2", "o": 2},  # same batch: latest-by-o wins
+            {"k": "b", "v": "b1", "o": 1},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    run()
+    got1 = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got1 == {"a": "a2", "b": "b1"}
+
+    with open(src / "b2.json", "w") as f:
+        for r in [
+            {"k": "a", "v": "a3", "o": 9},  # cross-batch overwrite
+            {"k": "c", "v": "c1", "o": 1},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    run()
+    got2 = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got2 == {"a": "a3", "b": "b1", "c": "c1"}
