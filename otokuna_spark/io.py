@@ -107,7 +107,12 @@ def bucketed_join_is_shuffle_free(spark: SparkSession, left_table: str, right_ta
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
         joined.explain(mode="formatted")
-    return "Exchange hashpartitioning" not in buf.getvalue()
+    # formatted mode prints shuffle nodes as "Exchange (N)" with
+    # "Arguments: hashpartitioning(...)" on a separate line — match the
+    # argument, not the node label. BroadcastExchange arguments
+    # (HashedRelationBroadcastMode) never contain "hashpartitioning", so a
+    # broadcast join still (correctly) reports shuffle-free.
+    return "hashpartitioning" not in buf.getvalue()
 
 
 def upsert_by_key(

@@ -143,6 +143,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+    # candidate pairs are tiny next to the signature relation — materialize
+    # eagerly and release the bucket cache (repeated calls would otherwise
+    # accumulate executor storage across a long-lived session)
+    pairs = pairs.localCheckpoint()
+    buckets.unpersist()
     return pairs
 
 
@@ -212,6 +217,10 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # verified pairs are tiny next to the shingle relation — materialize
+    # eagerly and release the shingle cache
+    out = out.localCheckpoint()
+    sh.unpersist()
     return out
 
 
@@ -294,12 +303,18 @@ def simhash_pairs(
         cand = p if cand is None else cand.unionByName(p)
     from ..functions.vectors import hamming64
 
-    return (
+    out = (
         cand.distinct()
         .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # materialize the (small) verified pair set eagerly so the banded
+    # cache can be released now — otherwise repeated calls accumulate
+    # executor cache for relations nothing will read again
+    out = out.localCheckpoint()
+    banded.unpersist()
+    return out
 
 
 # ------------------------------------------------------ clustering
@@ -319,6 +334,14 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
 
     Raises RuntimeError if labels still changed after ``max_iter`` rounds —
     silently returning split clusters would corrupt downstream dedup.
+
+    NOTE: the propagation loop temporarily right-sizes the session-global
+    ``spark.sql.shuffle.partitions`` (restored in a finally). That assumes
+    the caller is not running concurrent queries on the same SparkSession
+    during the loop — true for this engine's batch drivers. A
+    multi-tenant session should instead run cluster_pairs in its own
+    session (or accept default-width rounds; AQE coalescing recovers most
+    of the win).
     """
     # materialize the (possibly very expensive) pair relation ONCE before
     # anything references it twice — the forward/reverse union below and

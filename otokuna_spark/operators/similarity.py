@@ -419,6 +419,11 @@ def lsh_near_dup_pairs_exact(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+    # candidate ids are tiny next to the sketch relation — materialize them
+    # eagerly and release the band-key cache so repeated calls don't
+    # accumulate executor storage
+    cand = cand.localCheckpoint()
+    keys.unpersist()
     if impl == "vectorized":
         pair_dot = _pair_dot_scaled_udf(scale)
         withn = e.withColumn("__n2s", pair_dot(F.col("__v"), F.col("__v")))
@@ -547,13 +552,16 @@ def pq_train(
     n_codes: int = 16,
     sample_rows: int = 2048,
     n_iter: int = 10,
-    id_col: str | None = None,
+    id_col: str = "",
     normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks with seeded Lloyd k-means on a BOUNDED
-    driver-side sample (deterministic: lowest-id rows, like the IVF
+    driver-side sample (deterministic: lowest-``id_col`` rows, like the IVF
     centroid pick — codebook training is a fixed-size problem independent
-    of corpus scale; assignment/encoding stays distributed).
+    of corpus scale; assignment/encoding stays distributed). ``id_col`` is
+    mandatory: a bare limit() would sample whatever rows arrive first, so
+    codebooks — and everything encoded with them — would vary with
+    partitioning from run to run.
 
     ``normalize`` MUST match how vectors are fed to ``pq_encode``: the
     cosine/ADC path (pq_adc_topk) encodes unit-normalized vectors, so its
@@ -563,8 +571,9 @@ def pq_train(
     Returns ``codebooks[m][n_codes][d/m]`` as plain lists (picklable,
     broadcast-friendly).
     """
-    sample = corpus.select(vec_col) if id_col is None else corpus.select(vec_col, id_col).orderBy(id_col)
-    rows = sample.limit(sample_rows).collect()
+    if not id_col:
+        raise ValueError("pq_train requires id_col: the training sample must be deterministic")
+    rows = corpus.select(vec_col, id_col).orderBy(id_col).limit(sample_rows).collect()
     x = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     if normalize:
         x = x / np.linalg.norm(x, axis=1, keepdims=True)

@@ -71,6 +71,23 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" in plain_plan or "BroadcastExchange" in plain_plan
     n_bucketed = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey").count()
     assert n_bucketed == plain.count()
+    # NEGATIVE case: the same tables written WITHOUT bucketing must report
+    # shuffle-free == False (guards against the diagnostic matching a
+    # string the plan never prints and passing vacuously). Broadcast is
+    # disabled so the small side can't turn the join shuffle-free for the
+    # wrong reason.
+    spark.sql("DROP TABLE IF EXISTS p_orders")
+    spark.sql("DROP TABLE IF EXISTS p_lineitem")
+    orders.write.mode("overwrite").saveAsTable("p_orders")
+    li.withColumnRenamed("l_orderkey", "o_orderkey").write.mode("overwrite").saveAsTable("p_lineitem")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not oio.bucketed_join_is_shuffle_free(spark, "p_orders", "p_lineitem", "o_orderkey")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    spark.sql("DROP TABLE IF EXISTS p_orders")
+    spark.sql("DROP TABLE IF EXISTS p_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
