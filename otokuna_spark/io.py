@@ -103,16 +103,19 @@ def bucketed_join_is_shuffle_free(spark: SparkSession, left_table: str, right_ta
     import contextlib
     import io as _io
 
+    import re as _re
+
     joined = spark.table(left_table).join(spark.table(right_table), key)
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
         joined.explain(mode="formatted")
-    # formatted mode prints shuffle nodes as "Exchange (N)" with
-    # "Arguments: hashpartitioning(...)" on a separate line — match the
-    # argument, not the node label. BroadcastExchange arguments
-    # (HashedRelationBroadcastMode) never contain "hashpartitioning", so a
-    # broadcast join still (correctly) reports shuffle-free.
-    return "hashpartitioning" not in buf.getvalue()
+    # formatted mode prints each node as "(N) <NodeName>"; a shuffle is a
+    # node named exactly "Exchange" (hash, range, or round-robin
+    # partitioning all print under that label), while broadcast joins print
+    # "BroadcastExchange" — so anchoring on the node label catches every
+    # shuffle kind and still (correctly) reports broadcast joins as
+    # shuffle-free.
+    return _re.search(r"^\(\d+\) Exchange\b", buf.getvalue(), _re.M) is None
 
 
 def upsert_by_key(

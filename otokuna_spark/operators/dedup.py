@@ -106,6 +106,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) whose signatures collide in
     >=1 LSH band. Probability of candidacy ~ 1-(1-j^r)^b for Jaccard j,
@@ -115,6 +116,14 @@ def minhash_lsh_pairs(
     on band_key -> distinct pairs. The join is a plain shuffled hash join
     on band keys; hot buckets (boilerplate docs) are handled by AQE skew
     splitting at scale.
+
+    ``materialize=True`` (default) ``localCheckpoint()``s the small pair
+    result so the big bucket cache can be released immediately. Tradeoffs
+    (documented Spark caveats): the call executes EAGERLY, and checkpoint
+    blocks live in executor storage — on executor loss (or dynamic
+    allocation decommission) they are NOT recomputable. Long-lived or
+    dynamically-allocated clusters should pass ``materialize=False`` and
+    manage persistence (or reliable ``checkpoint()``) at the caller.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -146,8 +155,9 @@ def minhash_lsh_pairs(
     # candidate pairs are tiny next to the signature relation — materialize
     # eagerly and release the bucket cache (repeated calls would otherwise
     # accumulate executor storage across a long-lived session)
-    pairs = pairs.localCheckpoint()
-    buckets.unpersist()
+    if materialize:
+        pairs = pairs.localCheckpoint()
+        buckets.unpersist()
     return pairs
 
 
@@ -159,9 +169,13 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float,
     shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold)
-    via inverted-index self-join — never a cross join:
+    via inverted-index self-join — never a cross join.
+
+    ``materialize`` has the same eager-execution / executor-storage
+    fault-tolerance tradeoff as ``minhash_lsh_pairs`` (see its docstring):
 
     explode distinct shingles -> self-join on shingle (inverted index)
     -> count common shingles per pair -> |A∩B| / (|A|+|B|-|A∩B|).
@@ -219,8 +233,9 @@ def ngram_jaccard_pairs(
     )
     # verified pairs are tiny next to the shingle relation — materialize
     # eagerly and release the shingle cache
-    out = out.localCheckpoint()
-    sh.unpersist()
+    if materialize:
+        out = out.localCheckpoint()
+        sh.unpersist()
     return out
 
 
@@ -261,7 +276,8 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_pairs(
-    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -269,6 +285,9 @@ def simhash_pairs(
     chunks; any pair within distance must agree exactly on >=1 chunk, so
     candidates come from equi-joins on chunk values (no cross join), then
     an exact popcount(xor) filter.
+
+    ``materialize`` has the same eager-execution / executor-storage
+    fault-tolerance tradeoff as ``minhash_lsh_pairs`` (see its docstring).
     """
     sig = simhash_signatures(docs, id_col, text_col)
     n_chunks = max_hamming + 1
@@ -312,8 +331,9 @@ def simhash_pairs(
     # materialize the (small) verified pair set eagerly so the banded
     # cache can be released now — otherwise repeated calls accumulate
     # executor cache for relations nothing will read again
-    out = out.localCheckpoint()
-    banded.unpersist()
+    if materialize:
+        out = out.localCheckpoint()
+        banded.unpersist()
     return out
 
 

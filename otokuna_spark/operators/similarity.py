@@ -338,6 +338,7 @@ def lsh_near_dup_pairs_exact(
     scale: float = 1e6,
     seed: int = 7,
     impl: str = "vectorized",
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH near-dup pairs with a fully ORACLE-REPRODUCIBLE plan: both the
     candidate blocking and the verify score are deterministic integer math,
@@ -421,9 +422,13 @@ def lsh_near_dup_pairs_exact(
     )
     # candidate ids are tiny next to the sketch relation — materialize them
     # eagerly and release the band-key cache so repeated calls don't
-    # accumulate executor storage
-    cand = cand.localCheckpoint()
-    keys.unpersist()
+    # accumulate executor storage. materialize=True executes EAGERLY and
+    # stores non-recomputable checkpoint blocks on executors (lost on
+    # executor decommission) — same tradeoff as dedup.minhash_lsh_pairs;
+    # pass False on long-lived/dynamic-allocation clusters.
+    if materialize:
+        cand = cand.localCheckpoint()
+        keys.unpersist()
     if impl == "vectorized":
         pair_dot = _pair_dot_scaled_udf(scale)
         withn = e.withColumn("__n2s", pair_dot(F.col("__v"), F.col("__v")))
@@ -552,7 +557,7 @@ def pq_train(
     n_codes: int = 16,
     sample_rows: int = 2048,
     n_iter: int = 10,
-    id_col: str = "",
+    id_col: str | None = None,
     normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks with seeded Lloyd k-means on a BOUNDED

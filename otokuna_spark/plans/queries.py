@@ -8,11 +8,10 @@ Conventions that make Spark results hash-identical to the DuckDB oracle:
   IEEE-deterministic across engines when the expression tree is identical;
   only SUM's reduction order is not — integers make it associative.
   DuckDB ``SUM(BIGINT)`` returns HUGEINT, so oracles cast back.
-- **Timezone-free time math**: the events table carries nanosecond
-  timestamps (Spark reads them as BIGINT via
-  ``spark.sql.legacy.parquet.nanosAsLong``; DuckDB truncates to
-  microseconds) — all event-time logic uses microsecond BIGINTs
-  (``ts div 1000`` == ``epoch_us(ts)``), immune to session timezones.
+- **Timezone-free time math**: all event-time logic uses microsecond
+  BIGINTs derived from ``ts`` (``_events`` normalizes either a legacy
+  nanosecond-BIGINT or a naive TIMESTAMP column to ``ts_us`` ==
+  DuckDB ``epoch_us(ts)``), immune to session timezones.
 - **Truncation parity**: Spark ``cast(double as long)`` truncates while
   DuckDB CAST rounds — oracles use FLOOR where the plan truncates, and
   pre-round where the plan rounds.
@@ -52,9 +51,24 @@ def register(name: str, oracle: str | None, description: str):
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ns-timestamp column read as BIGINT nanos plus ts_us."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return read_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    """events with a derived microsecond-BIGINT ``ts_us`` column.
+
+    Schema-adaptive: the driver-generated parquet has carried ``ts`` as
+    nanosecond INT64 (read as BIGINT via ``nanosAsLong``) in some rounds and
+    as a naive TIMESTAMP in others. Both normalize to the same epoch-micros
+    BIGINT (== DuckDB ``epoch_us(ts)``): downstream event-time logic stays
+    integer-only and timezone-immune. Session tz is pinned to UTC so the
+    NTZ->TIMESTAMP cast interprets the naive value as UTC, exactly like the
+    oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    else:  # legacy BIGINT nanoseconds
+        ts_us = F.expr("ts div 1000")
+    return ev.withColumn("ts_us", ts_us)
 
 
 # =====================================================================

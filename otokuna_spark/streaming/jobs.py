@@ -106,12 +106,25 @@ def stream_hourly_rollup(
     q.awaitTermination()
 
 
+def to_event_time(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a watermarkable TIMESTAMP.
+
+    Schema-adaptive like plans.queries._events: handles the legacy
+    nanosecond-BIGINT encoding and the current naive-TIMESTAMP one.
+    """
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # legacy nanoseconds
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":  # timestamp_ntz -> session-tz timestamp
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over events parquet; converts the ns-BIGINT ts
-    (nanosAsLong) to a proper TIMESTAMP for watermarking."""
+    """File-source stream over events parquet with ``ts`` normalized to a
+    proper TIMESTAMP for watermarking."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(path)
     reader = spark.readStream.schema(static.schema)
     if os.path.isfile(path):
@@ -120,7 +133,7 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
         stream = reader.parquet(os.path.dirname(path))
     else:
         stream = reader.parquet(path)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return to_event_time(stream)
 
 
 def stream_sliding_rollup(

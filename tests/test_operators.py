@@ -221,15 +221,29 @@ def test_lsh_near_dup_exact_vectorized_matches_codegen(spark):
     assert len(f) >= 4  # the planted near-dups actually surface
 
 
-def test_simhash_pairs_signature_cached(spark):
+def test_simhash_pairs_signature_cached(spark, monkeypatch):
     # banded (the pandas-UDF signature relation) feeds both sides of
-    # n_chunks self-joins — assert it is served from cache, not recomputed
+    # n_chunks self-joins — assert it is served from cache, not recomputed.
     df = spark.createDataFrame(
         [(i, f"some shared boilerplate text plus token{i}") for i in range(20)],
         ["doc_id", "text"],
     )
+    # simhash_pairs returns a localCheckpoint()'d result whose executed plan
+    # is just "Scan ExistingRDD" — the cache is invisible there (and already
+    # released). First assert that materialized/released contract holds:
+    real = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3)
+    assert "ExistingRDD" in real._jdf.queryExecution().executedPlan().toString()
+    # then bypass checkpoint+unpersist to inspect the PRE-checkpoint plan,
+    # which must serve both self-join sides from the banded cache.
+    # (patch the RUNTIME class — pyspark.sql.DataFrame is the abstract
+    # parent in Spark 4; instances are classic.dataframe.DataFrame)
+    cls = type(df)
+    monkeypatch.setattr(cls, "localCheckpoint", lambda self, eager=True: self)
+    monkeypatch.setattr(cls, "unpersist", lambda self, blocking=False: self)
     pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.undo()
+    spark.catalog.clearCache()
     assert "InMemoryTableScan" in plan
 
 

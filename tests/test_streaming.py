@@ -19,9 +19,7 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
     jobs.stream_hourly_rollup(spark, stream, out, ckpt, watermark="0 seconds")
     got = spark.read.parquet(out)
 
-    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = jobs.to_event_time(spark.read.parquet(os.path.join(SF_DIR, "events.parquet")))
     want = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
@@ -118,9 +116,7 @@ def test_stream_sliding_rollup_matches_batch(spark, tmp_path):
     jobs.stream_sliding_rollup(spark, stream, out, ckpt, watermark="0 seconds")
     got = spark.read.parquet(out)
 
-    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = jobs.to_event_time(spark.read.parquet(os.path.join(SF_DIR, "events.parquet")))
     want = (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
@@ -184,9 +180,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     jobs.stream_stream_interval_join(left, right, out, ckpt)
     got = spark.read.parquet(out)
 
-    ev = spark.read.parquet(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = jobs.to_event_time(spark.read.parquet(path))
     l = ev.where(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_event_id")
     )
@@ -218,9 +212,7 @@ def test_stream_session_rollup_matches_batch(spark, tmp_path):
     jobs.stream_session_rollup(spark, stream, out, ckpt, gap="30 minutes", watermark="0 seconds")
     got = spark.read.parquet(out)
 
-    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = jobs.to_event_time(spark.read.parquet(os.path.join(SF_DIR, "events.parquet")))
     want = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
