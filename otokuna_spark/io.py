@@ -118,6 +118,70 @@ def bucketed_join_is_shuffle_free(spark: SparkSession, left_table: str, right_ta
     return _re.search(r"^\(\d+\) Exchange\b", buf.getvalue(), _re.M) is None
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL source with explicit-schema discipline for training-data lakes.
+
+    - With ``schema`` (DDL string): schema-on-read, NO inference pass —
+      at 100 TB an inference pass is a full extra scan of the lake. The
+      PERMISSIVE mode routes malformed lines into ``corrupt_col`` instead
+      of failing the job (drop or quarantine them downstream; a 10^11-line
+      crawl always has a few). Spark refuses a query that references ONLY
+      ``corrupt_col`` on the raw relation — ``cache()`` the DataFrame
+      before splitting it into good/quarantine branches.
+    - Without ``schema``: falls back to sampled inference (fine for
+      exploration, not for production jobs).
+    """
+    reader = spark.read
+    if schema is not None:
+        full = f"{schema}, {corrupt_col} STRING" if corrupt_col else schema
+        reader = reader.schema(full).option("mode", "PERMISSIVE")
+        if corrupt_col:
+            reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str,
+    sort_within: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Deterministic sharded output for a training dataloader.
+
+    - ``repartition(n_shards, hash(shard_key))``: each output file set is a
+      stable function of the DATA, not of input partitioning or executor
+      count — rerunning the job yields the same doc->shard assignment, so
+      a training run can resume against regenerated shards.
+    - ``sortWithinPartitions``: deterministic row order inside each shard
+      (dataloaders that stream a shard sequentially see a stable order;
+      sorting by a low-cardinality prefix also improves parquet RLE).
+    - ``maxRecordsPerFile`` caps file size without another shuffle — a
+      shard splits into k sequentially-numbered files when it exceeds the
+      cap, keeping any single file loadable.
+
+    One shuffle total. At 100 TB pick n_shards >> max executors so the
+    write parallelizes, and a shard_key with uniform hash spread (doc id,
+    not language).
+    """
+    from pyspark.sql import functions as F
+
+    out = df.repartition(n_shards, F.col(shard_key))
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    w = out.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.format(fmt).save(path)
+
+
 def upsert_by_key(
     spark: SparkSession,
     path: str,

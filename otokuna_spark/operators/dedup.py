@@ -99,6 +99,39 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The ``(__id, band_key)`` LSH bucket relation: band_key =
+    md5(band_idx | h_i..h_j) over the per-band minhash lanes.
+
+    This is the PERSISTABLE SIGNATURE STORE for incremental dedup: write it
+    out alongside an accepted corpus and later batches (computed with the
+    SAME num_hashes/bands/shingle_k) join against it by ``band_key`` without
+    ever re-reading corpus text. Also the shared candidate-generation step
+    of ``minhash_lsh_pairs``.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    return banded.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -126,24 +159,14 @@ def minhash_lsh_pairs(
     manage persistence (or reliable ``checkpoint()``) at the caller.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     # the banded/bucket relation feeds BOTH sides of the self-join; persist
     # it so the shingle->md5->min pipeline runs once, not twice (at cluster
     # scale: MEMORY_AND_DISK spills rather than recomputing)
-    band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(id_col, *band_cols)
     from pyspark import StorageLevel
 
-    buckets = banded.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = minhash_band_keys(docs, id_col, text_col, num_hashes, bands, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     left = buckets.alias("a")
     right = buckets.alias("b")
     pairs = (
@@ -471,3 +494,59 @@ def near_dup_dedup(
     clusters = cluster_pairs(verified)
     losers = clusters.where(F.col("node") != F.col("cluster")).select(F.col("node").alias(id_col))
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_near_dup_filter(
+    new_docs: DataFrame,
+    corpus_band_keys: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an INCOMING batch against an already-accepted corpus without
+    re-reading corpus text — the daily-ingest shape at 100 TB, where
+    re-running near_dup_dedup over (corpus + batch) would rescan the whole
+    corpus every day.
+
+    ``corpus_band_keys`` is the persisted ``minhash_band_keys`` relation of
+    the accepted corpus (same num_hashes/bands/shingle_k — the keys must
+    come from the same scheme to be joinable). Steps:
+
+    1. corpus filter: drop batch docs whose band keys collide with ANY
+       stored corpus key (left_anti on band_key). This is CANDIDATE-level —
+       conservative (LSH false positives drop some non-dups) because the
+       store carries no text to verify against; keep corpus signatures or
+       text around if verify-level precision is required.
+    2. batch-internal dedup: full verify-level ``near_dup_dedup`` among the
+       survivors.
+    3. returns ``(kept_docs, kept_band_keys)``; append ``kept_band_keys``
+       to the store for the next batch. Keys for the batch are computed
+       ONCE and reused for both the corpus join and the returned store
+       delta.
+
+    Scale shape: the corpus relation participates only in one equi-join on
+    band_key (shuffle ~ |batch keys| + matched store partitions; with the
+    store bucketed by band_key the exchange on its side disappears), never
+    a scan of corpus text.
+    """
+    from pyspark import StorageLevel
+
+    keys_new = minhash_band_keys(new_docs, id_col, text_col, num_hashes, bands, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dup_ids = (
+        keys_new.join(corpus_band_keys.select("band_key"), on="band_key", how="leftsemi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    survivors = new_docs.join(dup_ids, on=id_col, how="left_anti")
+    kept = near_dup_dedup(
+        survivors, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_k
+    )
+    kept_keys = keys_new.join(
+        kept.select(F.col(id_col).alias("__id")), on="__id", how="leftsemi"
+    )
+    return kept, kept_keys

@@ -537,7 +537,9 @@ _MINHASH_K = 16
 _MINHASH_BANDS = 8  # 8 bands x 2 rows: catches moderate-similarity pairs
 
 
-def _minhash_oracle() -> str:
+def _minhash_buckets_cte() -> str:
+    """Shared CTE chain ending in buckets(doc_id, band_key) — the SQL twin
+    of dedup.minhash_band_keys (same md5-lane minhashes, same band md5)."""
     rows = _MINHASH_K // _MINHASH_BANDS
     band_exprs = []
     for b in range(_MINHASH_BANDS):
@@ -545,8 +547,7 @@ def _minhash_oracle() -> str:
         band_exprs.append(f"md5('{b}' || '|' || {parts}) AS band{b}")
     band_cols = ", ".join(band_exprs)
     band_list = ", ".join(f"band{b}" for b in range(_MINHASH_BANDS))
-    return f"""
-    WITH {_SH_CTE},
+    return f"""{_SH_CTE},
     hashes AS (
         SELECT doc_id, i,
                MIN(substring(md5(CAST(i // 4 AS VARCHAR) || ':' || shingle), (i % 4) * 8 + 1, 8)) AS h
@@ -557,7 +558,12 @@ def _minhash_oracle() -> str:
     banded AS (SELECT doc_id, {band_cols} FROM sig),
     buckets AS (
         SELECT doc_id, UNNEST([{band_list}]) AS band_key FROM banded
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_buckets_cte()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM buckets a JOIN buckets b USING (band_key)
     WHERE a.doc_id < b.doc_id
@@ -2885,4 +2891,42 @@ def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("share_ppm", F.expr("num_c * 1000000 div den_c"))
         .orderBy("o_year")
+    )
+
+
+def _q78_oracle() -> str:
+    return f"""
+    WITH {_minhash_buckets_cte()},
+    seen AS (SELECT DISTINCT band_key FROM buckets WHERE doc_id % 2 = 0),
+    newb AS (SELECT doc_id, band_key FROM buckets WHERE doc_id % 2 = 1)
+    SELECT doc_id, CAST(COUNT(DISTINCT band_key) AS BIGINT) AS n_bands_hit
+    FROM newb JOIN seen USING (band_key)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q78_incremental_dedup",
+    _q78_oracle(),
+    "Incremental corpus dedup (dedup.incremental_near_dup_filter's corpus-"
+    "collision step): an incoming batch (odd doc_ids) joins its MinHash "
+    "band keys against the persisted signature store of the accepted "
+    "corpus (even doc_ids) — flags each batch doc colliding with the "
+    "corpus and how many bands hit, WITHOUT reading corpus text. The "
+    "store-side relation is (id, band_key) only; bucketing it by band_key "
+    "removes its exchange at scale",
+)
+def q78_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = dedup.minhash_band_keys(seen, "doc_id", "text", _MINHASH_K, _MINHASH_BANDS, 3)
+    keys_new = dedup.minhash_band_keys(new, "doc_id", "text", _MINHASH_K, _MINHASH_BANDS, 3)
+    return (
+        keys_new.join(store.select("band_key").distinct(), on="band_key")
+        .groupBy("__id")
+        .agg(F.count_distinct("band_key").alias("n_bands_hit"))
+        .select(F.col("__id").alias("doc_id"), "n_bands_hit")
+        .orderBy("doc_id")
     )

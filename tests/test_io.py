@@ -160,3 +160,63 @@ def test_upsert_recovers_from_crash_between_renames(spark, tmp_path, monkeypatch
     assert got == {(1, "a"), (2, "B"), (3, "c")}
     assert not os.path.exists(path + "__upsert_old")
     assert not os.path.exists(path + "__upsert_tmp")
+
+
+def test_read_jsonl_explicit_schema_quarantines_corrupt(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'this line is not json\n'
+        '{"doc_id": 2, "text": "second"}\n'
+    )
+    df = oio.read_jsonl(spark, str(p), schema="doc_id BIGINT, text STRING")
+    # Spark disallows filtering on ONLY the corrupt column of an uncached
+    # json relation (it would force a re-parse) — cache before the split
+    df = df.cache()
+    # malformed line lands in _corrupt_record, never fails the job
+    good = df.where("_corrupt_record IS NULL")
+    bad = df.where("_corrupt_record IS NOT NULL")
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
+    # explicit schema means NO inference scan: the read schema is exactly
+    # what was declared (plus the quarantine column)
+    assert [f.name for f in df.schema.fields] == ["doc_id", "text", "_corrupt_record"]
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    import glob
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", i % 7) for i in range(1000)], ["doc_id", "text", "grp"]
+    )
+    out1 = str(tmp_path / "shards1")
+    out2 = str(tmp_path / "shards2")
+    # two writes from DIFFERENT input partitionings must produce the same
+    # doc->shard assignment and in-shard order
+    oio.write_training_shards(df.repartition(3), out1, n_shards=8, shard_key="doc_id",
+                              sort_within=["doc_id"])
+    oio.write_training_shards(df.repartition(11), out2, n_shards=8, shard_key="doc_id",
+                              sort_within=["doc_id"])
+
+    def shard_contents(out):
+        files = sorted(glob.glob(out + "/part-*"))
+        assert len(files) == 8
+        return [tuple(r.doc_id for r in spark.read.parquet(f).collect()) for f in files]
+
+    assert shard_contents(out1) == shard_contents(out2)
+    total = spark.read.parquet(out1).count()
+    assert total == 1000
+
+
+def test_write_training_shards_max_records_splits_files(spark, tmp_path):
+    import glob
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    out = str(tmp_path / "capped")
+    oio.write_training_shards(df, out, n_shards=2, shard_key="doc_id",
+                              max_records_per_file=10)
+    files = glob.glob(out + "/part-*")
+    # 2 shards x ~50 rows at <=10 rows/file -> ~10 files, none over the cap
+    assert len(files) >= 10
+    for f in files:
+        assert spark.read.parquet(f).count() <= 10

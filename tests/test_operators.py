@@ -200,6 +200,37 @@ def test_near_dup_dedup_end_to_end(spark):
     assert ids == [10, 20]
 
 
+def test_incremental_near_dup_filter(spark):
+    """Two-day ingest: day-2 batch is filtered against day-1's persisted
+    band-key store; the returned store delta catches day-3 dups of day-2
+    docs — corpus text is never re-read."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"])
+    # the store MUST be computed with the same scheme the filter uses
+    # (band keys from different num_hashes/bands never collide)
+    store = dedup.minhash_band_keys(corpus, "doc_id", "text", num_hashes=16, bands=8)
+
+    fresh = "red orange yellow green blue indigo violet black white gray pink teal"
+    batch = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy of corpus doc -> dropped
+            (11, base.replace("mu", "nu")),  # near-dup of corpus doc -> dropped
+            (12, fresh),                     # genuinely new -> kept
+            (13, fresh.replace("teal", "cyan")),  # near-dup WITHIN batch -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    kept, delta = dedup.incremental_near_dup_filter(batch, store, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12]
+    # the delta is joinable with the store scheme: a day-3 dup of doc 12
+    # collides with the UPDATED store even though it never saw day-2 text
+    updated = store.unionByName(delta)
+    day3 = spark.createDataFrame([(20, fresh), (21, other)], ["doc_id", "text"])
+    kept3, _ = dedup.incremental_near_dup_filter(day3, updated, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept3.collect()) == []
+
+
 def test_lsh_near_dup_exact_vectorized_matches_codegen(spark):
     # the vectorized (numpy) and codegen (HOF/explode-join) formulations
     # must produce bit-identical pair sets — both are floor-scaled integer

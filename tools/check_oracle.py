@@ -4,7 +4,12 @@ Runs every REGISTRY query on Spark and its oracle on DuckDB over the same
 sf dir, compares row counts, column names/types (loosely), and values
 (order-insensitive, columns sorted by name). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--record out.json] [sf_dir] [query ...]
+
+``--record`` writes a driver-format JSON (rows/schema/hash per query).
+The driver's own gate caps at 50 queries per round; the committed
+CORRECTNESS_LOCAL.json produced by this flag is the full-registry
+evidence for everything past that cap.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ def norm_cell(v):
     return str(v)
 
 
-def run(sf_dir: str, names: list[str]) -> int:
+def run(sf_dir: str, names: list[str], record_path: str | None = None) -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TPCH_TABLES:
@@ -40,6 +45,16 @@ def run(sf_dir: str, names: list[str]) -> int:
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = 0
+    results: dict[str, dict] = {}
+
+    def rec(name, **kw):
+        row = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        row.update(kw)
+        results[name] = row
+
     for name in names:
         spec = REGISTRY[name]
         try:
@@ -48,10 +63,12 @@ def run(sf_dir: str, names: list[str]) -> int:
             spark_cols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            rec(name, err=f"spark error: {e}")
             failures += 1
             continue
         if spec.oracle is None:
             print(f"ok   {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            rec(name, spark_rows=len(spark_rows), err="no_oracle")
             continue
         try:
             ddf = con.sql(spec.oracle)
@@ -59,14 +76,21 @@ def run(sf_dir: str, names: list[str]) -> int:
             duck_rows = ddf.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            rec(name, spark_rows=len(spark_rows), err=f"duckdb error: {e}")
             failures += 1
             continue
-        if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
+        n_s, n_d = len(spark_rows), len(duck_rows)
+        schema_ok = sorted(c.lower() for c in spark_cols) == sorted(c.lower() for c in duck_cols)
+        if not schema_ok:
             print(f"FAIL {name}: columns differ spark={spark_cols} duck={duck_cols}")
+            rec(name, rows_match=(n_s == n_d), schema_match=False,
+                spark_rows=n_s, oracle_rows=n_d)
             failures += 1
             continue
-        if len(spark_rows) != len(duck_rows):
-            print(f"FAIL {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if n_s != n_d:
+            print(f"FAIL {name}: rowcount spark={n_s} duck={n_d}")
+            rec(name, rows_match=False, schema_match=True, hash_match=False,
+                spark_rows=n_s, oracle_rows=n_d)
             failures += 1
             continue
         order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i].lower())
@@ -76,14 +100,29 @@ def run(sf_dir: str, names: list[str]) -> int:
         if s_set != d_set:
             diff = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]
             print(f"FAIL {name}: values differ; first diffs {diff}")
+            rec(name, rows_match=True, schema_match=True, hash_match=False,
+                spark_rows=n_s, oracle_rows=n_d)
             failures += 1
             continue
-        print(f"PASS {name} ({len(spark_rows)} rows)")
+        print(f"PASS {name} ({n_s} rows)")
+        rec(name, rows_match=True, schema_match=True, hash_match=True,
+            spark_rows=n_s, oracle_rows=n_d)
+    if record_path:
+        import json
+
+        with open(record_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {record_path} ({len(results)} queries)")
     return failures
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    record = None
+    if "--record" in args:
+        i = args.index("--record")
+        record = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or list(REGISTRY)
-    sys.exit(1 if run(sf_dir, names) else 0)
+    sys.exit(1 if run(sf_dir, names, record_path=record) else 0)
