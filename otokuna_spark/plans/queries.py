@@ -2930,3 +2930,127 @@ def q78_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("__id").alias("doc_id"), "n_bands_hit")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q79_table_profile",
+    """
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_custkey) AS nn_ck, COUNT(DISTINCT o_custkey) AS nd_ck,
+               MIN(o_custkey) AS mn_ck, MAX(o_custkey) AS mx_ck,
+               COUNT(o_totalprice) AS nn_tp, COUNT(DISTINCT o_totalprice) AS nd_tp,
+               CAST(FLOOR(MIN(o_totalprice) * 100.0) AS BIGINT) AS mn_tp,
+               CAST(FLOOR(MAX(o_totalprice) * 100.0) AS BIGINT) AS mx_tp,
+               COUNT(o_orderstatus) AS nn_os, COUNT(DISTINCT o_orderstatus) AS nd_os,
+               MIN(o_orderstatus) AS mn_os, MAX(o_orderstatus) AS mx_os,
+               COUNT(o_orderdate) AS nn_od, COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS nd_od,
+               CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn_od,
+               CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx_od
+        FROM orders
+    )
+    SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v
+    FROM (
+        SELECT 'o_custkey' AS col_name, n, n - nn_ck AS n_null, nd_ck AS n_distinct,
+               CAST(mn_ck AS VARCHAR) AS min_v, CAST(mx_ck AS VARCHAR) AS max_v FROM a
+        UNION ALL
+        SELECT 'o_totalprice', n, n - nn_tp, nd_tp,
+               CAST(mn_tp AS VARCHAR), CAST(mx_tp AS VARCHAR) FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', n, n - nn_os, nd_os, mn_os, mx_os FROM a
+        UNION ALL
+        SELECT 'o_orderdate', n, n - nn_od, nd_od, mn_od, mx_od FROM a
+    )
+    ORDER BY col_name
+    """,
+    "One-pass table profiling (data-quality primitive): row count, null "
+    "count, exact distinct count, min/max per profiled column computed in "
+    "a SINGLE global aggregation over one scan, then unpivoted to one row "
+    "per column with stack() — at 100 TB the profile costs one pass, not "
+    "one pass per column. Portability: double min/max floor-scaled to "
+    "BIGINT, timestamps truncated to ISO date strings",
+)
+def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    o = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"], double_scale=100.0
+    )
+
+
+def _q80_oracle() -> str:
+    # reuse the exact q26 quality formula as a subquery, then bucket by
+    # exact interpolated quartile cutpoints (quantile_cont == Spark
+    # F.percentile — parity proven by q06/q09)
+    return f"""
+    WITH qual AS ({_quality_oracle()}),
+    tok AS (SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents),
+    cuts AS (
+        SELECT quantile_cont(quality_m, 0.25) AS c25,
+               quantile_cont(quality_m, 0.50) AS c50,
+               quantile_cont(quality_m, 0.75) AS c75
+        FROM qual
+    ),
+    phased AS (
+        SELECT q.doc_id, q.quality_m, t.n_tokens,
+               CASE WHEN q.quality_m >= c.c75 THEN 1
+                    WHEN q.quality_m >= c.c50 THEN 2
+                    WHEN q.quality_m >= c.c25 THEN 3
+                    ELSE 4 END AS phase
+        FROM qual q JOIN tok t USING (doc_id) CROSS JOIN cuts c
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(quality_m) AS min_quality_m,
+           MAX(quality_m) AS max_quality_m,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM phased
+    GROUP BY phase
+    ORDER BY phase
+    """
+
+
+@register(
+    "q80_curriculum_phases",
+    _q80_oracle(),
+    "Curriculum assignment for staged pretraining: docs bucketed into 4 "
+    "phases by EXACT quality-score quartiles (best quality = phase 1), "
+    "with doc/token counts per phase. Scale shape: one agg pass computes "
+    "the three cutpoints, broadcast back as scalars (q06's percentile "
+    "device) — a quantile-cutpoint bucketing, NOT a global-sort NTILE, so "
+    "no single-partition window at 100 TB",
+)
+def q80_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    qual = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("__t")).select(
+        "doc_id",
+        F.floor(T.quality_score_raw_tokens(F.col("text"), F.col("__t")) * 1000000.0)
+        .cast("long")
+        .alias("quality_m"),
+        F.size("__t").cast("long").alias("n_tokens"),
+    )
+    cuts = qual.agg(
+        F.percentile("quality_m", 0.25).alias("c25"),
+        F.percentile("quality_m", 0.50).alias("c50"),
+        F.percentile("quality_m", 0.75).alias("c75"),
+    )
+    phased = qual.crossJoin(F.broadcast(cuts)).withColumn(
+        "phase",
+        F.when(F.col("quality_m") >= F.col("c75"), F.lit(1))
+        .when(F.col("quality_m") >= F.col("c50"), F.lit(2))
+        .when(F.col("quality_m") >= F.col("c25"), F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long"),
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality_m").alias("min_quality_m"),
+            F.max("quality_m").alias("max_quality_m"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("phase")
+    )

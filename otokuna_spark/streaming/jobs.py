@@ -314,3 +314,61 @@ def stream_upsert_serving(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    output_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> None:
+    """Streaming corpus ingest with near-dup suppression — the streaming
+    twin of ``dedup.incremental_near_dup_filter``: each micro-batch is
+    deduped within itself (verify-level) AND against every previously
+    accepted document via the persisted band-key store at ``store_path``;
+    kept docs append to ``output_path``, their band keys append to the
+    store. Corpus text is never re-read — per-batch cost is the batch's
+    own signatures plus one equi-join against the store.
+
+    The file-source checkpoint gives exactly-once BATCH tracking, but the
+    two appends (docs + store) are not atomic together: a crash between
+    them can leave a batch's docs accepted with keys missing, so a
+    restarted run may admit a near-dup of that batch. At real scale make
+    the store a transactional table and write both in one commit.
+    """
+    from ..operators.dedup import incremental_near_dup_filter
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        import os as _os
+
+        if _os.path.exists(store_path):
+            store = sp.read.parquet(store_path)
+        else:
+            id_type = batch_df.schema[id_col].dataType.simpleString()
+            store = sp.createDataFrame([], f"__id {id_type}, band_key string")
+        kept, delta = incremental_near_dup_filter(
+            batch_df, store, id_col, text_col,
+            jaccard_threshold, num_hashes, bands, shingle_k,
+        )
+        # kept feeds BOTH writes (docs now, keys next) — persist so the
+        # LSH/verify pipeline runs once per batch
+        kept = kept.persist()
+        kept.write.mode("append").parquet(output_path)
+        delta.write.mode("append").parquet(store_path)
+        kept.unpersist()
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -458,3 +458,31 @@ def test_pq_adc_topk_precoded_corpus_matches(spark):
     a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in live.collect()}
     b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in cached.collect()}
     assert a == b
+
+
+def test_profile_table_exact_and_approx(spark):
+    from otokuna_spark.operators.profile import profile_table
+
+    rows = [(1, 10.0, "a"), (2, None, "b"), (3, 25.5, None), (None, 30.0, "b")]
+    df = spark.createDataFrame(rows, "k BIGINT, v DOUBLE, s STRING")
+    got = {r["col_name"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["k"]["n"] == 4 and got["k"]["n_null"] == 1 and got["k"]["n_distinct"] == 3
+    assert got["k"]["min_v"] == "1" and got["k"]["max_v"] == "3"
+    # double min/max floor-scaled (default *100) for cross-engine stability
+    assert got["v"]["min_v"] == "1000" and got["v"]["max_v"] == "3000"
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_v"] == "a" and got["s"]["max_v"] == "b"
+
+    # approx mode: HLL distinct within rsd of exact on a wider table; the
+    # rest of the profile row is identical
+    wide = spark.range(10_000).selectExpr("id AS k", "CAST(id % 997 AS DOUBLE) AS v")
+    exact = {r["col_name"]: r.asDict() for r in profile_table(wide).collect()}
+    approx = {
+        r["col_name"]: r.asDict()
+        for r in profile_table(wide, approx=True, approx_rsd=0.01).collect()
+    }
+    for c in ("k", "v"):
+        assert approx[c]["n"] == exact[c]["n"]
+        assert approx[c]["n_null"] == exact[c]["n_null"]
+        assert approx[c]["min_v"] == exact[c]["min_v"]
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= 0.05 * exact[c]["n_distinct"]

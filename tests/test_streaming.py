@@ -267,3 +267,44 @@ def test_stream_upsert_serving_across_batches(spark, tmp_path):
     run()
     got2 = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
     assert got2 == {"a": "a3", "b": "b1", "c": "c1"}
+
+
+def test_stream_incremental_dedup_across_batches(spark, tmp_path):
+    """foreachBatch incremental ingest: near-dups are suppressed within a
+    micro-batch, across micro-batches, and the band-key store grows only
+    with accepted docs."""
+    import json
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    out = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt_inc")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    fresh = "red orange yellow green blue indigo violet black white gray pink teal"
+
+    def run():
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+        jobs.stream_incremental_dedup(spark, stream, out, store, ckpt)
+
+    with open(src / "b1.json", "w") as f:
+        for r in [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("mu", "nu")},  # within-batch near-dup
+            {"doc_id": 3, "text": fresh},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    run()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3]
+
+    with open(src / "b2.json", "w") as f:
+        for r in [
+            {"doc_id": 10, "text": base},        # cross-batch dup of doc 1
+            {"doc_id": 11, "text": "one two three four five six seven eight nine ten eleven twelve"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    run()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11]
+    # store contains keys for exactly the accepted docs
+    assert {r["__id"] for r in spark.read.parquet(store).collect()} == {1, 3, 11}
