@@ -3054,3 +3054,43 @@ def q80_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+@register(
+    "q81_json_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "Semi-structured column surface: per-type stats over a JSON property "
+    "extracted from the events.props string column. Spark side uses "
+    "get_json_object (codegen JSON path, no Python); schema-on-read of "
+    "loosely-typed payloads without a parse UDF. At scale prefer "
+    "from_json with an explicit schema once the payload stabilizes — "
+    "single parse per row feeding many fields",
+)
+def q81_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
