@@ -366,6 +366,28 @@ def test_word_occurrence_count_whole_word_nonoverlapping(spark):
     assert (row.n, row.n2) == (3, 1)
 
 
+def test_text_convenience_wrappers_match_tokenized_forms(spark):
+    # the one-arg ergonomic API (lang_id, quality_score, occurrence_count)
+    # must agree with the projected-tokens forms the registry queries use
+    from otokuna_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("the quick brown fox. and the lazy dog, le chat!",), ("der die das und ist nicht",)],
+        ["s"],
+    )
+    rows = df.select(
+        T.lang_id(F.col("s")).alias("a"),
+        T.lang_id_tokens(T.tokens(F.col("s"))).alias("b"),
+        T.quality_score(F.col("s")).alias("qa"),
+        F.round(T.quality_score_raw_tokens(F.col("s"), T.tokens(F.col("s"))), 6).alias("qb"),
+        T.occurrence_count(F.col("s"), "the").alias("oc"),
+    ).collect()
+    for r in rows:
+        assert r.a == r.b
+        assert r.qa == r.qb
+    assert rows[0].oc == 2  # substring count: 'the' in 'the' x2 (not whole-word)
+
+
 def test_blocked_near_dup_pairs_exact_matches_brute_force(spark):
     """The generic bring-your-own-blocking-key exact verifier: within-block
     pairs >= threshold must equal a brute-force scaled-int cosine over the

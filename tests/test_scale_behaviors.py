@@ -64,3 +64,54 @@ def test_aqe_coalesces_small_partitions(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan or "CoalescedShuffleRead" in plan, plan[:1500]
+
+
+def test_percentile_approx_within_documented_tolerance(spark):
+    """The documented 100 TB swap for exact percentile (README scale
+    notes): percentile_approx at accuracy=10000 stays within 0.1% rank
+    error of F.percentile on a 100k-row skewed distribution — the bound a
+    caller relies on when trading the exact single-pass agg for the
+    mergeable sketch."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100_000).selectExpr("CAST(id * id AS DOUBLE) AS v")  # skewed
+    row = df.agg(
+        F.percentile("v", 0.99).alias("exact"),
+        F.percentile_approx("v", 0.99, 10000).alias("approx"),
+    ).collect()[0]
+    # rank-error bound: approx value must sit between the exact values at
+    # quantiles 0.989 and 0.991
+    lo, hi = df.agg(
+        F.percentile("v", 0.989), F.percentile("v", 0.991)
+    ).collect()[0]
+    assert lo <= row.approx <= hi
+
+
+def test_incremental_dedup_store_scan_prunes_to_band_key(spark, tmp_path):
+    """incremental_near_dup_filter's corpus side participates only via the
+    band_key column of the persisted store: with a store table carrying
+    extra columns (e.g. provenance), the parquet scan prunes to band_key
+    alone — corpus text/metadata is never re-read, which is what makes
+    daily ingest O(batch), not O(corpus)."""
+    import re
+
+    from otokuna_spark.operators import dedup
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    store_path = str(tmp_path / "store")
+    dedup.minhash_band_keys(corpus, "doc_id", "text", 16, 8).withColumn(
+        "provenance", F.lit("crawl-2026-08-13/shard-000042")
+    ).write.parquet(store_path)
+
+    batch = spark.createDataFrame([(2, "h i j k l m n")], ["doc_id", "text"])
+    kept, _ = dedup.incremental_near_dup_filter(
+        batch, spark.read.parquet(store_path), "doc_id", "text"
+    )
+    kept.collect()
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    store_schemas = [
+        s for s in re.findall(r"ReadSchema: (\S+)", plan) if "band_key" in s
+    ]
+    assert store_schemas, plan[:1500]
+    for s in store_schemas:
+        assert "provenance" not in s and "__id" not in s, s
