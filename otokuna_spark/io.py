@@ -182,6 +182,32 @@ def write_training_shards(
     w.format(fmt).save(path)
 
 
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "Column"],
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet write with audit metrics computed DURING the write job via
+    the Observation API — row counts, null counts, domain checks ride the
+    single write pass instead of a follow-up scan (at 100 TB the usual
+    "write, then count what we wrote" pattern doubles the most expensive
+    job of the day).
+
+    ``metrics`` maps metric name -> aggregate Column (e.g.
+    ``{"n": F.count(F.lit(1)), "null_keys": F.sum(F.col("k").isNull()
+    .cast("long"))}``). Returns the observed values after the write
+    completes. Metrics must be aggregates Observation supports (no
+    distinct aggregates)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    write_parquet(observed, path, partition_by=partition_by, mode=mode)
+    return obs.get
+
+
 def upsert_by_key(
     spark: SparkSession,
     path: str,

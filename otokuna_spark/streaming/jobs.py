@@ -333,37 +333,26 @@ def stream_incremental_dedup(
     twin of ``dedup.incremental_near_dup_filter``: each micro-batch is
     deduped within itself (verify-level) AND against every previously
     accepted document via the persisted band-key store at ``store_path``;
-    kept docs append to ``output_path``, their band keys append to the
-    store. Corpus text is never re-read — per-batch cost is the batch's
-    own signatures plus one equi-join against the store.
+    kept docs land under ``output_path/batch=<id>``, their band keys under
+    ``store_path/batch=<id>``. Corpus text is never re-read — per-batch
+    cost is the batch's own signatures plus one equi-join against the
+    store.
 
-    The file-source checkpoint gives exactly-once BATCH tracking, but the
-    two appends (docs + store) are not atomic together: a crash between
-    them can leave a batch's docs accepted with keys missing, so a
-    restarted run may admit a near-dup of that batch. At real scale make
-    the store a transactional table and write both in one commit.
+    Idempotence: foreachBatch may REPLAY a batch after a crash (the sink is
+    responsible for exactly-once). Each batch writes into its own
+    ``batch=<id>`` partition with overwrite, and the store read EXCLUDES
+    the current batch's partition — so a replay rewrites the same
+    directories (no appended duplicates) and never collides with its own
+    keys from the failed attempt. Readers just read the root (partition
+    discovery). At real scale a transactional table commits both writes in
+    one txn instead.
     """
-    from ..operators.dedup import incremental_near_dup_filter
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        import os as _os
-
-        if _os.path.exists(store_path):
-            store = sp.read.parquet(store_path)
-        else:
-            id_type = batch_df.schema[id_col].dataType.simpleString()
-            store = sp.createDataFrame([], f"__id {id_type}, band_key string")
-        kept, delta = incremental_near_dup_filter(
-            batch_df, store, id_col, text_col,
+        ingest_dedup_batch(
+            batch_df, batch_id, output_path, store_path, id_col, text_col,
             jaccard_threshold, num_hashes, bands, shingle_k,
         )
-        # kept feeds BOTH writes (docs now, keys next) — persist so the
-        # LSH/verify pipeline runs once per batch
-        kept = kept.persist()
-        kept.write.mode("append").parquet(output_path)
-        delta.write.mode("append").parquet(store_path)
-        kept.unpersist()
 
     q = (
         docs_stream.writeStream.foreachBatch(ingest_batch)
@@ -372,3 +361,48 @@ def stream_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> None:
+    """One idempotent micro-batch of ``stream_incremental_dedup`` (the
+    foreachBatch body, callable directly for replay testing / backfills):
+    filter ``batch_df`` against every OTHER batch's band keys, then
+    overwrite this batch's own ``batch=<id>`` partitions in the output and
+    the store."""
+    from ..operators.dedup import incremental_near_dup_filter
+
+    sp = batch_df.sparkSession
+    import os as _os
+
+    if _os.path.exists(store_path):
+        store = sp.read.parquet(store_path)
+        # a replayed batch must not collide with its own keys from the
+        # crashed attempt — exclude the current batch partition (pruned
+        # at the scan, so this costs nothing)
+        if "batch" in store.columns:
+            store = store.where(F.col("batch") != batch_id)
+        store = store.select("__id", "band_key")
+    else:
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        store = sp.createDataFrame([], f"__id {id_type}, band_key string")
+    kept, delta = incremental_near_dup_filter(
+        batch_df, store, id_col, text_col,
+        jaccard_threshold, num_hashes, bands, shingle_k,
+    )
+    # kept feeds BOTH writes (docs now, keys next) — persist so the
+    # LSH/verify pipeline runs once per batch
+    kept = kept.persist()
+    kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+    delta.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+    kept.unpersist()

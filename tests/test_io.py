@@ -220,3 +220,23 @@ def test_write_training_shards_max_records_splits_files(spark, tmp_path):
     assert len(files) >= 10
     for f in files:
         assert spark.read.parquet(f).count() <= 10
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (None, "d")], "k BIGINT, v STRING"
+    )
+    out = str(tmp_path / "observed")
+    got = oio.write_with_metrics(
+        df,
+        out,
+        {
+            "n": F.count(F.lit(1)),
+            "null_k": F.sum(F.col("k").isNull().cast("long")),
+            "max_k": F.max("k"),
+        },
+    )
+    assert got == {"n": 4, "null_k": 1, "max_k": 3}
+    assert spark.read.parquet(out).count() == 4

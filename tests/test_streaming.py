@@ -308,3 +308,15 @@ def test_stream_incremental_dedup_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11]
     # store contains keys for exactly the accepted docs
     assert {r["__id"] for r in spark.read.parquet(store).collect()} == {1, 3, 11}
+
+    # REPLAY: foreachBatch re-delivers batch 1 after a simulated crash
+    # (same batch id, same data). The batch=1 partitions must be
+    # rewritten, not appended, and the batch must not collide with its
+    # own keys from the first attempt — state is unchanged.
+    b2 = spark.createDataFrame(
+        [(10, base), (11, "one two three four five six seven eight nine ten eleven twelve")],
+        ["doc_id", "text"],
+    )
+    jobs.ingest_dedup_batch(b2, 1, out, store)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11]
+    assert {r["__id"] for r in spark.read.parquet(store).collect()} == {1, 3, 11}
