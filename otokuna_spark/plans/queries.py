@@ -3094,3 +3094,81 @@ def q81_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_Q82_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    dom AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS dom_tokens FROM tok GROUP BY lang),
+    tot AS (
+        SELECT CAST(SUM(dom_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM dom
+    ),
+    rates AS (
+        SELECT d.lang,
+               CASE WHEN 0.5 * t.total_tokens / t.n_langs / d.dom_tokens >= 1.0 THEN 'g'
+                    ELSE printf('%06x', CAST(FLOOR(
+                        0.5 * t.total_tokens / t.n_langs / d.dom_tokens * 16777216.0
+                    ) AS BIGINT)) END AS thr
+        FROM dom d CROSS JOIN tot t
+    ),
+    kept AS (
+        SELECT k.lang, k.n_tokens
+        FROM tok k JOIN rates r USING (lang)
+        WHERE substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 6) < r.thr
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "q82_domain_mixture",
+    _Q82_ORACLE,
+    "Domain-mixture resampling (corpus mixing): per-language acceptance "
+    "rates are computed FROM THE DATA (uniform target share of a 50% "
+    "token budget over each language's actual token mass, capped at 1), "
+    "then applied as a deterministic md5-prefix predicate — row-local, "
+    "RNG-free, reproducible under repartitioning. Rates become 6-hex "
+    "thresholds via %06x so the acceptance test is a portable string "
+    "compare; rate>=1 maps to 'g' (> every hex digit) to keep whole "
+    "domains without a 7-char threshold breaking the lexicographic "
+    "compare. Scale shape: two agg passes + a broadcast of one row per "
+    "domain — the mixing step never shuffles the corpus itself",
+)
+def q82_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    dom = tok.groupBy("lang").agg(F.sum("n_tokens").alias("dom_tokens"))
+    tot = dom.agg(
+        F.sum("dom_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    rate = F.lit(0.5) * F.col("total_tokens") / F.col("n_langs") / F.col("dom_tokens")
+    rates = (
+        dom.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.when(rate >= 1.0, F.lit("g"))
+            .otherwise(F.format_string("%06x", F.floor(rate * 16777216.0).cast("long")))
+            .alias("thr"),
+        )
+    )
+    kept = tok.join(F.broadcast(rates), "lang").where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < F.col("thr")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -115,3 +115,21 @@ def test_incremental_dedup_store_scan_prunes_to_band_key(spark, tmp_path):
     assert store_schemas, plan[:1500]
     for s in store_schemas:
         assert "provenance" not in s and "__id" not in s, s
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: joining a date/domain-partitioned fact table to a FILTERED dim
+    prunes fact partitions at runtime from the dim's join keys — at 100 TB
+    this is the difference between scanning 2 partitions and 10. The scan
+    must carry a dynamicpruning partition filter."""
+    path = str(tmp_path / "fact")
+    spark.range(20_000).withColumn(
+        "part", (F.col("id") % 10).cast("string")
+    ).withColumn("v", F.col("id") * 2).write.partitionBy("part").parquet(path)
+    dim = spark.createDataFrame(
+        [(str(i), "keep" if i < 2 else "drop") for i in range(10)], ["part", "flag"]
+    )
+    j = spark.read.parquet(path).join(dim.where(F.col("flag") == "keep"), "part")
+    assert j.count() == 4_000  # 2 of 10 partitions survive
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
