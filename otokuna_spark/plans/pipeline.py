@@ -166,9 +166,21 @@ def scrape_pipeline(
     pages_path: str,
     location_ref: DataFrame | None = None,
     html_file_fetched_at: float | None = None,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """§3.1/§3.2 stages 1-5 as one lazy DAG: pages -> raw -> properties ->
-    enrich -> target -> clean."""
+    enrich -> target -> clean.
+
+    ``clean_df`` scans its input twice (quantile aggregation + outlier
+    filter), and the two MapInPandas branches do NOT canonicalize to a
+    reused exchange — measured with an accumulator, the Python page parse
+    runs twice without a cache. ``persist_intermediate`` persists the
+    parsed/enriched relation (MEMORY_AND_DISK: spills rather than
+    recomputes) so the most expensive stage runs once; at the 1,500-page
+    bench shape this is a modest win, at a real crawl's scale re-parsing
+    the whole corpus twice is the difference that matters. The cache lives
+    until the caller clears it — the price of keeping this function lazy.
+    """
     from ..sources.html import read_raw_pages
 
     raw = read_raw_pages(spark, pages_path)
@@ -176,4 +188,8 @@ def scrape_pipeline(
     if location_ref is not None:
         props = add_address_coords(props, location_ref)
     props = add_target_variable(props)
+    if persist_intermediate:
+        from pyspark import StorageLevel
+
+        props = props.persist(StorageLevel.MEMORY_AND_DISK)
     return clean_df(props)

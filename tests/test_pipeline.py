@@ -295,3 +295,38 @@ def test_audio_windows_expansion(spark):
     assert bytes(w1[1]["window_bytes"]) == clip[8000 * 2 : 24000 * 2]
     # clip 2: 50 samples < half a window -> dropped entirely
     assert 2 not in by_id
+
+
+def test_scrape_pipeline_parses_each_page_once(spark, tmp_path, monkeypatch):
+    """clean_df's double scan (quantile agg + outlier filter) must not
+    re-run the Python page parse: with persist_intermediate (default) the
+    UDTF sees each listing exactly once; without it, twice — pinned here
+    so a plan change that silently reintroduces the double parse fails."""
+    import otokuna_spark.sources.html as H
+    from otokuna_spark.plans.pipeline import scrape_pipeline
+
+    pages = _write_pages(tmp_path)
+
+    def run(persist):
+        spark.catalog.clearCache()
+        acc = spark.sparkContext.accumulator(0)
+        real = H._extract_batches
+
+        def counting(it):
+            for pdf in real(it):
+                acc.add(len(pdf))
+                yield pdf
+
+        monkeypatch.setattr(H, "_extract_batches", counting)
+        scrape_pipeline(spark, pages, persist_intermediate=persist).count()
+        monkeypatch.setattr(H, "_extract_batches", real)
+        return acc.value
+
+    parsed_once = run(True)
+    parsed_twice = run(False)
+    spark.catalog.clearCache()
+    from otokuna_spark.sources.html import read_raw_pages
+
+    n_raw = read_raw_pages(spark, pages).count()
+    assert parsed_once == n_raw  # each raw listing crossed the UDTF once
+    assert parsed_twice == 2 * parsed_once
