@@ -74,6 +74,51 @@ EXPECT = {
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
 
+# Shuffle ceilings (data exchanges in the FINAL adaptive plan, broadcast
+# excluded) for the queries where the minimal count is part of the design:
+# windowed event queries = 1 keyed exchange + 1 range exchange for the
+# deterministic output order; single-pass text projections = the output
+# order only. A regression that adds an exchange fails the audit.
+MAX_SHUFFLES = {
+    "q01_pricing_summary": 2,
+    "q06_outlier_filter": 3,  # +1: SinglePartition exchange for the global percentile
+    "q07_dedup_keepfirst": 2,
+    "q09_group_percentile": 2,
+    "q10_split_assignment": 2,
+    "q12_asof_join": 2,
+    "q20_exact_dedup": 2,
+    "q25_lang_id": 1,
+    "q26_quality_score": 1,
+    "q27_token_stats": 1,
+    "q28_fingerprint": 1,
+    "q30_parse_layer": 2,
+    "q31_set_ops": 6,
+    "q33_sessionization": 2,
+    "q34_event_deltas": 2,
+    "q38_bpe_token_count": 1,
+    "q39_moment_stats": 2,
+    "q41_pivot": 3,
+    "q42_rank_functions": 2,
+    "q52_tfidf_top_terms": 5,
+    "q57_pii_stats": 1,
+    "q58_repetition_filter": 3,
+    "q61_doc_chunking": 1,
+    "q62_contamination": 4,
+    "q64_stratified_sample": 1,
+    "q67_rolling_window": 2,
+    "q68_token_budget_sample": 2,
+    "q79_table_profile": 2,
+    "q81_json_props": 3,  # two-phase distinct agg = 2 hash exchanges + output order
+}
+
+
+def count_shuffles(plan: str) -> int:
+    """Data exchanges in the final adaptive plan (the string also embeds
+    the pre-AQE '== Initial Plan ==' section — cut it off), broadcast
+    exchanges excluded."""
+    final = plan.split("== Initial Plan ==")[0]
+    return len(re.findall(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)", final))
+
 
 def plan_of(name: str, spark) -> str:
     df = REGISTRY[name].fn(spark, SF)
@@ -103,6 +148,10 @@ def main() -> int:
         for pat in FORBID_EVERYWHERE:
             if pat in plan:
                 problems.append(f"contains `{pat}`")
+        n_shuffles = count_shuffles(plan)
+        cap = MAX_SHUFFLES.get(name)
+        if cap is not None and n_shuffles > cap:
+            problems.append(f"{n_shuffles} shuffles > cap {cap}")
         status = "OK" if not problems else "FAIL: " + "; ".join(problems)
         print(f"{status:60s} {name}")
         failures += bool(problems)
@@ -123,6 +172,8 @@ def main() -> int:
         report.append(f"- status: {status}")
         report.append(f"- join/limit strategies: {', '.join(strategies) or '(none)'}")
         report.append(f"- WholeStageCodegen spans: {wsc}")
+        cap_note = f" (cap {cap})" if cap is not None else ""
+        report.append(f"- data shuffles (final plan): {n_shuffles}{cap_note}")
         for s in scans[:6]:
             report.append(f"- scan: `{s}`")
         for s in schemas[:6]:
