@@ -91,6 +91,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 rows = spec.fn(spark, sf_dir).collect()
                 record(name, time.perf_counter() - t0)
+                if run == 0 and not rows:
+                    # correctness runs at sf0.01 only — an empty result at
+                    # bench scale usually means a threshold tuned for the
+                    # small sf, worth a visible flag even though some
+                    # selective queries can legitimately return nothing
+                    print(f"bench: WARNING {name} returned 0 rows at sf={sf}", file=sys.stderr)
                 del rows
 
             # Skew-salted join on a synthetic power-law key (90% of the
