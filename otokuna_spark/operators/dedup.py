@@ -62,20 +62,27 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document MinHash signature: explode shingles, take the min of
     each salted hash. One shuffle (groupBy id); map-side combine keeps the
     shuffle at num_hashes values per (partition, doc).
 
-    Hash family: h_i = hex lane ``i%4`` (8 hex chars = 32 bits) of
-    md5(``i//4`` ':' shingle) — one md5 digest yields FOUR independent
-    lanes, so K hashes cost ceil(K/4) md5 evaluations per shingle (the
-    md5 columns are projected explicitly so codegen computes each digest
-    once). Fixed-width lowercase hex compares lexicographically ==
-    numerically in both Spark and DuckDB, which keeps min() portable for
-    the oracle. Swap to xxhash64 lanes when oracle parity is not needed.
+    Hash families:
+
+    - ``hash_fn='md5'`` (default, ORACLE-PORTABLE): h_i = hex lane ``i%4``
+      (8 hex chars = 32 bits) of md5(``i//4`` ':' shingle) — one md5
+      digest yields FOUR independent lanes, so K hashes cost ceil(K/4)
+      md5 evaluations per shingle (the md5 columns are projected
+      explicitly so codegen computes each digest once). Fixed-width
+      lowercase hex compares lexicographically == numerically in both
+      Spark and DuckDB, which keeps min() portable for the oracle.
+    - ``hash_fn='xxhash64'`` (production): h_i = xxhash64(shingle, seed=i)
+      as BIGINT — no digest formatting, cheapest JVM hash; use when
+      cross-engine reproducibility is not required. Signatures from the
+      two families are NOT interchangeable (band-key stores must be built
+      and probed with the same hash_fn).
     """
-    n_salts = (num_hashes + 3) // 4
     # tokens projected FIRST: shingling over an inline split() re-splits
     # per element access (no CSE into HOF lambdas) — see
     # text.shingles_from_tokens
@@ -83,17 +90,27 @@ def minhash_signatures(
     sh = toks.select(
         F.col(id_col), F.explode(text.shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__shingle")
     )
-    digests = sh.select(
-        id_col,
-        *[F.md5(F.concat(F.lit(f"{s}:"), F.col("__shingle"))).alias(f"m{s}") for s in range(n_salts)],
-    )
-    lanes = digests.select(
-        id_col,
-        *[
-            F.substring(F.col(f"m{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    if hash_fn == "xxhash64":
+        # xxhash64's seed argument gives independent lanes directly
+        lanes = sh.select(
+            id_col,
+            *[F.xxhash64(F.col("__shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+        )
+    elif hash_fn == "md5":
+        n_salts = (num_hashes + 3) // 4
+        digests = sh.select(
+            id_col,
+            *[F.md5(F.concat(F.lit(f"{s}:"), F.col("__shingle"))).alias(f"m{s}") for s in range(n_salts)],
+        )
+        lanes = digests.select(
+            id_col,
+            *[
+                F.substring(F.col(f"m{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return lanes.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -106,21 +123,25 @@ def minhash_band_keys(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The ``(__id, band_key)`` LSH bucket relation: band_key =
-    md5(band_idx | h_i..h_j) over the per-band minhash lanes.
+    md5(band_idx | h_i..h_j) over the per-band minhash lanes (or
+    xxhash64 of the same concat with ``hash_fn='xxhash64'`` — BIGINT
+    keys, cheaper shuffle rows, no oracle parity).
 
     This is the PERSISTABLE SIGNATURE STORE for incremental dedup: write it
     out alongside an accepted corpus and later batches (computed with the
-    SAME num_hashes/bands/shingle_k) join against it by ``band_key`` without
-    ever re-reading corpus text. Also the shared candidate-generation step
-    of ``minhash_lsh_pairs``.
+    SAME num_hashes/bands/shingle_k/hash_fn) join against it by
+    ``band_key`` without ever re-reading corpus text. Also the shared
+    candidate-generation step of ``minhash_lsh_pairs``.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, hash_fn)
+    band_hash = F.md5 if hash_fn == "md5" else F.xxhash64
     band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+        band_hash(F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
             f"band{b}"
         )
         for b in range(bands)
@@ -140,10 +161,12 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     materialize: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) whose signatures collide in
     >=1 LSH band. Probability of candidacy ~ 1-(1-j^r)^b for Jaccard j,
-    r = num_hashes/bands rows per band.
+    r = num_hashes/bands rows per band. ``hash_fn='xxhash64'`` swaps the
+    oracle-portable md5 family for the cheaper JVM hash (production).
 
     Plan shape: signatures -> explode to (band_key, id) -> self equi-join
     on band_key -> distinct pairs. The join is a plain shuffled hash join
@@ -164,7 +187,7 @@ def minhash_lsh_pairs(
     # scale: MEMORY_AND_DISK spills rather than recomputing)
     from pyspark import StorageLevel
 
-    buckets = minhash_band_keys(docs, id_col, text_col, num_hashes, bands, shingle_k).persist(
+    buckets = minhash_band_keys(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     left = buckets.alias("a")
@@ -505,6 +528,7 @@ def incremental_near_dup_filter(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an INCOMING batch against an already-accepted corpus without
     re-reading corpus text — the daily-ingest shape at 100 TB, where
@@ -534,7 +558,7 @@ def incremental_near_dup_filter(
     """
     from pyspark import StorageLevel
 
-    keys_new = minhash_band_keys(new_docs, id_col, text_col, num_hashes, bands, shingle_k).persist(
+    keys_new = minhash_band_keys(new_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     dup_ids = (

@@ -508,3 +508,27 @@ def test_profile_table_exact_and_approx(spark):
         assert approx[c]["n_null"] == exact[c]["n_null"]
         assert approx[c]["min_v"] == exact[c]["min_v"]
         assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= 0.05 * exact[c]["n_distinct"]
+
+
+def test_minhash_xxhash64_family_finds_same_near_dups(spark):
+    # the production hash family (BIGINT xxhash64 lanes + band keys) must
+    # find the planted near-dup and reject the unrelated doc, same as the
+    # oracle-portable md5 family; families are NOT interchangeable, so the
+    # store built with one must not collide with keys from the other
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this unrelated document about spark engines"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, "doc_id", "text", hash_fn="xxhash64").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # band_key dtype is BIGINT in the xxhash64 family (cheaper shuffle rows)
+    keys = dedup.minhash_band_keys(df, "doc_id", "text", hash_fn="xxhash64")
+    assert dict(keys.dtypes)["band_key"] == "bigint"
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(df, "doc_id", "text", hash_fn="sha1")
