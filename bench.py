@@ -118,17 +118,23 @@ def main() -> None:
         shutil.rmtree(crawl_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # the driver captures only the stdout TAIL, which has truncated
+    # mid-JSON before (BENCH_r04 lost the scrape + q01-q08 entries) — also
+    # write the full record to a committable file
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=2)
+    except OSError as e:  # bench result still on stdout; don't fail the run
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,7 @@ def minhash_band_keys(
     bands: int = 4,
     shingle_k: int = 3,
     hash_fn: str = "md5",
+    include_lanes: bool = False,
 ) -> DataFrame:
     """The ``(__id, band_key)`` LSH bucket relation: band_key =
     md5(band_idx | h_i..h_j) over the per-band minhash lanes (or
@@ -135,6 +136,13 @@ def minhash_band_keys(
     SAME num_hashes/bands/shingle_k/hash_fn) join against it by
     ``band_key`` without ever re-reading corpus text. Also the shared
     candidate-generation step of ``minhash_lsh_pairs``.
+
+    ``include_lanes=True`` adds a ``lanes`` column (the full K-lane minhash
+    signature as an array, duplicated on each of the doc's band rows). A
+    store that carries lanes upgrades ``incremental_near_dup_filter`` from
+    candidate-level to VERIFY-level: on a band collision the Jaccard is
+    estimated as the lane-agreement fraction — still without ever
+    re-reading corpus text. Cost: ~K values per (doc, band) store row.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -146,10 +154,14 @@ def minhash_band_keys(
         )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
+    extra = []
+    if include_lanes:
+        extra = [F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("lanes")]
+    banded = sig.select(id_col, *band_cols, *extra)
     return banded.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
+        *(["lanes"] if include_lanes else []),
     )
 
 
@@ -219,6 +231,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     shingle_k: int = 3,
     materialize: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold)
     via inverted-index self-join — never a cross join.
@@ -230,10 +243,15 @@ def ngram_jaccard_pairs(
     -> count common shingles per pair -> |A∩B| / (|A|+|B|-|A∩B|).
 
     The shingle join explodes only co-occurring shingles; ubiquitous
-    shingles (stop-phrases) are the skew risk at scale — mitigate by
-    dropping shingles with document frequency above a cap before the join
-    (``max_df``), which cannot remove true pairs above the threshold when
-    the cap is >> 1/threshold... it can; so default None = exact.
+    shingles (boilerplate stop-phrases) are the skew risk at scale: a
+    shingle in d documents contributes d^2 join rows. ``max_df`` drops
+    shingles with document frequency > max_df from the JOIN ONLY (sizes
+    and the intersection denominator still count every shingle), capping
+    per-shingle fan-in at max_df^2. This makes the result APPROXIMATE —
+    dropped shingles deflate n_common, so it can only LOWER a pair's
+    estimated Jaccard (never inflate): no false pairs are added, but pairs
+    whose overlap is mostly boilerplate may fall below the threshold.
+    Default ``None`` = exact.
     """
     # join/shuffle on a 64-bit hash of the shingle, not the string itself —
     # smaller shuffle rows and cheaper hash-join probes. A cross-shingle
@@ -259,6 +277,9 @@ def ngram_jaccard_pairs(
     # pair — prune them BEFORE the self-join (big fan-in reduction; the
     # extra count shuffle is over (shingle, df) pairs only).
     dup_shingles = sh.groupBy("shingle").agg(F.count("*").alias("__df")).where(F.col("__df") >= 2)
+    if max_df is not None:
+        # one filter on the already-computed df relation — no extra shuffle
+        dup_shingles = dup_shingles.where(F.col("__df") <= max_df)
     sh_dup = sh.join(dup_shingles.select("shingle"), on="shingle")
     common = (
         sh_dup.alias("a")
@@ -504,17 +525,22 @@ def near_dup_dedup(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
+    max_df: int | None = None,
 ) -> DataFrame:
     """The full near-dup dedup pipeline a training corpus needs:
 
     MinHash-LSH candidates -> exact Jaccard verify (>= threshold) ->
     connected components -> keep the min-id document per cluster.
     Returns docs with duplicates removed (canonical row per cluster,
-    all never-matched docs untouched).
+    all never-matched docs untouched). ``hash_fn`` selects the minhash
+    family for the candidate stage (see ``minhash_signatures``); the
+    verify stage is exact regardless. ``max_df`` forwards to
+    ``ngram_jaccard_pairs`` (boilerplate-shingle skew cap).
     """
-    cand = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    cand = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn=hash_fn)
     verified = (
-        ngram_jaccard_pairs(docs, id_col, text_col, jaccard_threshold, shingle_k)
+        ngram_jaccard_pairs(docs, id_col, text_col, jaccard_threshold, shingle_k, max_df=max_df)
         .join(cand, on=["id_a", "id_b"], how="leftsemi")
     )
     clusters = cluster_pairs(verified)
@@ -532,6 +558,7 @@ def incremental_near_dup_filter(
     bands: int = 8,
     shingle_k: int = 3,
     hash_fn: str = "md5",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an INCOMING batch against an already-accepted corpus without
     re-reading corpus text — the daily-ingest shape at 100 TB, where
@@ -539,41 +566,100 @@ def incremental_near_dup_filter(
     corpus every day.
 
     ``corpus_band_keys`` is the persisted ``minhash_band_keys`` relation of
-    the accepted corpus (same num_hashes/bands/shingle_k — the keys must
-    come from the same scheme to be joinable). Steps:
+    the accepted corpus (same num_hashes/bands/shingle_k/hash_fn — the
+    keys must come from the same scheme to be joinable; a family mismatch
+    raises, see below). Steps:
 
-    1. corpus filter: drop batch docs whose band keys collide with ANY
-       stored corpus key (left_anti on band_key). This is CANDIDATE-level —
-       conservative (LSH false positives drop some non-dups) because the
-       store carries no text to verify against; keep corpus signatures or
-       text around if verify-level precision is required.
-    2. batch-internal dedup: full verify-level ``near_dup_dedup`` among the
-       survivors.
-    3. returns ``(kept_docs, kept_band_keys)``; append ``kept_band_keys``
-       to the store for the next batch. Keys for the batch are computed
-       ONCE and reused for both the corpus join and the returned store
-       delta.
+    1. corpus filter, at one of two precision levels depending on what the
+       store carries:
+
+       - store WITH a ``lanes`` column (``minhash_band_keys(...,
+         include_lanes=True)``) — VERIFY-level: for each (batch doc,
+         corpus doc) band collision, estimate Jaccard as the minhash
+         lane-agreement fraction (the standard unbiased MinHash estimator,
+         stderr ~ 1/sqrt(K)) and drop the batch doc only when some corpus
+         match estimates >= ``jaccard_threshold``. A band collision whose
+         full signatures mostly disagree (an LSH false positive) is KEPT.
+       - store WITHOUT lanes — CANDIDATE-level (legacy): any band-key
+         collision drops the batch doc. Conservative: LSH false positives
+         silently discard non-duplicate data; upgrade the store.
+
+       Either way corpus TEXT is never read.
+    2. batch-internal dedup: full exact-verify ``near_dup_dedup`` among the
+       survivors (same ``hash_fn`` family throughout).
+    3. returns ``(kept_docs, kept_band_keys)``; ``kept_band_keys`` always
+       INCLUDES lanes — appending it to the store for the next batch
+       grows a verify-level store even from a legacy one.
+
+    Family guard: md5 band keys are STRING, xxhash64 keys BIGINT. A
+    cross-family join would implicitly cast and silently match nothing, so
+    a store whose ``band_key`` dtype does not match ``hash_fn`` raises
+    ValueError instead.
+
+    ``materialize=True`` (default) localCheckpoints both returned frames
+    (EAGER execution — the batch-sized results are small next to the
+    corpus) and releases the internal signature cache; ``False`` leaves
+    them lazy and the cache pinned, for callers that manage persistence.
 
     Scale shape: the corpus relation participates only in one equi-join on
     band_key (shuffle ~ |batch keys| + matched store partitions; with the
     store bucketed by band_key the exchange on its side disappears), never
-    a scan of corpus text.
+    a scan of corpus text. Lanes add ~K values per store row to that one
+    join's shuffle — the price of not deleting real data.
     """
     from pyspark import StorageLevel
 
-    keys_new = minhash_band_keys(new_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    dup_ids = (
-        keys_new.join(corpus_band_keys.select("band_key"), on="band_key", how="leftsemi")
-        .select(F.col("__id").alias(id_col))
-        .distinct()
-    )
+    expected = "string" if hash_fn == "md5" else "bigint"
+    store_key_type = dict(corpus_band_keys.dtypes)["band_key"]
+    if store_key_type != expected:
+        raise ValueError(
+            f"hash-family mismatch: probe hash_fn={hash_fn!r} produces {expected} "
+            f"band keys but the store's band_key is {store_key_type} — a cross-"
+            "family join silently matches nothing; rebuild store or probe with "
+            "one family"
+        )
+
+    keys_new = minhash_band_keys(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn, include_lanes=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if "lanes" in corpus_band_keys.columns:
+        # verify-level: lane-agreement Jaccard estimate per colliding pair
+        k = F.lit(float(num_hashes))
+        agree = F.aggregate(
+            F.zip_with("lanes", "corpus_lanes", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        collisions = keys_new.join(
+            corpus_band_keys.select(
+                F.col("band_key"),
+                F.col("lanes").alias("corpus_lanes"),
+            ),
+            on="band_key",
+        )
+        # the estimate is a per-row filter — a pair colliding in several
+        # bands passes or fails identically each time, so no pair-distinct
+        # shuffle is needed before it; distinct only on the surviving ids
+        dup_ids = (
+            collisions.where((agree / k) >= F.lit(jaccard_threshold))
+            .select(F.col("__id").alias(id_col))
+            .distinct()
+        )
+    else:
+        dup_ids = (
+            keys_new.join(corpus_band_keys.select("band_key"), on="band_key", how="leftsemi")
+            .select(F.col("__id").alias(id_col))
+            .distinct()
+        )
     survivors = new_docs.join(dup_ids, on=id_col, how="left_anti")
     kept = near_dup_dedup(
-        survivors, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_k
+        survivors, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_k, hash_fn
     )
     kept_keys = keys_new.join(
         kept.select(F.col(id_col).alias("__id")), on="__id", how="leftsemi"
     )
+    if materialize:
+        kept = kept.localCheckpoint()
+        kept_keys = kept_keys.localCheckpoint()
+        keys_new.unpersist()
     return kept, kept_keys

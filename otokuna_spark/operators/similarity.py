@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
@@ -464,20 +464,31 @@ def _centroids_from_sample(df: DataFrame, id_col: str, vec_col: str, n_centroids
     return [(i, list(map(float, r[vec_col]))) for i, r in enumerate(rows)]
 
 
-def ivf_assign(df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]], out_col: str = "centroid_id") -> DataFrame:
-    """Assign each vector to its nearest centroid by cosine — one scan,
-    n_centroids fused dot products per row, all codegen."""
-    best_id = F.lit(-1)
-    best_sim = F.lit(-2.0)
+def _centroid_sim_structs(vec_col: str, centroids: list[tuple[int, list[float]]]) -> list[Column]:
+    """One (sim, negcid) struct per centroid. ``negcid`` (negated id) makes
+    lexicographic struct ordering break similarity ties toward the LOWEST
+    centroid id: max(sim, negcid) == (max sim, min cid)."""
     nrm = vectors.norm(F.col(vec_col))
+    out = []
     for cid, cvec in centroids:
         carr = F.array(*[F.lit(x) for x in cvec])
         cn = sum(x * x for x in cvec) ** 0.5
         sim = vectors.dot(F.col(vec_col), carr) / (nrm * F.lit(cn))
-        better = sim > best_sim
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return df.withColumn(out_col, best_id)
+        out.append(F.struct(sim.alias("sim"), F.lit(-cid).alias("negcid")))
+    return out
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]], out_col: str = "centroid_id") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine — one scan,
+    n_centroids fused dot products per row, all codegen.
+
+    The argmax is array_sort over n_centroids (sim, negcid) structs + take
+    last — expression size LINEAR in n_centroids. (The obvious running
+    best_sim/best_id F.when fold embeds the previous best twice per step:
+    a 2^n_centroids expression tree that OOMs the driver at 16 centroids
+    x 64 dims before a single task runs.)"""
+    best = F.element_at(F.array_sort(F.array(*_centroid_sim_structs(vec_col, centroids))), -1)
+    return df.withColumn(out_col, -best["negcid"])
 
 
 def ivf_topk(
@@ -507,21 +518,18 @@ def ivf_topk(
         F.col("__norm").alias("__cnorm"),
         "centroid_id",
     )
-    # each query explodes to its n_probe nearest centroid ids
+    # each query explodes to its n_probe nearest centroid ids; same
+    # (sim DESC, cid ASC) order as the assignment argmax
     q = _with_norm(queries, vec_col)
-    probes = []
-    nrm = vectors.norm(F.col(vec_col))
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(x) for x in cvec])
-        cn = sum(x * x for x in cvec) ** 0.5
-        probes.append(F.struct((vectors.dot(F.col(vec_col), carr) / (nrm * F.lit(cn))).alias("sim"), F.lit(cid).alias("cid")))
-    probe_ids = F.slice(F.reverse(F.array_sort(F.array(*probes))), 1, n_probe)
+    probe_ids = F.slice(
+        F.reverse(F.array_sort(F.array(*_centroid_sim_structs(vec_col, centroids)))), 1, n_probe
+    )
     q_probed = q.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.col("__norm").alias("__qnorm"),
         F.explode(probe_ids).alias("__probe"),
-    ).select("query_id", "__qvec", "__qnorm", F.col("__probe.cid").alias("centroid_id"))
+    ).select("query_id", "__qvec", "__qnorm", (-F.col("__probe.negcid")).alias("centroid_id"))
 
     cand = (
         c_assigned.join(F.broadcast(q_probed), on="centroid_id")

@@ -62,6 +62,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # legacy TIMESTAMP(NANOS)-annotated INT64 parquet is only readable (as
+    # BIGINT) with this conf; without it the read throws "Illegal Parquet
+    # type" before the dtype check below ever runs. No-op for micros data.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = read_table(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type.startswith("timestamp"):
@@ -3171,4 +3175,251 @@ def q82_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tokens_kept"),
         )
         .orderBy("lang")
+    )
+
+
+def _q83_oracle() -> str:
+    # sig (doc_id, hs) and buckets (doc_id, band_key) both come from the
+    # shared minhash CTE chain; lane agreement over the 16 lanes is the
+    # unbiased MinHash Jaccard estimator the verify-level store uses
+    return f"""
+    WITH {_minhash_buckets_cte()},
+    seenb AS (SELECT DISTINCT band_key, doc_id FROM buckets WHERE doc_id % 2 = 0),
+    newb  AS (SELECT DISTINCT band_key, doc_id FROM buckets WHERE doc_id % 2 = 1),
+    pairs AS (
+        SELECT DISTINCT n.doc_id AS doc_id, s.doc_id AS corpus_id
+        FROM newb n JOIN seenb s USING (band_key)
+    ),
+    est AS (
+        SELECT p.doc_id, p.corpus_id,
+               SUM(CASE WHEN sn.hs[i] = ss.hs[i] THEN 1 ELSE 0 END) / {_MINHASH_K}.0 AS est
+        FROM pairs p
+        JOIN sig sn ON sn.doc_id = p.doc_id
+        JOIN sig ss ON ss.doc_id = p.corpus_id,
+        UNNEST(generate_series(1, {_MINHASH_K})) AS u(i)
+        GROUP BY p.doc_id, p.corpus_id
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_hits,
+           CAST(FLOOR(MAX(est) * 1000000.0) AS BIGINT) AS max_est_m,
+           MAX(est) >= 0.5 AS dropped
+    FROM est GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "q83_incremental_verify",
+    _q83_oracle(),
+    "VERIFY-level incremental dedup decision (dedup.incremental_near_dup_"
+    "filter with a lanes-bearing store): each batch doc (odd ids) that "
+    "band-collides with the corpus store (even ids) is scored by the "
+    "minhash lane-agreement Jaccard estimate against every colliding "
+    "corpus doc — dropped only when the max estimate clears the "
+    "threshold, so LSH false positives survive. Corpus text is never "
+    "read; the store contributes (band_key, lanes) to one equi-join",
+)
+def q83_incremental_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = dedup.minhash_band_keys(
+        seen, "doc_id", "text", _MINHASH_K, _MINHASH_BANDS, 3, include_lanes=True
+    )
+    keys_new = dedup.minhash_band_keys(
+        new, "doc_id", "text", _MINHASH_K, _MINHASH_BANDS, 3, include_lanes=True
+    )
+    pairs = (
+        keys_new.join(
+            store.select(
+                "band_key",
+                F.col("__id").alias("corpus_id"),
+                F.col("lanes").alias("corpus_lanes"),
+            ),
+            on="band_key",
+        )
+        .select("__id", "corpus_id", "lanes", "corpus_lanes")
+        .dropDuplicates(["__id", "corpus_id"])
+    )
+    agree = F.aggregate(
+        F.zip_with("lanes", "corpus_lanes", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = agree / F.lit(float(_MINHASH_K))
+    return (
+        pairs.withColumn("est", est)
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_corpus_hits"),
+            F.max("est").alias("max_est"),
+        )
+        .select(
+            F.col("__id").alias("doc_id"),
+            "n_corpus_hits",
+            F.floor(F.col("max_est") * 1000000.0).cast("long").alias("max_est_m"),
+            (F.col("max_est") >= 0.5).alias("dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q84_oracle() -> str:
+    # SQL twin of similarity.ivf_topk: centroids = the 16 lowest-id
+    # vectors enumerated in id order; assignment and probes by cosine
+    # argmax/argtop with (sim DESC, cid ASC) tie order; exact re-rank
+    return """
+    WITH ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cent_ids AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cex AS (SELECT c.cid, e.i, e.v FROM cent_ids c JOIN ex e USING (vec_id)),
+    cnorms AS (SELECT cid, sqrt(SUM(v * v)) AS cn FROM cex GROUP BY cid),
+    sims AS (
+        SELECT e.vec_id, x.cid, SUM(e.v * x.v) / (n.nrm * c.cn) AS sim
+        FROM ex e JOIN cex x USING (i)
+        JOIN norms n ON e.vec_id = n.vec_id
+        JOIN cnorms c ON x.cid = c.cid
+        GROUP BY e.vec_id, x.cid, n.nrm, c.cn
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM sims WHERE vec_id < 5
+        ) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.query_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(q.v * t.v) AS d
+        FROM cand c
+        JOIN ex q ON q.vec_id = c.query_id
+        JOIN ex t ON t.vec_id = c.neighbor_id AND t.i = q.i
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, d / (nq.nrm * nc.nrm) AS cosine
+        FROM dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON neighbor_id = nc.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(FLOOR(cosine * 1000000.0) AS BIGINT) AS cosine_m, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "q84_ivf_topk",
+    _q84_oracle(),
+    "IVF approximate nearest neighbors: corpus bucketed by nearest-"
+    "centroid assignment (computed once, the inverted file), queries "
+    "probe their 4 nearest of 16 centroids and re-rank exactly within "
+    "those buckets — candidate volume ~ n_probe/n_centroids of the "
+    "corpus, candidate join a plain equi-join on centroid_id with the "
+    "query side broadcast. Deterministic centroid seed (lowest ids) "
+    "makes the whole index SQL-reproducible",
+)
+def q84_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1000000.0).cast("long").alias("cosine_m"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "q85_pq_adc_topk",
+    """
+    WITH ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS d
+        FROM ex q JOIN ex c USING (i)
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, d / (nq.nrm * nc.nrm) AS cosine
+        FROM dots JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(FLOOR(cosine * 1000000.0) AS BIGINT) AS cosine_m, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    "PQ-ADC two-stage ANN (Jegou et al. 2011): corpus encoded once to m=8 "
+    "uint8-sized codes (32x smaller index), queries score the whole index "
+    "by summed lookup-table reads (never a d-dim dot), the ADC top-50 "
+    "shortlist is then re-ranked EXACTLY from true vectors — the standard "
+    "refine step. Oracle = exact brute-force top-10: the query is only "
+    "correct when the compressed index's shortlist recall is perfect, so "
+    "the oracle checks recall, not just plumbing. Codebooks are "
+    "deterministic (lowest-id sample, strided init, fixed Lloyd rounds)",
+)
+def q85_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # n_codes=64: measured worst-case shortlist recall@150 for the true
+    # top-10 is 1.0 on this data (16 codes: 0.7 — these near-random
+    # synthetic embeddings need finer codebooks than real clustered ones)
+    codebooks = similarity.pq_train(emb, "embedding", m=8, n_codes=64, id_col="vec_id")
+    shortlist = similarity.pq_adc_topk(
+        emb, queries, "vec_id", "embedding", codebooks, k=150
+    ).select("query_id", "neighbor_id")
+    # exact refine: fetch true vectors for the shortlist ids only (k << N
+    # at scale; both vector attaches are equi-joins) and re-rank
+    from ..functions import vectors as V
+
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"))
+    cos = V.dot(F.col("__qv"), F.col("__nv")) / (V.norm(F.col("__qv")) * V.norm(F.col("__nv")))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("cosine") * 1000000.0).cast("long").alias("cosine_m"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
     )

@@ -125,6 +125,9 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     proper TIMESTAMP for watermarking."""
     import os
 
+    # make legacy TIMESTAMP(NANOS) INT64 parquet readable as BIGINT so
+    # to_event_time's bigint branch is reachable (no-op for micros data)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(path)
     reader = spark.readStream.schema(static.schema)
     if os.path.isfile(path):
@@ -328,15 +331,22 @@ def stream_incremental_dedup(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> None:
     """Streaming corpus ingest with near-dup suppression — the streaming
     twin of ``dedup.incremental_near_dup_filter``: each micro-batch is
     deduped within itself (verify-level) AND against every previously
-    accepted document via the persisted band-key store at ``store_path``;
+    accepted document via the persisted signature store at ``store_path``
+    (band keys + minhash lanes, so corpus collisions are ALSO resolved at
+    verify level — lane-agreement Jaccard estimate, not mere candidacy);
     kept docs land under ``output_path/batch=<id>``, their band keys under
     ``store_path/batch=<id>``. Corpus text is never re-read — per-batch
     cost is the batch's own signatures plus one equi-join against the
     store.
+
+    ``hash_fn`` ('md5' | 'xxhash64', see ``dedup.minhash_signatures``) is
+    recorded in the store schema; probing an existing store with a
+    different family raises instead of silently matching nothing.
 
     Idempotence: foreachBatch may REPLAY a batch after a crash (the sink is
     responsible for exactly-once). Each batch writes into its own
@@ -351,7 +361,7 @@ def stream_incremental_dedup(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         ingest_dedup_batch(
             batch_df, batch_id, output_path, store_path, id_col, text_col,
-            jaccard_threshold, num_hashes, bands, shingle_k,
+            jaccard_threshold, num_hashes, bands, shingle_k, hash_fn,
         )
 
     q = (
@@ -374,12 +384,16 @@ def ingest_dedup_batch(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> None:
     """One idempotent micro-batch of ``stream_incremental_dedup`` (the
     foreachBatch body, callable directly for replay testing / backfills):
-    filter ``batch_df`` against every OTHER batch's band keys, then
+    filter ``batch_df`` against every OTHER batch's signatures, then
     overwrite this batch's own ``batch=<id>`` partitions in the output and
-    the store."""
+    the store. The store carries (``__id``, ``band_key``, ``lanes``,
+    ``hash_fn``); a pre-existing store built with a different hash family
+    raises ValueError (a cross-family probe would silently match nothing).
+    """
     from ..operators.dedup import incremental_near_dup_filter
 
     sp = batch_df.sparkSession
@@ -387,22 +401,36 @@ def ingest_dedup_batch(
 
     if _os.path.exists(store_path):
         store = sp.read.parquet(store_path)
+        if "hash_fn" in store.columns:
+            families = [r[0] for r in store.select("hash_fn").distinct().collect()]
+            if families and families != [hash_fn]:
+                raise ValueError(
+                    f"store at {store_path} was built with hash_fn={families} "
+                    f"but this ingest uses {hash_fn!r} — signatures from "
+                    "different families never match; rebuild the store or "
+                    "match the family"
+                )
         # a replayed batch must not collide with its own keys from the
         # crashed attempt — exclude the current batch partition (pruned
         # at the scan, so this costs nothing)
         if "batch" in store.columns:
             store = store.where(F.col("batch") != batch_id)
-        store = store.select("__id", "band_key")
+        cols = ["__id", "band_key"] + (["lanes"] if "lanes" in store.columns else [])
+        store = store.select(*cols)
     else:
         id_type = batch_df.schema[id_col].dataType.simpleString()
-        store = sp.createDataFrame([], f"__id {id_type}, band_key string")
+        lane_type = "string" if hash_fn == "md5" else "bigint"
+        key_type = "string" if hash_fn == "md5" else "bigint"
+        store = sp.createDataFrame(
+            [], f"__id {id_type}, band_key {key_type}, lanes array<{lane_type}>"
+        )
     kept, delta = incremental_near_dup_filter(
         batch_df, store, id_col, text_col,
-        jaccard_threshold, num_hashes, bands, shingle_k,
+        jaccard_threshold, num_hashes, bands, shingle_k, hash_fn,
     )
-    # kept feeds BOTH writes (docs now, keys next) — persist so the
-    # LSH/verify pipeline runs once per batch
-    kept = kept.persist()
+    # both results are localCheckpoint-materialized by the filter — the
+    # expensive LSH/verify pipeline ran exactly once; writes just copy
     kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
-    delta.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
-    kept.unpersist()
+    delta.withColumn("hash_fn", F.lit(hash_fn)).write.mode("overwrite").parquet(
+        f"{store_path}/batch={batch_id}"
+    )

@@ -154,6 +154,54 @@ def test_onnx_gate_parity_passes_and_maxape_small(spark):
     assert 0 <= ape < 1e-5
 
 
+def test_tree_export_real_scorer_parity(spark, toy_df):
+    """REAL (non-injected) scorer parity: the fitted GBT is exported to
+    plain tree tuples and re-evaluated by the independent numpy routing
+    scorer through the full Arrow-batched UDF path — the reference's
+    ml/check_onnx.py contract with the tree export standing in for ONNX
+    (onnxruntime is not installable here). tools/check_parity.py runs the
+    same gate over the full synthetic-crawl pipeline and commits
+    ML_PARITY.json (observed maxAPE 1.5e-15 over 4,224 rows)."""
+    from otokuna_spark.ml import onnx_infer
+
+    model, _ = mlp.train_gbt(toy_df, feature_cols=["f1", "f2"], max_iter=5)
+    record = onnx_infer.check_tree_export_gate(
+        model, toy_df.drop("y"), ["f1", "f2"], rtol=1e-5
+    )
+    assert record["max_ape"] is not None and record["max_ape"] < 1e-5
+    assert record["n_rows"] == 200
+
+
+def test_tree_export_scorer_is_really_driving(spark, toy_df):
+    """Tamper check: corrupting one leaf prediction in the exported bytes
+    must break parity — proves predictions flow from the exported
+    artifact, not from anything native."""
+    import pickle
+
+    import pytest as _pytest
+
+    from otokuna_spark.ml import onnx_infer
+
+    model, _ = mlp.train_gbt(toy_df, feature_cols=["f1", "f2"], max_iter=5)
+    blob = pickle.loads(onnx_infer.export_tree_ensemble(model))
+    # scale every leaf of the first tree (first tree has weight 1.0)
+    blob["trees"][0] = [
+        (f, t, l, r, p * 1.5 + 10.0, leaf) if leaf else (f, t, l, r, p, leaf)
+        for (f, t, l, r, p, leaf) in blob["trees"][0]
+    ]
+    tampered = pickle.dumps(blob)
+    native = model.transform(mlp._with_numeric_features(toy_df.drop("y"), ["f1", "f2"]))
+    with _pytest.raises(AssertionError, match="parity"):
+        onnx_infer.check_onnx_gate(
+            native,
+            ["f1", "f2"],
+            "y_pred",
+            tampered,
+            session_factory=onnx_infer.TreeEnsembleSession,
+            rtol=1e-5,
+        )
+
+
 def test_onnx_gate_fails_on_broken_parity(spark):
     import numpy as np
     import pytest as _pytest

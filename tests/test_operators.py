@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from otokuna_spark.operators import asof, dedup, outliers, sampling, similarity, topk
@@ -46,6 +47,37 @@ def test_ngram_jaccard_exact(spark):
     out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4).collect()
     assert len(out) == 1
     assert abs(out[0]["jaccard"] - 0.5) < 1e-12
+
+
+def test_ngram_jaccard_max_df_prunes_boilerplate(spark):
+    """max_df drops hot boilerplate shingles from the inverted-index join:
+    pairs whose only overlap is a footer shared by every doc vanish (their
+    join fan-in was df^2), while a true near-dup pair — overlapping on
+    rare shingles — survives the cap."""
+    footer = "subscribe to our newsletter for updates every single day"
+    uniq = [
+        "alpha beta gamma delta epsilon",
+        "one two three four five",
+        "red orange yellow green blue",
+        "north south east west center",
+    ]
+    rows = [(i, f"{u} {footer}") for i, u in enumerate(uniq)]
+    # docs 10/11: true near-dups (rare-shingle overlap, df=2 <= cap)
+    rows += [(10, "zig zag zip zap zoom boom"), (11, "zig zag zip zap zoom doom")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3)
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3, max_df=2)
+    exact_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+
+    # without the cap, footer-only pairs clear the threshold (6 pairs of
+    # boilerplate docs + the true pair)
+    assert (0, 1) in exact_pairs and (10, 11) in exact_pairs
+    # with the cap: footer shingles (df=4) leave the join; only the true
+    # pair remains, and capping can only DEFLATE a surviving estimate
+    assert set(capped_pairs) == {(10, 11)}
+    assert capped_pairs[(10, 11)] <= exact_pairs[(10, 11)] + 1e-12
 
 
 def test_simhash_near_dup(spark):
@@ -202,14 +234,16 @@ def test_near_dup_dedup_end_to_end(spark):
 
 def test_incremental_near_dup_filter(spark):
     """Two-day ingest: day-2 batch is filtered against day-1's persisted
-    band-key store; the returned store delta catches day-3 dups of day-2
+    signature store; the returned store delta catches day-3 dups of day-2
     docs — corpus text is never re-read."""
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
     other = "one two three four five six seven eight nine ten eleven twelve"
     corpus = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"])
     # the store MUST be computed with the same scheme the filter uses
     # (band keys from different num_hashes/bands never collide)
-    store = dedup.minhash_band_keys(corpus, "doc_id", "text", num_hashes=16, bands=8)
+    store = dedup.minhash_band_keys(
+        corpus, "doc_id", "text", num_hashes=16, bands=8, include_lanes=True
+    )
 
     fresh = "red orange yellow green blue indigo violet black white gray pink teal"
     batch = spark.createDataFrame(
@@ -229,6 +263,53 @@ def test_incremental_near_dup_filter(spark):
     day3 = spark.createDataFrame([(20, fresh), (21, other)], ["doc_id", "text"])
     kept3, _ = dedup.incremental_near_dup_filter(day3, updated, "doc_id", "text")
     assert sorted(r["doc_id"] for r in kept3.collect()) == []
+
+
+def test_incremental_filter_keeps_lsh_false_positive(spark):
+    """VERIFY-level store: a batch doc whose band key collides with the
+    store but whose full signature mostly disagrees (an LSH false
+    positive) must be KEPT — with a lanes-bearing store, collision alone
+    is not evidence of duplication."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    store = dedup.minhash_band_keys(
+        corpus, "doc_id", "text", num_hashes=16, bands=8, include_lanes=True
+    )
+    dissimilar = spark.createDataFrame(
+        [(30, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    # FORGE a collision: point one store band_key at the dissimilar doc's
+    # first band key (simulates the unlucky band agreement LSH allows)
+    probe = dedup.minhash_band_keys(
+        dissimilar, "doc_id", "text", num_hashes=16, bands=8
+    )
+    forged_key = probe.limit(1).collect()[0]["band_key"]
+    first_key = store.limit(1).collect()[0]["band_key"]
+    forged_store = store.withColumn(
+        "band_key",
+        F.when(F.col("band_key") == first_key, F.lit(forged_key)).otherwise(F.col("band_key")),
+    )
+    kept, _ = dedup.incremental_near_dup_filter(dissimilar, forged_store, "doc_id", "text")
+    # candidate-level (pre-round-5) behavior wrongly dropped doc 30 here
+    assert [r["doc_id"] for r in kept.collect()] == [30]
+    # sanity: the same forged store WITHOUT lanes does drop it (legacy path)
+    kept_legacy, _ = dedup.incremental_near_dup_filter(
+        dissimilar, forged_store.drop("lanes"), "doc_id", "text"
+    )
+    assert kept_legacy.count() == 0
+
+
+def test_incremental_filter_family_mismatch_raises(spark):
+    """md5 band keys are STRING, xxhash64 BIGINT — a cross-family probe
+    would silently match nothing, so it must raise instead."""
+    corpus = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    store = dedup.minhash_band_keys(corpus, "doc_id", "text", hash_fn="xxhash64")
+    batch = spark.createDataFrame([(2, "a b c d e f")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="family"):
+        dedup.incremental_near_dup_filter(batch, store, "doc_id", "text", hash_fn="md5")
 
 
 def test_lsh_near_dup_exact_vectorized_matches_codegen(spark):

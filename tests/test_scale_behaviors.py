@@ -104,8 +104,11 @@ def test_incremental_dedup_store_scan_prunes_to_band_key(spark, tmp_path):
     ).write.parquet(store_path)
 
     batch = spark.createDataFrame([(2, "h i j k l m n")], ["doc_id", "text"])
+    # materialize=False: the default localCheckpoints the result, which
+    # would replace the executed plan with a checkpoint scan — the lazy
+    # plan is what exposes the store-side ReadSchema under test
     kept, _ = dedup.incremental_near_dup_filter(
-        batch, spark.read.parquet(store_path), "doc_id", "text"
+        batch, spark.read.parquet(store_path), "doc_id", "text", materialize=False
     )
     kept.collect()
     plan = kept._jdf.queryExecution().executedPlan().toString()

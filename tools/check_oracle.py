@@ -121,6 +121,9 @@ if __name__ == "__main__":
     record = None
     if "--record" in args:
         i = args.index("--record")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [--record OUT.json] [SF_DIR] [QUERY...]", file=sys.stderr)
+            sys.exit(2)
         record = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

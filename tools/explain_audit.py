@@ -156,6 +156,9 @@ MAX_SHUFFLES = {
     "q78_incremental_dedup": 4,  # 2 signature groupBys + collision agg + order
     "q80_curriculum_phases": 3,
     "q82_domain_mixture": 5,  # 2 rate-agg passes + mixing join agg + order
+    "q83_incremental_verify": 3,  # 2 signature groupBys + pair-dedup/decision agg
+    "q84_ivf_topk": 2,  # assignment is a map; candidate join broadcasts the query side
+    "q85_pq_adc_topk": 2,  # ADC scan broadcasts the LUTs; shortlist re-rank window
 }
 
 
