@@ -3178,6 +3178,152 @@ def q82_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_bmp_media(spark: SparkSession, sf_dir: str, max_doc_id: int = 200) -> DataFrame:
+    """Deterministic BMP payloads derived arithmetically from doc_id
+    (w = 8 + id%8, h = 8 + id%5, pixel k = (id*7 + k*13) % 256, row-major)
+    — encoded through the REAL multimodal.encode_bmp so a decode query's
+    oracle can recompute every stat from the same arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import multimodal
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for did in ids:
+                w = 8 + int(did) % 8
+                h = 8 + int(did) % 5
+                px = ((int(did) * 7 + np.arange(w * h) * 13) % 256).astype(np.uint8).reshape(h, w)
+                payloads.append(multimodal.encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < max_doc_id)
+    return docs.select("doc_id").mapInPandas(gen, schema="media_id long, data binary")
+
+
+def _synth_wav_media(spark: SparkSession, sf_dir: str, max_doc_id: int = 100) -> DataFrame:
+    """Deterministic 1 kHz 16-bit mono WAV payloads from doc_id
+    (n = 2000 + (id%5)*500 samples, sample t = (id*31 + t*17) % 65536
+    - 32768), through the REAL multimodal.encode_wav."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import multimodal
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for did in ids:
+                n = 2000 + int(did) % 5 * 500
+                t = np.arange(n, dtype=np.int64)
+                samples = ((int(did) * 31 + t * 17) % 65536 - 32768).astype(np.int16)
+                payloads.append(multimodal.encode_wav(samples, sample_rate=1000))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < max_doc_id)
+    return docs.select("doc_id").mapInPandas(gen, schema="media_id long, data binary")
+
+
+@register(
+    "q86_image_decode_stats",
+    """
+    WITH p AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+        SELECT doc_id, w, h, (doc_id * 7 + k * 13) % 256 AS v
+        FROM p, UNNEST(generate_series(0, w * h - 1)) AS u(k)
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+           CAST(SUM(v) AS BIGINT) AS sum_intensity
+    FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+    "REAL image decode end-to-end: deterministic 24-bit BMPs are "
+    "synthesized from doc_id arithmetic, encoded with the struct BMP "
+    "writer, then decoded back by the struct parser inside the Arrow-"
+    "batched image_features stage; the oracle recomputes width/height/"
+    "file size (incl. 4-byte row padding) and the exact pixel-sum from "
+    "the same arithmetic — wrong padding, row order, or channel math "
+    "would all hash-mismatch. Media bytes move Arrow-batch-at-a-time, "
+    "never row-at-a-time",
+)
+def q86_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import multimodal
+
+    media = _synth_bmp_media(spark, sf_dir)
+    feats = multimodal.image_features(media)
+    return (
+        feats.select(
+            F.col("media_id").alias("doc_id"),
+            "width",
+            "height",
+            "n_bytes",
+            F.round(F.col("mean_intensity") * F.col("width") * F.col("height"))
+            .cast("long")
+            .alias("sum_intensity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q87_audio_decode_windows",
+    """
+    WITH p AS (
+        SELECT doc_id, 2000 + doc_id % 5 * 500 AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(s // 500 AS INT) AS window_idx,
+               CAST(s AS BIGINT) AS start_sample,
+               CAST(LEAST(1000, n - s) AS INT) AS n_samples
+        FROM p, UNNEST(generate_series(0, n - 1, 500)) AS u(s)
+        WHERE LEAST(1000, n - s) >= 500
+    )
+    SELECT doc_id, window_idx, start_sample, n_samples,
+           CAST((
+               SELECT SUM((doc_id * 31 + t * 17) % 65536 - 32768)
+               FROM UNNEST(generate_series(start_sample, start_sample + n_samples - 1)) AS u(t)
+           ) AS BIGINT) AS sum_amp
+    FROM w ORDER BY doc_id, window_idx
+    """,
+    "REAL audio decode end-to-end: deterministic 16-bit mono WAV clips "
+    "(stdlib wave container, 1 kHz) are decoded by the wave reader inside "
+    "audio_windows — windowing follows the CONTAINER's sample rate, not "
+    "the caller's hint — then each 1 s window (0.5 s hop, short tails "
+    "dropped) is summed from its decoded int16 payload; the oracle "
+    "recomputes every window boundary and amplitude sum from the "
+    "generating arithmetic",
+)
+def q87_audio_decode_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import multimodal
+
+    media = _synth_wav_media(spark, sf_dir)
+    wins = multimodal.audio_windows(
+        media,
+        window_s=1.0,
+        hop_s=0.5,
+        sample_rate=999_999,  # ignored: the WAV container's rate governs
+        decode_fn=multimodal.decode_wav,
+    )
+    return (
+        wins.select(
+            F.col("media_id").alias("doc_id"),
+            "window_idx",
+            "start_sample",
+            "n_samples",
+            multimodal.sum_pcm16(F.col("window_bytes")).alias("sum_amp"),
+        )
+        .orderBy("doc_id", "window_idx")
+    )
+
+
 def _q83_oracle() -> str:
     # sig (doc_id, hs) and buckets (doc_id, band_key) both come from the
     # shared minhash CTE chain; lane agreement over the 16 lanes is the

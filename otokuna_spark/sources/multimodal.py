@@ -1,12 +1,21 @@
 """Multimodal (image/audio/video) columns for the training-data pipeline.
 
 Media travels as opaque ``binary`` columns with a typed metadata struct;
-all transforms are Arrow-batched ``mapInPandas`` stages so the pipeline
-shape (schema, partitioning, batch flow) is real and benchmarkable even
-though the actual codecs are STUBBED in this container (no PIL/ffmpeg) —
-``_decode_image_stub`` derives deterministic dimensions/pixels from the
-bytes so tests are stable; swap it for a real decoder (PIL / torchvision /
-pyav) in production by passing ``decode_fn``.
+all transforms are Arrow-batched ``mapInPandas`` stages.
+
+REAL codecs (no dependencies beyond the stdlib):
+
+- BMP images: ``decode_bmp`` / ``encode_bmp`` — struct-parsed
+  uncompressed 24-bit Windows bitmaps (BITMAPFILEHEADER +
+  BITMAPINFOHEADER, 4-byte row padding, bottom-up rows).
+- WAV audio: ``decode_wav`` / ``encode_wav`` — stdlib ``wave`` module,
+  16-bit PCM mono.
+
+Formats this container cannot decode (JPEG/PNG/MP4 — no PIL/ffmpeg)
+fall back to ``_decode_image_stub``, which derives deterministic
+dimensions/pixels from a hash of the bytes so the plumbing stays
+testable; ``decode_image`` dispatches by magic bytes. Swap the stub for
+PIL / torchvision / pyav in production via ``decode_fn``.
 
 Design for 100 TB: media bytes never pass through a Python row loop —
 they move Arrow-batch-at-a-time; metadata-only plans never deserialize
@@ -16,6 +25,7 @@ the binary column at all (Parquet column pruning drops it at the scan).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -37,6 +47,88 @@ IMAGE_FEATURE_SCHEMA = sty.StructType(
 )
 
 
+# ------------------------------------------------------------ real codecs
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode a (height, width) uint8 grayscale array as an uncompressed
+    24-bit BMP (R=G=B). Rows are bottom-up and padded to 4 bytes, per the
+    format; total size = 54 + height * ceil(3*width / 4) * 4."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    row_size = (3 * w + 3) // 4 * 4
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = np.repeat(px[y], 3).tobytes()  # B, G, R all = gray value
+        rows += row + b"\x00" * (row_size - len(row))
+    return header + info + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Struct-parse an uncompressed 24-bit BMP into (width, height,
+    grayscale uint8 array). Grayscale is ITU-R BT.601 luma rounded to
+    int (for R=G=B inputs this recovers the exact channel value).
+    Raises ValueError on non-BMP bytes or unsupported variants
+    (compressed, palette, != 24 bpp)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if header_size < 40 or compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported BMP variant (header {header_size}, {bpp} bpp, compression {compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_size = (3 * w + 3) // 4 * 4
+    if len(data) < pixel_offset + row_size * h:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(data, dtype=np.uint8, offset=pixel_offset, count=row_size * h)
+    rows = raw.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows.astype(np.float64)
+    gray = np.round(0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2])
+    return w, h, gray.astype(np.uint8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode an int16 mono sample array as a WAV container (stdlib
+    ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a 16-bit PCM mono WAV container to (sample_rate, int16
+    samples) via the stdlib ``wave`` reader. Raises on non-WAV bytes,
+    non-16-bit or multi-channel streams."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError(
+                f"only 16-bit mono PCM supported, got width={wf.getsampwidth()} "
+                f"channels={wf.getnchannels()}"
+            )
+        rate = wf.getframerate()
+        samples = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    return rate, samples
+
+
 def _decode_image_stub(data: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic fake decoder: (width, height, gray pixel array).
 
@@ -52,12 +144,34 @@ def _decode_image_stub(data: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, pixels
 
 
+def sum_pcm16(col):
+    """Column helper: sum of 16-bit LE PCM samples in a binary payload
+    (vectorized Arrow batches, one frombuffer+sum per row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sum_i16(payload: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(np.frombuffer(b, dtype="<i2").sum()) for b in payload], dtype="int64"
+        )
+
+    return _sum_i16(col)
+
+
+def decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-byte dispatch: BMP decodes for real; other formats (JPEG/PNG
+    — no PIL in this container) fall back to the deterministic stub."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    return _decode_image_stub(data)
+
+
 def image_features(
     df: DataFrame,
     id_col: str = "media_id",
     bytes_col: str = "data",
     feature_dim: int = 8,
-    decode_fn: Callable[[bytes], tuple[int, int, np.ndarray]] = _decode_image_stub,
+    decode_fn: Callable[[bytes], tuple[int, int, np.ndarray]] = decode_image,
 ) -> DataFrame:
     """decode -> resize-pool -> feature-extract, one Arrow batch at a time.
 
@@ -141,16 +255,18 @@ def audio_windows(
     sample_rate: int = 16_000,
     window_s: float = 1.0,
     hop_s: float = 0.5,
+    decode_fn: Callable[[bytes], tuple[int, np.ndarray]] | None = None,
 ) -> DataFrame:
-    """Audio windowing plumbing: one clip row -> overlapping fixed-duration
-    window rows (the ASR/audio-embedding prep step).
+    """Audio windowing: one clip row -> overlapping fixed-duration window
+    rows (the ASR/audio-embedding prep step).
 
-    The stub treats the payload as 16-bit mono PCM (``n_samples =
-    len(bytes) // 2``) and slices byte ranges per window; a real
-    implementation decodes with soundfile/ffmpeg first. As with
-    ``frame_sample``, the 1->N expansion and the (id, offset) addressing
-    scheme are the parts that matter for partition sizing, and they are
-    real. Windows shorter than half a window (the tail) are dropped, so
+    ``decode_fn=None`` (raw mode) treats the payload as headerless 16-bit
+    mono PCM at ``sample_rate`` and slices byte ranges per window.
+    ``decode_fn=decode_wav`` decodes a real WAV container first and
+    windows by the CONTAINER's sample rate (``sample_rate`` is ignored);
+    swap in soundfile/ffmpeg for other formats. The 1->N expansion and
+    the (id, offset) addressing scheme are what matter for partition
+    sizing. Windows shorter than half a window (the tail) are dropped, so
     every emitted row is analysis-worthy.
     """
     schema = sty.StructType(
@@ -162,15 +278,20 @@ def audio_windows(
             sty.StructField("window_bytes", sty.BinaryType()),
         ]
     )
-    win = int(sample_rate * window_s)
-    hop = int(sample_rate * hop_s)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, starts, lens, payloads = [], [], [], [], []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 raw = bytes(data)
-                n_samples = len(raw) // 2
+                if decode_fn is None:
+                    rate = sample_rate
+                    samples = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+                else:
+                    rate, samples = decode_fn(raw)
+                win = int(rate * window_s)
+                hop = int(rate * hop_s)
+                n_samples = len(samples)
                 w = 0
                 for start in range(0, max(n_samples, 1), hop):
                     n = min(win, n_samples - start)
@@ -180,7 +301,7 @@ def audio_windows(
                     idxs.append(w)
                     starts.append(start)
                     lens.append(n)
-                    payloads.append(raw[start * 2 : (start + n) * 2])
+                    payloads.append(samples[start : start + n].tobytes())
                     w += 1
             yield pd.DataFrame(
                 {

@@ -163,6 +163,109 @@ def test_multimodal_plumbing(spark):
     assert all(len(r["frame_bytes"]) <= 1024 for r in frames)
 
 
+def test_bmp_codec_golden_bytes():
+    """decode_bmp against HAND-BUILT golden bytes (not the encoder — a
+    shared encoder/decoder bug cannot hide here): 2x2 24-bit BMP, row
+    padding 2 bytes (3*2=6 -> 8), bottom-up rows."""
+    import struct
+
+    import numpy as np
+
+    from otokuna_spark.sources import multimodal
+
+    # pixels: top row [10, 20], bottom row [30, 40] — stored bottom-up
+    row_bottom = bytes([30, 30, 30, 40, 40, 40]) + b"\x00\x00"
+    row_top = bytes([10, 10, 10, 20, 20, 20]) + b"\x00\x00"
+    header = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+    golden = header + info + row_bottom + row_top
+    w, h, px = multimodal.decode_bmp(golden)
+    assert (w, h) == (2, 2)
+    assert px.tolist() == [[10, 20], [30, 40]]
+    # encoder round-trip reproduces the golden bytes exactly
+    assert multimodal.encode_bmp(np.array([[10, 20], [30, 40]], dtype=np.uint8)) == golden
+
+
+def test_bmp_codec_roundtrip_and_dispatch():
+    import numpy as np
+    import pytest
+
+    from otokuna_spark.sources import multimodal
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(13, 7), dtype=np.uint8)  # odd width -> padding
+    data = multimodal.encode_bmp(px)
+    assert len(data) == 54 + 13 * ((3 * 7 + 3) // 4 * 4)
+    w, h, out = multimodal.decode_bmp(data)
+    assert (w, h) == (7, 13)
+    assert np.array_equal(out, px)  # exact: R=G=B luma recovers the channel
+    # decode_image dispatches BMP to the real parser, others to the stub
+    assert np.array_equal(multimodal.decode_image(data)[2], px)
+    sw, sh, spx = multimodal.decode_image(b"\x89PNG fake payload")
+    assert spx.shape == (sh, sw)  # stub fallback, no raise
+    with pytest.raises(ValueError, match="BMP"):
+        multimodal.decode_bmp(b"\x89PNG fake payload")
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+    import pytest
+
+    from otokuna_spark.sources import multimodal
+
+    samples = (np.arange(5000, dtype=np.int64) * 37 % 65536 - 32768).astype(np.int16)
+    data = multimodal.encode_wav(samples, sample_rate=8000)
+    rate, out = multimodal.decode_wav(data)
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+    with pytest.raises(Exception):
+        multimodal.decode_wav(b"not a wav at all")
+
+
+def test_image_features_real_bmp_exact_stats(spark):
+    """image_features over REAL encoded BMPs: decoded width/height/mean
+    must equal the source pixels exactly — the codec path, end to end
+    through the Arrow-batched UDF."""
+    import numpy as np
+
+    from otokuna_spark.sources import multimodal
+
+    imgs = {}
+    rows = []
+    for i in range(4):
+        px = np.full((4 + i, 6), i * 10 + 1, dtype=np.uint8)
+        imgs[i] = px
+        rows.append((i, bytearray(multimodal.encode_bmp(px))))
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    feats = {r["media_id"]: r for r in multimodal.image_features(df).collect()}
+    for i, px in imgs.items():
+        assert feats[i]["width"] == 6 and feats[i]["height"] == 4 + i
+        assert feats[i]["mean_intensity"] == float(px.mean())
+
+
+def test_audio_windows_wav_container(spark):
+    """audio_windows with decode_fn=decode_wav: windows follow the
+    CONTAINER's sample rate and the window payloads are the decoded
+    samples, byte-exact."""
+    import numpy as np
+
+    from otokuna_spark.sources import multimodal
+
+    samples = (np.arange(4000, dtype=np.int64) * 13 % 65536 - 32768).astype(np.int16)
+    wav = multimodal.encode_wav(samples, sample_rate=1000)  # 4 s at 1 kHz
+    df = spark.createDataFrame([(7, bytearray(wav))], "media_id long, data binary")
+    out = multimodal.audio_windows(
+        df, window_s=1.0, hop_s=0.5, sample_rate=999_999, decode_fn=multimodal.decode_wav
+    ).collect()
+    # 4000 samples, win 1000, hop 500 -> starts 0..3000 full, 3500 tail(500)==win//2 kept
+    assert [(r["window_idx"], r["start_sample"], r["n_samples"]) for r in sorted(out, key=lambda r: r["window_idx"])] == [
+        (0, 0, 1000), (1, 500, 1000), (2, 1000, 1000), (3, 1500, 1000),
+        (4, 2000, 1000), (5, 2500, 1000), (6, 3000, 1000), (7, 3500, 500),
+    ]
+    w3 = next(r for r in out if r["window_idx"] == 3)
+    assert np.array_equal(np.frombuffer(w3["window_bytes"], dtype="<i2"), samples[1500:2500])
+
+
 def test_clean_df_keeps_zero_rent_rows(spark):
     # rent_text '-' parses to rent=0; pandas computes admin_fee/0 = inf (or
     # NaN for 0/0) and KEEPS the row (quantile-equality is False, dropna

@@ -320,3 +320,34 @@ def test_stream_incremental_dedup_across_batches(spark, tmp_path):
     jobs.ingest_dedup_batch(b2, 1, out, store)
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3, 11]
     assert {r["__id"] for r in spark.read.parquet(store).collect()} == {1, 3, 11}
+    # the store records its hash family; verify-level lanes ride along
+    store_df = spark.read.parquet(store)
+    assert {r["hash_fn"] for r in store_df.select("hash_fn").distinct().collect()} == {"md5"}
+    assert "lanes" in store_df.columns
+
+
+def test_ingest_dedup_xxhash64_family_and_mismatch_guard(spark, tmp_path):
+    """The xxhash64 production family works end-to-end through the
+    streaming ingest (BIGINT band keys + lanes), and probing an existing
+    store with a different family raises instead of silently matching
+    nothing."""
+    import pytest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    out = str(tmp_path / "corpus_xx")
+    store = str(tmp_path / "store_xx")
+    b0 = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    jobs.ingest_dedup_batch(b0, 0, out, store, hash_fn="xxhash64")
+    store_df = spark.read.parquet(store)
+    assert dict(store_df.dtypes)["band_key"] == "bigint"
+    assert {r["hash_fn"] for r in store_df.select("hash_fn").distinct().collect()} == {"xxhash64"}
+
+    # cross-batch dup is still caught within the family
+    b1 = spark.createDataFrame([(2, base), (3, "unrelated words entirely fresh content here now ok")], ["doc_id", "text"])
+    jobs.ingest_dedup_batch(b1, 1, out, store, hash_fn="xxhash64")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3]
+
+    # family mismatch on an existing store must raise, not no-op
+    b2 = spark.createDataFrame([(4, base)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="family|hash_fn"):
+        jobs.ingest_dedup_batch(b2, 2, out, store, hash_fn="md5")

@@ -157,6 +157,8 @@ MAX_SHUFFLES = {
     "q80_curriculum_phases": 3,
     "q82_domain_mixture": 5,  # 2 rate-agg passes + mixing join agg + order
     "q83_incremental_verify": 3,  # 2 signature groupBys + pair-dedup/decision agg
+    "q86_image_decode_stats": 1,  # synth+decode are maps; output order only
+    "q87_audio_decode_windows": 1,  # synth+decode+window are maps; output order only
     "q84_ivf_topk": 2,  # assignment is a map; candidate join broadcasts the query side
     "q85_pq_adc_topk": 2,  # ADC scan broadcasts the LUTs; shortlist re-rank window
 }
