@@ -309,6 +309,68 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+    materialize: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment: for each pair,
+    containment(A in B) = |A∩B| / |A|. Emitted when EITHER direction
+    clears ``threshold`` — catches a short document embedded in a longer
+    one (quotes, concatenated shards, page-with-boilerplate), which
+    symmetric Jaccard misses: a 100-shingle doc fully contained in a
+    10,000-shingle doc has Jaccard ~0.01 but containment 1.0 (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" discusses
+    exactly this sub-document duplication class).
+
+    Same inverted-index skeleton, shuffle shape and ``max_df``/
+    ``materialize`` semantics as ``ngram_jaccard_pairs`` — one persisted
+    shingle relation, df>=2 prune, equi-join on 64-bit hashed shingles,
+    never a cross join.
+    """
+    from pyspark import StorageLevel
+
+    toks = docs.select(F.col(id_col).alias("__id"), text.tokens(F.col(text_col)).alias("__toks"))
+    sh = (
+        toks.select(
+            F.col("__id"),
+            F.explode(text.shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__s"),
+        )
+        .select(F.col("__id"), F.xxhash64(F.col("__s")).alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("n_shingles"))
+    dup_shingles = sh.groupBy("shingle").agg(F.count("*").alias("__df")).where(F.col("__df") >= 2)
+    if max_df is not None:
+        dup_shingles = dup_shingles.where(F.col("__df") <= max_df)
+    sh_dup = sh.join(dup_shingles.select("shingle"), on="shingle")
+    common = (
+        sh_dup.alias("a")
+        .join(sh_dup.alias("b"), on="shingle")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn("cont_a_in_b", F.col("n_common").cast("double") / F.col("n_a").cast("double"))
+        .withColumn("cont_b_in_a", F.col("n_common").cast("double") / F.col("n_b").cast("double"))
+        .where(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "cont_a_in_b", "cont_b_in_a")
+    )
+    if materialize:
+        out = out.localCheckpoint()
+        sh.unpersist()
+    return out
+
+
 # ------------------------------------------------------------ simhash
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

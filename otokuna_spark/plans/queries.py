@@ -3178,6 +3178,208 @@ def q82_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q88_source_overlap",
+    f"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    common AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(FLOOR(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) * 1000000.0) AS BIGINT) AS jaccard_m
+    FROM common JOIN sizes sa ON src_a = sa.source JOIN sizes sb ON src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+    "Corpus-level dataset-overlap matrix: pairwise shingle-set Jaccard "
+    "between SOURCES (the 'how much does dump A duplicate dump B' "
+    "question asked before mixing training corpora). One distinct "
+    "(source, shingle) relation feeds sizes and an inverted-index "
+    "self-join; fan-in per shingle is bounded by the number of sources, "
+    "not documents, so the pair count is sources^2 regardless of corpus "
+    "size. Joins on 64-bit hashed shingles (collision odds ~2^-64/pair); "
+    "the oracle joins the strings themselves",
+)
+def q88_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    # Bitmask formulation for a BOUNDED source dimension (sources is a
+    # dataset catalog, not data — collecting it is a dim lookup): each
+    # shingle's source set is a bit_or-aggregated LONG mask, so the one
+    # real shuffle carries (shingle, 8-byte partial mask) with map-side
+    # combine — vs collect_set<string> postings (measured 8.7 s at sf0.1,
+    # dominated by exploding tens of millions of string-struct pairs) or
+    # a self-join (6 exchanges). Everything downstream of the mask
+    # histogram is proportional to #DISTINCT MASKS (<= 2^sources but in
+    # practice tiny), not to shingles: 2.5 s at sf0.1. For > ~60 sources,
+    # chunk masks into an array of longs — same shape.
+    sources = [r["source"] for r in docs.select("source").distinct().orderBy("source").collect()]
+    if len(sources) > 60:
+        raise NotImplementedError("chunked masks needed beyond 60 sources")
+    src_arr = F.array(*[F.lit(s) for s in sources])
+    code = F.array_position(src_arr, F.col("source")) - 1
+    nbits = len(sources)
+    masks = (
+        # tokens projected FIRST — inline split inside the shingle HOF
+        # re-tokenizes per element access (no CSE into lambdas; see
+        # text.shingles_from_tokens): measured 8.6 s -> 2.3 s at sf0.1
+        docs.select("source", T.tokens(F.col("text")).alias("__toks"))
+        .select("source", F.explode(T.shingles_from_tokens(F.col("__toks"), 3)).alias("__s"))
+        .select(F.xxhash64("__s").alias("shingle"), code.cast("int").alias("__code"))
+        .select("shingle", F.expr("shiftleft(CAST(1 AS BIGINT), __code)").alias("bit"))
+        .groupBy("shingle")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+
+    # Per-partition numpy gram matrix over the shingle x source incidence
+    # bits: B^T B accumulates n_common for every pair AND sizes on the
+    # diagonal in one pass — the reduce ships nbits^2 longs per partition
+    # instead of exploding ~sum(|srcs|^2) pair rows. (Measured at sf0.1:
+    # pair-explode formulations 8.7-10 s, this 2.3 s; the one real
+    # shuffle left is the inverted-index groupBy itself.)
+    def _gram(it):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((nbits, nbits), dtype=np.int64)
+        for pdf in it:
+            m = pdf["mask"].to_numpy(dtype=np.int64).astype(np.uint64)
+            b = ((m[:, None] >> np.arange(nbits, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            acc += b.T @ b
+        yield pd.DataFrame({"m": [acc.reshape(-1).tolist()]})
+
+    cells = (
+        masks.mapInPandas(_gram, schema="m array<long>")
+        .select(F.posexplode("m").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .select(
+            (F.col("pos") / nbits).cast("int").alias("a"),
+            (F.col("pos") % nbits).cast("int").alias("b"),
+            "v",
+        )
+    ).localCheckpoint()  # nbits^2 rows; upstream runs exactly once
+
+    sizes = cells.where(F.col("a") == F.col("b")).select(F.col("a").alias("i"), F.col("v").alias("n"))
+    return (
+        # n_common=0 pairs exist in the gram matrix but not in the oracle's
+        # inverted-index join — drop them for parity
+        cells.where((F.col("a") < F.col("b")) & (F.col("v") > 0))
+        .withColumnRenamed("v", "n_common")
+        .join(F.broadcast(sizes.withColumnRenamed("i", "a").withColumnRenamed("n", "n_a")), "a")
+        .join(F.broadcast(sizes.withColumnRenamed("i", "b").withColumnRenamed("n", "n_b")), "b")
+        .select(
+            F.element_at(src_arr, F.col("a") + 1).alias("src_a"),
+            F.element_at(src_arr, F.col("b") + 1).alias("src_b"),
+            "n_common",
+            "n_a",
+            "n_b",
+            F.floor(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("jaccard_m"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "q89_containment_pairs",
+    f"""
+    WITH {_SH_CTE},
+    hashed AS (SELECT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    df AS (SELECT shingle, COUNT(*) AS d FROM hashed GROUP BY shingle),
+    dup AS (SELECT h.doc_id, h.shingle FROM hashed h JOIN df USING (shingle) WHERE df.d >= 2),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM dup a JOIN dup b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(FLOOR(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) * 1000000.0) AS BIGINT) AS cont_a_m,
+           CAST(FLOOR(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) * 1000000.0) AS BIGINT) AS cont_b_m
+    FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.35
+       OR CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    "Asymmetric shingle-CONTAINMENT near-dup pairs (|A∩B|/|A|): catches a "
+    "short document embedded in a longer one — Jaccard ~0 but containment "
+    "~1 (the sub-document duplication class from Lee et al.'s dedup "
+    "paper). Same inverted-index shuffle shape as q21; both directions "
+    "emitted when either clears the threshold",
+)
+def q89_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_containment_pairs(docs, "doc_id", "text", threshold=0.35, shingle_k=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.floor(F.col("cont_a_in_b") * 1000000.0).cast("long").alias("cont_a_m"),
+        F.floor(F.col("cont_b_in_a") * 1000000.0).cast("long").alias("cont_b_m"),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q90_unigram_likelihood",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    occ AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+    freq AS (SELECT tok, COUNT(*) AS f FROM occ GROUP BY tok)
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.f) AS BIGINT) AS sum_freq,
+           CAST(SUM(f.f) * 1000000 // COUNT(*) AS BIGINT) AS mean_freq_ppm
+    FROM occ o JOIN freq f USING (tok)
+    GROUP BY o.doc_id ORDER BY o.doc_id
+    """,
+    "Unigram-LM quality proxy (the CCNet-style 'how typical is this "
+    "document of the corpus' score, integer-exact instead of a float "
+    "perplexity): corpus-wide token frequencies joined back to every "
+    "token occurrence, aggregated to a per-doc mean corpus-frequency. "
+    "Two keyed shuffles (token agg, doc agg) regardless of corpus size; "
+    "the frequency table join is AQE-broadcast when the vocabulary is "
+    "small. Integer sum + single BIGINT division keeps the oracle exact",
+)
+def q90_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    freq = occ.groupBy("tok").agg(F.count("*").alias("f"))
+    return (
+        occ.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("f").alias("sum_freq"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            # integer `div` keeps this exact on both engines (no double round)
+            F.expr("sum_freq * 1000000 div n_tokens").alias("mean_freq_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _synth_bmp_media(spark: SparkSession, sf_dir: str, max_doc_id: int = 200) -> DataFrame:
     """Deterministic BMP payloads derived arithmetically from doc_id
     (w = 8 + id%8, h = 8 + id%5, pixel k = (id*7 + k*13) % 256, row-major)

@@ -49,6 +49,25 @@ def test_ngram_jaccard_exact(spark):
     assert abs(out[0]["jaccard"] - 0.5) < 1e-12
 
 
+def test_containment_catches_subdocument_dup(spark):
+    """A short doc fully contained in a much longer one: Jaccard is tiny
+    (misses it at any useful threshold) but containment(A in B) = 1.0 —
+    the sub-document duplication class symmetric dedup can't see."""
+    short = "alpha beta gamma delta epsilon"  # 3 shingles
+    long_doc = short + " " + " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame([(1, short), (2, long_doc)], ["doc_id", "text"])
+
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.35)
+    assert jac.count() == 0  # 3 common / ~205 union -> jaccard ~0.015
+
+    cont = dedup.shingle_containment_pairs(df, "doc_id", "text", threshold=0.35).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 1.0  # every short-doc shingle is in the long doc
+    assert r["cont_b_in_a"] < 0.05
+
+
 def test_ngram_jaccard_max_df_prunes_boilerplate(spark):
     """max_df drops hot boilerplate shingles from the inverted-index join:
     pairs whose only overlap is a footer shared by every doc vanish (their

@@ -159,6 +159,9 @@ MAX_SHUFFLES = {
     "q83_incremental_verify": 3,  # 2 signature groupBys + pair-dedup/decision agg
     "q86_image_decode_stats": 1,  # synth+decode are maps; output order only
     "q87_audio_decode_windows": 1,  # synth+decode+window are maps; output order only
+    "q88_source_overlap": 1,  # post-checkpoint tail: output order; upstream = mask groupBy + gram-cell agg (see q88 comment)
+    "q89_containment_pairs": 1,  # post-checkpoint order; inverted-index discipline tested at operator level
+    "q90_unigram_likelihood": 3,  # token agg + occurrence-join re-exchange + doc agg (+order folded)
     "q84_ivf_topk": 2,  # assignment is a map; candidate join broadcasts the query side
     "q85_pq_adc_topk": 2,  # ADC scan broadcasts the LUTs; shortlist re-rank window
 }
