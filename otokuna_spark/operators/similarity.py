@@ -464,31 +464,55 @@ def _centroids_from_sample(df: DataFrame, id_col: str, vec_col: str, n_centroids
     return [(i, list(map(float, r[vec_col]))) for i, r in enumerate(rows)]
 
 
-def _centroid_sim_structs(vec_col: str, centroids: list[tuple[int, list[float]]]) -> list[Column]:
-    """One (sim, negcid) struct per centroid. ``negcid`` (negated id) makes
-    lexicographic struct ordering break similarity ties toward the LOWEST
-    centroid id: max(sim, negcid) == (max sim, min cid)."""
+def _with_centroid_scores(df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Attach ``__cscores``: an array of (sim, negcid) structs, one per
+    centroid, scored per row. ``negcid`` (negated id) makes lexicographic
+    struct ordering break similarity ties toward the LOWEST centroid id:
+    max(sim, negcid) == (max sim, min cid).
+
+    The centroids travel as DATA — a broadcast 1-row array<struct> column
+    (BroadcastNestedLoopJoin attach, still map-only per row) scored with
+    higher-order functions — NOT as literal expressions: n_centroids x dim
+    literal arrays made janino compile a ~1000-term source per call
+    (measured 1.7 s plan+compile for a 2000-row assignment; the HOF form
+    is ~0.3 s and its codegen size is constant in n_centroids and dim).
+    The division structure dot/(norm*cnorm) matches the SQL oracle's
+    exactly; cnorm is precomputed driver-side."""
+    spark = df.sparkSession
+    rows = [
+        {"negcid": -cid, "vec": [float(x) for x in cvec], "nrm": float(sum(x * x for x in cvec) ** 0.5)}
+        for cid, cvec in centroids
+    ]
+    cdf = spark.createDataFrame(
+        [(rows,)], "__cents array<struct<negcid:int,vec:array<double>,nrm:double>>"
+    )
     nrm = vectors.norm(F.col(vec_col))
-    out = []
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(x) for x in cvec])
-        cn = sum(x * x for x in cvec) ** 0.5
-        sim = vectors.dot(F.col(vec_col), carr) / (nrm * F.lit(cn))
-        out.append(F.struct(sim.alias("sim"), F.lit(-cid).alias("negcid")))
-    return out
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (vectors.dot(F.col(vec_col), c["vec"]) / (nrm * c["nrm"])).alias("sim"),
+            c["negcid"].alias("negcid"),
+        ),
+    )
+    return df.crossJoin(F.broadcast(cdf)).withColumn("__cscores", scored).drop("__cents")
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]], out_col: str = "centroid_id") -> DataFrame:
     """Assign each vector to its nearest centroid by cosine — one scan,
-    n_centroids fused dot products per row, all codegen.
+    n_centroids HOF dot products per row, map-only (the broadcast centroid
+    attach adds no shuffle).
 
-    The argmax is array_sort over n_centroids (sim, negcid) structs + take
-    last — expression size LINEAR in n_centroids. (The obvious running
-    best_sim/best_id F.when fold embeds the previous best twice per step:
-    a 2^n_centroids expression tree that OOMs the driver at 16 centroids
-    x 64 dims before a single task runs.)"""
-    best = F.element_at(F.array_sort(F.array(*_centroid_sim_structs(vec_col, centroids))), -1)
-    return df.withColumn(out_col, -best["negcid"])
+    The argmax is array_sort over the (sim, negcid) structs + take last —
+    work LINEAR in n_centroids. (The obvious running best_sim/best_id
+    F.when fold embeds the previous best twice per step: a 2^n_centroids
+    expression tree that OOMs the driver at 16 centroids x 64 dims before
+    a single task runs.)"""
+    best = F.element_at(F.array_sort(F.col("__cscores")), -1)
+    return (
+        _with_centroid_scores(df, vec_col, centroids)
+        .withColumn(out_col, -best["negcid"])
+        .drop("__cscores")
+    )
 
 
 def ivf_topk(
@@ -520,10 +544,8 @@ def ivf_topk(
     )
     # each query explodes to its n_probe nearest centroid ids; same
     # (sim DESC, cid ASC) order as the assignment argmax
-    q = _with_norm(queries, vec_col)
-    probe_ids = F.slice(
-        F.reverse(F.array_sort(F.array(*_centroid_sim_structs(vec_col, centroids)))), 1, n_probe
-    )
+    q = _with_centroid_scores(_with_norm(queries, vec_col), vec_col, centroids)
+    probe_ids = F.slice(F.reverse(F.array_sort(F.col("__cscores"))), 1, n_probe)
     q_probed = q.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
@@ -602,7 +624,10 @@ def pq_train(
         idx = np.linspace(0, len(xs) - 1, n_codes).astype(int)
         cb = xs[idx].copy()
         for _ in range(n_iter):
-            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # ||a-b||^2 expansion (argmin drops ||a||^2): one matmul per
+            # iteration instead of materializing the (n, n_codes, dsub)
+            # broadcast-difference tensor — same trick as pq_encode
+            d2 = -2.0 * xs @ cb.T + (cb**2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
             for c in range(n_codes):
                 members = xs[assign == c]
