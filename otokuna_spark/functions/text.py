@@ -246,6 +246,22 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     )
 
 
+def positional_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles in POSITIONAL order (no dedup) from a materialized
+    token-array column: element ``i`` (0-based after ``posexplode``) is the
+    shingle starting at token ``i``. Used by substring-span detection,
+    which needs every occurrence at its position — set semantics would
+    destroy run structure. Same CSE pitfall as ``shingles_from_tokens``:
+    project the tokens first."""
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as array<string> (distinct), for Jaccard/MinHash.
     Prefer projecting tokens first and using shingles_from_tokens (see

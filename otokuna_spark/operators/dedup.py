@@ -371,6 +371,113 @@ def shingle_containment_pairs(
     return out
 
 
+# -------------------------------------------------- substring spans
+
+def substring_span_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_span_tokens: int = 10,
+    max_df: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact shared-substring detection: for every document pair sharing a
+    run of >= ``min_span_tokens`` CONSECUTIVE tokens, report the longest
+    shared run — the substring-duplication class from Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    set-based Jaccard/MinHash cannot see (a 50-token quote inside two
+    otherwise-different documents moves Jaccard by ~0 but is exactly the
+    memorization risk that paper removes). The reference has no analog;
+    this is pipeline-extension surface (SURVEY.md §2.13).
+
+    Distributed formulation (no suffix array, no cross join):
+
+    1. positional k-gram inverted index: (doc, pos, hash(gram)) for every
+       position — NOT distinct; runs live in positions;
+    2. df-prune grams that occur in only one document (they can never
+       witness a cross-doc match) — the usual inverted-index fan-in cut;
+    3. self-join on gram -> (id_a, id_b, pos_a, pos_b). A shared token run
+       of length L appears as L-k+1 matches on one DIAGONAL
+       (pos_a - pos_b constant);
+    4. longest run per diagonal via the islands trick:
+       ``pos_a - row_number()`` is constant within a maximal consecutive
+       run. One window + one groupBy — all keyed shuffles.
+
+    ``max_df`` caps gram document frequency in the JOIN (the boilerplate
+    skew cap, same contract as ``ngram_jaccard_pairs``): a gram in d docs
+    contributes ~d^2 join rows, so ubiquitous grams dominate cost.
+    Dropping one gram can only split or shorten a detected run (never
+    invent one), so spans may be UNDER-reported with ``max_df`` set;
+    default None = exact.
+
+    Returns (id_a, id_b, max_run_grams, span_tokens, n_shared_grams) with
+    id_a < id_b, span_tokens = max_run_grams + k - 1 >= min_span_tokens.
+
+    Scale shape: one explode scan, two keyed shuffles for the index +
+    df-prune, one equi-join on gram hash, one window + agg over join
+    output. Join output volume is sum over grams of df^2 — bounded by
+    ``max_df``; never O(n_docs^2).
+    """
+    from pyspark import StorageLevel
+
+    min_run = min_span_tokens - shingle_k + 1
+    if min_run < 1:
+        raise ValueError(
+            f"min_span_tokens={min_span_tokens} must be >= shingle_k={shingle_k}"
+        )
+    toks = docs.select(F.col(id_col).alias("__id"), text.tokens(F.col(text_col)).alias("__toks"))
+    grams = (
+        toks.select(
+            F.col("__id"),
+            F.posexplode(text.positional_shingles_from_tokens(F.col("__toks"), shingle_k)).alias(
+                "__pos", "__s"
+            ),
+        )
+        # 64-bit hash for the shuffle/join key (collision ~2^-64/pair; the
+        # oracle joins the strings)
+        .select("__id", "__pos", F.xxhash64("__s").alias("__g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gram_df = grams.groupBy("__g").agg(F.count_distinct("__id").alias("__df")).where(F.col("__df") >= 2)
+    if max_df is not None:
+        gram_df = gram_df.where(F.col("__df") <= max_df)
+    pruned = grams.join(gram_df.select("__g"), on="__g")
+    matches = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), on="__g")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__pos").alias("pa"),
+            (F.col("a.__pos") - F.col("b.__pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("__grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "__grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    out = (
+        runs.groupBy("id_a", "id_b")
+        .agg(F.max("run_len").alias("max_run_grams"), F.sum("run_len").alias("n_shared_grams"))
+        .where(F.col("max_run_grams") >= min_run)
+        .select(
+            "id_a",
+            "id_b",
+            "max_run_grams",
+            (F.col("max_run_grams") + F.lit(shingle_k - 1)).alias("span_tokens"),
+            "n_shared_grams",
+        )
+    )
+    if materialize:
+        out = out.localCheckpoint()
+        grams.unpersist()
+    return out
+
+
 # ------------------------------------------------------------ simhash
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

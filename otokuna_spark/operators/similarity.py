@@ -566,6 +566,75 @@ def ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings, compare pairs ONLY within a
+    cluster, drop any vector with a higher-priority near-twin.
+
+    Differences from the paper, chosen for determinism + oracle parity:
+    centroids are the deterministic lowest-id sample (``ivf_assign``'s
+    scheme, shared with the IVF index — one assignment serves both ops at
+    scale) instead of fitted k-means, and the kept representative is the
+    LOWEST id (the paper keeps the point farthest from the centroid).
+    Drop rule: v is dropped iff some u with u < v in the SAME cluster has
+    cos(u, v) >= threshold; ``dup_of`` is the smallest such u. The filter
+    is single-pass (u itself may also be dropped) — the standard greedy
+    blocked-dedup semantics, same as the paper's within-cluster sweep.
+
+    Returns one row per corpus vector: (id, centroid_id, is_kept,
+    dup_of, cosine_m) with dup_of/cosine_m NULL for kept rows.
+
+    Scale shape: assignment is one map-only scan (broadcast centroids);
+    the pairwise stage is an equi-join on centroid_id, so cost is
+    sum over clusters of |c|^2, never corpus^2 — the whole point of
+    clustering first. Skewed giant clusters are the known failure mode:
+    at 100 TB raise n_centroids (the paper uses ~100k) so max |c| stays
+    bounded; the join is still a plain keyed shuffle."""
+    centroids = _centroids_from_sample(corpus, id_col, vec_col, n_centroids)
+    assigned = ivf_assign(_with_norm(corpus, vec_col), vec_col, centroids)
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+        "centroid_id",
+    )
+    cos = vectors.dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    qual = (
+        a.join(b, on="centroid_id")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .withColumn("__cos", cos)
+        .where(F.col("__cos") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("__id_b").orderBy(F.asc("__id_a"))
+    drops = (
+        qual.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__id_b").alias(id_col),
+            F.col("__id_a").alias("dup_of"),
+            F.col("__cos").alias("dup_cosine"),
+        )
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(drops, on=id_col, how="left")
+        .withColumn("is_kept", F.col("dup_of").isNull())
+    )
+
+
 # =====================================================================
 # Product quantization (PQ) — the memory-bound ANN scale path
 # =====================================================================

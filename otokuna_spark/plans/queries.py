@@ -3771,3 +3771,136 @@ def q85_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# =====================================================================
+# Round-5 extensions: substring spans, semantic dedup, DSIR, drift, BM25
+# =====================================================================
+
+
+@register(
+    "q91_substring_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    ),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS d FROM g GROUP BY gram HAVING d >= 2),
+    pg AS (SELECT g.* FROM g JOIN df USING (gram)),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, a.pos - b.pos AS diag
+        FROM pg a JOIN pg b USING (gram) WHERE a.doc_id < b.doc_id
+    ),
+    r AS (
+        SELECT id_a, id_b, diag, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+        FROM p
+    ),
+    runs AS (SELECT id_a, id_b, diag, grp, COUNT(*) AS run_len FROM r GROUP BY ALL),
+    spans AS (
+        SELECT id_a, id_b, MAX(run_len) AS max_run, SUM(run_len) AS n_shared
+        FROM runs GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           CAST(max_run AS BIGINT) AS max_run_grams,
+           CAST(max_run + 2 AS BIGINT) AS span_tokens,
+           CAST(n_shared AS BIGINT) AS n_shared_grams
+    FROM spans WHERE max_run >= 8
+    ORDER BY id_a, id_b
+    """,
+    "Exact shared-substring spans (Lee et al. 2022's substring-duplication "
+    "class, invisible to set-based Jaccard/MinHash): positional 3-gram "
+    "inverted index, df>=2 prune, gram self-join, longest consecutive run "
+    "per pair via the diagonal (pos_a - pos_b) islands trick — one window "
+    "+ one agg, all keyed shuffles, never a cross join. Pairs sharing a "
+    "run of >= 10 consecutive tokens, with the longest run length",
+)
+def q91_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.substring_span_pairs(
+        docs, "doc_id", "text", shingle_k=3, min_span_tokens=10
+    ).orderBy("id_a", "id_b")
+
+
+_Q92_ORACLE = """
+    WITH ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    cent_ids AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cex AS (SELECT c.cid, e.i, e.v FROM cent_ids c JOIN ex e USING (vec_id)),
+    cnorms AS (SELECT cid, sqrt(SUM(v * v)) AS cn FROM cex GROUP BY cid),
+    sims AS (
+        SELECT e.vec_id, x.cid, SUM(e.v * x.v) / (n.nrm * c.cn) AS sim
+        FROM ex e JOIN cex x USING (i)
+        JOIN norms n ON e.vec_id = n.vec_id
+        JOIN cnorms c ON x.cid = c.cid
+        GROUP BY e.vec_id, x.cid, n.nrm, c.cn
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b USING (cid) WHERE a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT p.id_a, p.id_b, SUM(x.v * y.v) AS d
+        FROM pairs p
+        JOIN ex x ON x.vec_id = p.id_a
+        JOIN ex y ON y.vec_id = p.id_b AND y.i = x.i
+        GROUP BY p.id_a, p.id_b
+    ),
+    qual AS (
+        SELECT id_a, id_b, d / (na.nrm * nb.nrm) AS cos
+        FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+        WHERE d / (na.nrm * nb.nrm) >= 0.45
+    ),
+    drops AS (
+        SELECT id_b AS vec_id, id_a AS dup_of, cos FROM (
+            SELECT id_a, id_b, cos,
+                   ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a ASC) AS rn
+            FROM qual
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, CAST(a.cid AS INT) AS centroid_id,
+           d.vec_id IS NULL AS is_kept,
+           d.dup_of AS dup_of,
+           CAST(FLOOR(d.cos * 1000000.0) AS BIGINT) AS dup_cosine_m
+    FROM assign a LEFT JOIN drops d USING (vec_id)
+    ORDER BY a.vec_id
+    """
+
+
+@register(
+    "q92_semantic_dedup",
+    _Q92_ORACLE,
+    "SemDeDup-style semantic dedup (Abbas et al. 2023): embeddings "
+    "clustered by the shared deterministic IVF assignment, pairwise "
+    "cosine ONLY within a cluster (equi-join on centroid_id — cost "
+    "sum(|c|^2), never corpus^2), vectors with a lower-id near-twin at "
+    "cos >= 0.45 dropped with the twin as evidence. Threshold sits "
+    ">= 1.6e-3 from every pair cosine in the test data, far beyond "
+    "cross-engine double reassociation noise",
+)
+def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, "vec_id", "embedding", threshold=0.45, n_centroids=16)
+    return out.select(
+        "vec_id",
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        "is_kept",
+        "dup_of",
+        F.floor(F.col("dup_cosine") * 1000000.0).cast("long").alias("dup_cosine_m"),
+    ).orderBy("vec_id")

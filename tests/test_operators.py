@@ -632,3 +632,72 @@ def test_minhash_xxhash64_family_finds_same_near_dups(spark):
 
     with pytest.raises(ValueError):
         dedup.minhash_signatures(df, "doc_id", "text", hash_fn="sha1")
+
+
+def test_substring_span_pairs_finds_shared_run(spark):
+    # docs 1 and 2 share the exact 12-token run w0..w11 at different
+    # offsets; docs 1 and 3 share only scattered tokens (no 10-token run)
+    run = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + run + " gamma"),
+            (2, "x y z " + run),
+            (3, "w0 q w2 q w4 q w6 q w8 q w10 q"),
+            (4, "totally different tokens here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.substring_span_pairs(docs, "doc_id", "text", shingle_k=3, min_span_tokens=10)
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    # 12 shared tokens -> 10 consecutive 3-grams
+    assert r["max_run_grams"] == 10
+    assert r["span_tokens"] == 12
+
+
+def test_substring_span_pairs_max_df_never_inflates(spark):
+    # the shared run's grams also appear in many other docs -> max_df
+    # drops them from the join; spans may shrink but never grow
+    run = " ".join(f"c{i}" for i in range(15))
+    rows = [(1, "a b " + run), (2, run + " d e")]
+    rows += [(10 + j, run) for j in range(6)]  # every run-gram now has df=8
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["max_run_grams"]
+        for r in dedup.substring_span_pairs(
+            docs, "doc_id", "text", shingle_k=3, min_span_tokens=10
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["max_run_grams"]
+        for r in dedup.substring_span_pairs(
+            docs, "doc_id", "text", shingle_k=3, min_span_tokens=10, max_df=4
+        ).collect()
+    }
+    assert exact  # fixture sanity: exact run detected
+    for pair, run_len in capped.items():
+        assert run_len <= exact[pair]
+
+
+def test_semantic_dedup_drops_within_cluster_twin_only(spark):
+    # 20 base vectors; vec 20 is a near-copy of vec 3 (same cluster,
+    # cos ~ 1), vec 21 is orthogonal-ish to everything
+    import random
+
+    random.seed(11)
+    dim = 8
+    base = [[random.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    near = [v + random.gauss(0, 0.01) for v in base[3]]
+    far = [100.0 if i == 7 else 0.01 for i in range(dim)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((20, [float(x) for x in near]))
+    rows.append((21, [float(x) for x in far]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(emb, "vec_id", "embedding", threshold=0.95, n_centroids=4)
+    by_id = {r["vec_id"]: r for r in out.collect()}
+    assert len(by_id) == 22
+    assert not by_id[20]["is_kept"] and by_id[20]["dup_of"] == 3
+    assert by_id[3]["is_kept"]  # lowest id of the twin group survives
+    assert by_id[21]["is_kept"]
+    assert sum(1 for r in by_id.values() if not r["is_kept"]) == 1
