@@ -80,3 +80,106 @@ def profile_table(
         )
         .orderBy("col_name")
     )
+
+
+def snapshot_drift(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Distribution-drift monitor between two time halves of a table — the
+    "did yesterday's drop change the data distribution" check a corpus
+    pipeline runs on every ingest (PSI-style, Population Stability Index).
+
+    ``df`` is split at the midpoint of ``time_col`` (BIGINT event time)
+    into an EARLIER (a) and LATER (b) snapshot; ``value_col`` (double) is
+    histogrammed into ``n_bins`` equal-width bins over the GLOBAL min/max,
+    and each (group, bin) row reports both sides' counts, proportions in
+    ppm, and two integer-exact drift terms:
+
+    - ``l1_ppm`` = |pa - pb| in ppm (summing over bins gives total
+      variation distance x2 x 1e6);
+    - ``chi2_ppm`` = floor((pa_ppm - pb_ppm)^2 / (pa_ppm + pb_ppm)) — the
+      symmetric chi-square (Neyman) drift term, large only where a bin's
+      mass genuinely moved. PSI's classic (pa-pb)ln(pa/pb) term needs
+      logs, whose last-ulp behavior is engine-specific; chi-square ranks
+      drifted bins the same way and stays in exact BIGINT arithmetic
+      (documented divergence from the textbook PSI formula).
+
+    Scale shape: one scalar aggregation for (min/max time, min/max value)
+    broadcast-attached to every row (no driver round-trip in the plan),
+    then ONE binned groupBy — two scans of the fact table total,
+    independent of n_bins and group cardinality. Empty bins on one side
+    get count 0 via the full (group, bin) outer frame, so a vanished bin
+    is a loud chi2 spike, not a missing row.
+    """
+    bounds = df.agg(
+        F.min(F.col(time_col)).alias("__tmin"),
+        F.max(F.col(time_col)).alias("__tmax"),
+        F.min(F.col(value_col)).alias("__vmin"),
+        F.max(F.col(value_col)).alias("__vmax"),
+    )
+    # integer midpoint — the split predicate stays in exact BIGINT math
+    mid = F.expr("(__tmin + __tmax) div 2")
+    # bin by equal width; the top edge folds into the last bin. The bin
+    # expression is per-row IEEE double arithmetic with an identical
+    # expression tree on both engines -> deterministic bin ids
+    width_expr = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(n_bins))
+    raw_bin = F.floor((F.col(value_col) - F.col("__vmin")) / width_expr)
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            *([F.col(group_col).alias("__grp")] if group_col else [F.lit("all").alias("__grp")]),
+            F.when(F.col(time_col) <= mid, F.lit(1)).otherwise(F.lit(0)).alias("__a"),
+            F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)).cast("int").alias("__bin"),
+        )
+    )
+    counts = binned.groupBy("__grp", "__bin").agg(
+        F.sum("__a").alias("count_a"),
+        F.sum(F.lit(1) - F.col("__a")).alias("count_b"),
+    )
+    # dense (group, bin) frame so empty-on-one-side bins still appear
+    frame = (
+        counts.select("__grp").distinct()
+        .crossJoin(F.broadcast(counts.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("__bin"))))
+    )
+    dense = (
+        frame.join(counts, on=["__grp", "__bin"], how="left")
+        .select(
+            "__grp",
+            "__bin",
+            F.coalesce("count_a", F.lit(0)).alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy("__grp")
+    pa = F.expr("count_a * 1000000 div na")
+    pb = F.expr("count_b * 1000000 div nb")
+    return (
+        dense.withColumn("na", F.sum("count_a").over(wg))
+        .withColumn("nb", F.sum("count_b").over(wg))
+        .withColumn("pa_ppm", pa)
+        .withColumn("pb_ppm", pb)
+        .withColumn("l1_ppm", F.abs(F.col("pa_ppm") - F.col("pb_ppm")))
+        .withColumn(
+            "chi2_ppm",
+            F.when(
+                F.col("pa_ppm") + F.col("pb_ppm") > 0,
+                F.expr("(pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) div (pa_ppm + pb_ppm)"),
+            ).otherwise(F.lit(0)),
+        )
+        .select(
+            F.col("__grp").alias("group_key"),
+            F.col("__bin").alias("bin"),
+            "count_a",
+            "count_b",
+            "pa_ppm",
+            "pb_ppm",
+            "l1_ppm",
+            "chi2_ppm",
+        )
+    )

@@ -40,3 +40,86 @@ def train_val_test_split(
 def sample_fraction(df: DataFrame, fraction: float, seed: int = 123) -> DataFrame:
     """R2 — seeded Bernoulli sample (ml/check_onnx.py's df.sample)."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def hashed_importance_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document by how much its hashed-unigram distribution looks like a
+    TARGET subset (``target_pred`` rows) vs the RAW corpus, then select
+    high scorers. The 100 TB data-selection shape: the feature space is a
+    FIXED n_buckets-dim histogram, so the model state is one broadcastable
+    n_buckets-row table no matter the corpus size.
+
+    Determinism/parity divergence from the paper, both documented: the
+    hash is the md5-hex prefix (oracle-portable across engines, same trick
+    as the MinHash md5 family) rather than a fast 32-bit hash, and the
+    per-bucket weight is the SMOOTHED PROBABILITY RATIO in integer ppm
+    rather than its logarithm — floor((t_b+1)(R+B) * 1e6 / ((r_b+1)(T+B)))
+    — so document scores are exact BIGINT sums (log-space needs floats,
+    whose sum order is engine-dependent). Ratio weights order buckets the
+    same way log weights do; the per-doc SUM is a linear-space variant
+    (documented, not the paper's exact estimator).
+
+    Returns (id, n_tokens, score_sum, mean_score_ppm) — one row per doc
+    with >= 1 token; mean_score_ppm = score_sum div n_tokens is the
+    length-normalized importance score.
+
+    Scale shape: one explode scan feeds both the bucket histogram (one
+    keyed shuffle, map-side combine, n_buckets result rows) and the
+    per-doc aggregation; the weight table joins back BROADCAST (n_buckets
+    rows); totals ride along as literal-free 1-row broadcasts. Overflow
+    headroom: (t_b+1)(R+B)*1e6 must fit BIGINT — fine through ~10^12-token
+    corpora per partition-of-the-problem; shard the corpus or drop the ppm
+    scale factor beyond that.
+    """
+    from ..functions import text
+
+    b = F.lit(n_buckets)
+    occ = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            target_pred.alias("__tgt"),
+            F.explode(text.tokens(F.col(text_col))).alias("__tok"),
+        )
+        .withColumn(
+            "__bucket",
+            F.pmod(F.conv(F.substring(F.md5(F.col("__tok")), 1, 4), 16, 10).cast("long"), b),
+        )
+        .drop("__tok")
+    )
+    hist = occ.groupBy("__bucket").agg(
+        F.count("*").alias("__r"),
+        F.sum(F.col("__tgt").cast("long")).alias("__t"),
+    )
+    # totals get distinct names (__rtot/__ttot): Spark SQL resolution is
+    # case-insensitive, so __R/__T would collide with __r/__t
+    totals = hist.agg(
+        F.sum("__r").alias("__rtot"), F.sum("__t").alias("__ttot")
+    )
+    weights = (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "__bucket",
+            F.expr(
+                f"(__t + 1) * (__rtot + {n_buckets}) * 1000000 div ((__r + 1) * (__ttot + {n_buckets}))"
+            ).alias("__w_ppm"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(weights), on="__bucket")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("__w_ppm").alias("score_sum"))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "score_sum",
+            F.expr("score_sum div n_tokens").alias("mean_score_ppm"),
+        )
+    )

@@ -3904,3 +3904,187 @@ def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         F.floor(F.col("dup_cosine") * 1000000.0).cast("long").alias("dup_cosine_m"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q93_dsir_selection",
+    """
+    WITH occ AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % 256 AS bucket
+        FROM (
+            SELECT doc_id, lang, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        )
+    ),
+    hist AS (
+        SELECT bucket, COUNT(*) AS r, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS t
+        FROM occ GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(r) AS rtot, SUM(t) AS ttot FROM hist),
+    w AS (
+        SELECT bucket,
+               CAST((t + 1) * (rtot + 256) * 1000000 // ((r + 1) * (ttot + 256)) AS BIGINT) AS w_ppm
+        FROM hist, tot
+    ),
+    scores AS (
+        SELECT o.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(w.w_ppm) AS BIGINT) AS score_sum
+        FROM occ o JOIN w USING (bucket)
+        GROUP BY o.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, score_sum,
+               CAST(score_sum // n_tokens AS BIGINT) AS mean_score_ppm,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_sum // n_tokens DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scores
+    )
+    SELECT rank, doc_id, n_tokens, score_sum, mean_score_ppm
+    FROM ranked WHERE rank <= 100
+    ORDER BY rank
+    """,
+    "DSIR-style data selection (Xie et al. 2023): hashed-unigram bucket "
+    "histogram of target (lang='en') vs raw corpus, smoothed probability-"
+    "ratio weights in integer ppm (md5-prefix bucket hash — oracle-"
+    "portable; ratio instead of log keeps doc scores exact BIGINT sums), "
+    "documents scored by mean bucket weight, top-100 selected. The "
+    "selection model is ONE broadcastable 256-row table regardless of "
+    "corpus size",
+)
+def q93_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    scores = sampling.hashed_importance_scores(
+        docs, "doc_id", "text", target_pred=F.col("lang") == "en", n_buckets=256
+    )
+    w = W.orderBy(F.desc("mean_score_ppm"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 100)
+        .select("rank", "doc_id", "n_tokens", "score_sum", "mean_score_ppm")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "q94_snapshot_drift",
+    """
+    WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+    bounds AS (
+        SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax,
+               MIN(value) AS vmin, MAX(value) AS vmax
+        FROM ev
+    ),
+    binned AS (
+        SELECT event_type AS grp,
+               CASE WHEN ts_us <= (tmin + tmax) // 2 THEN 1 ELSE 0 END AS a,
+               CAST(LEAST(15, GREATEST(0, FLOOR((value - vmin) / ((vmax - vmin) / 16.0)))) AS INT) AS bin
+        FROM ev, bounds
+    ),
+    counts AS (
+        SELECT grp, bin, SUM(a) AS count_a, SUM(1 - a) AS count_b
+        FROM binned GROUP BY grp, bin
+    ),
+    frame AS (
+        SELECT g.grp, b.bin
+        FROM (SELECT DISTINCT grp FROM counts) g, (SELECT UNNEST(generate_series(0, 15)) AS bin) b
+    ),
+    dense AS (
+        SELECT f.grp, f.bin,
+               COALESCE(c.count_a, 0) AS count_a,
+               COALESCE(c.count_b, 0) AS count_b
+        FROM frame f LEFT JOIN counts c ON f.grp = c.grp AND f.bin = c.bin
+    ),
+    wsum AS (
+        SELECT grp, bin, count_a, count_b,
+               SUM(count_a) OVER (PARTITION BY grp) AS na,
+               SUM(count_b) OVER (PARTITION BY grp) AS nb
+        FROM dense
+    ),
+    props AS (
+        SELECT grp, bin, count_a, count_b,
+               count_a * 1000000 // na AS pa_ppm,
+               count_b * 1000000 // nb AS pb_ppm
+        FROM wsum
+    )
+    SELECT grp AS group_key, CAST(bin AS INT) AS bin,
+           CAST(count_a AS BIGINT) AS count_a, CAST(count_b AS BIGINT) AS count_b,
+           CAST(pa_ppm AS BIGINT) AS pa_ppm, CAST(pb_ppm AS BIGINT) AS pb_ppm,
+           CAST(ABS(pa_ppm - pb_ppm) AS BIGINT) AS l1_ppm,
+           CAST(CASE WHEN pa_ppm + pb_ppm > 0
+                     THEN (pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) // (pa_ppm + pb_ppm)
+                     ELSE 0 END AS BIGINT) AS chi2_ppm
+    FROM props
+    ORDER BY group_key, bin
+    """,
+    "Snapshot-drift monitor (PSI-style): events split at the integer "
+    "time midpoint into before/after halves, value histogrammed into 16 "
+    "equal-width bins over global bounds, per (event_type, bin) "
+    "proportions in ppm plus integer-exact L1 and symmetric chi-square "
+    "drift terms (chi-square replaces PSI's log term — same bin ranking, "
+    "exact BIGINT arithmetic; divergence documented). One scalar-bounds "
+    "scan + one binned agg — two scans total at any scale; empty bins "
+    "surface as explicit rows, not gaps",
+)
+def q94_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile
+
+    ev = _events(spark, sf_dir).select("event_type", "ts_us", "value")
+    return (
+        profile.snapshot_drift(ev, "ts_us", "value", group_col="event_type", n_bins=16)
+        .orderBy("group_key", "bin")
+    )
+
+
+@register(
+    "q95_bm25_topk",
+    """
+    WITH occ AS (
+        SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY doc_id),
+    scal AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM occ
+        WHERE tok IN ('spark', 'join', 'window')
+        GROUP BY doc_id, tok
+    ),
+    dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT t.doc_id,
+               FLOOR(
+                   ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                   * (CAST(t.tf AS DOUBLE) * 2.2)
+                   / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                        (CAST(l.dl * s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE))))
+                   * 1000000.0
+               ) AS term_ppm
+        FROM tf t JOIN dft d USING (tok) JOIN dl l USING (doc_id), scal s
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               CAST(SUM(term_ppm) AS BIGINT) AS score_ppm
+        FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS BIGINT) AS rank,
+           doc_id, n_terms_matched, score_ppm
+    FROM agg
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """,
+    "BM25 keyword retrieval (rational-idf variant — ln replaced by its "
+    "monotone rational argument so scores stay engine-exact; per-term "
+    "contributions floored to ppm BEFORE the doc sum, making it an exact "
+    "BIGINT): top-20 docs for the query terms {spark, join, window}. "
+    "Postings-only cost: the term filter runs before the tf shuffle, so "
+    "work scales with the query terms' postings, not the corpus",
+)
+def q95_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = retrieval.bm25_topk(docs, "doc_id", "text", ["spark", "join", "window"], k=20)
+    return out.select("rank", "doc_id", "n_terms_matched", "score_ppm").orderBy("rank")

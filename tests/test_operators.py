@@ -701,3 +701,62 @@ def test_semantic_dedup_drops_within_cluster_twin_only(spark):
     assert by_id[3]["is_kept"]  # lowest id of the twin group survives
     assert by_id[21]["is_kept"]
     assert sum(1 for r in by_id.values() if not r["is_kept"]) == 1
+
+
+def test_hashed_importance_scores_ranks_target_like_docs_higher(spark):
+    # target docs (is_tgt) are all "aaa"-heavy; doc 100 looks like the
+    # target, doc 101 looks like the raw-only background
+    rows = [(i, "aaa aaa aaa bbb", True) for i in range(10)]
+    rows += [(10 + i, "zzz yyy xxx www", False) for i in range(10)]
+    rows += [(100, "aaa aaa aaa aaa", False), (101, "zzz zzz yyy yyy", False)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = sampling.hashed_importance_scores(
+        docs, "doc_id", "text", target_pred=F.col("is_tgt"), n_buckets=64
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    assert by_id[100]["mean_score_ppm"] > by_id[101]["mean_score_ppm"]
+    assert by_id[100]["n_tokens"] == 4
+    # weights are a pure function of the corpus: identical docs score identically
+    assert by_id[0]["score_sum"] == by_id[5]["score_sum"]
+
+
+def test_snapshot_drift_flags_moved_mass_and_emits_empty_bins(spark):
+    from otokuna_spark.operators import profile
+
+    # first half: values near 0; second half: values near 100 -> the mass
+    # moves from bin 0 to the top bin, and middle bins exist with 0/0
+    rows = [(t, 0.0 + (t % 3)) for t in range(100)]          # early, low
+    rows += [(1000 + t, 97.0 + (t % 3)) for t in range(100)]  # late, high
+    df = spark.createDataFrame(rows, "ts long, v double")
+    out = profile.snapshot_drift(df, "ts", "v", group_col=None, n_bins=10)
+    by_bin = {r["bin"]: r for r in out.collect()}
+    assert set(by_bin) == set(range(10))  # dense frame: every bin present
+    assert by_bin[0]["pa_ppm"] == 1000000 and by_bin[0]["pb_ppm"] == 0
+    assert by_bin[9]["pa_ppm"] == 0 and by_bin[9]["pb_ppm"] == 1000000
+    assert by_bin[0]["chi2_ppm"] == 1000000 and by_bin[9]["chi2_ppm"] == 1000000
+    mid = by_bin[5]
+    assert (mid["count_a"], mid["count_b"], mid["chi2_ppm"]) == (0, 0, 0)
+
+
+def test_bm25_ranks_rare_term_and_saturates_tf(spark):
+    from otokuna_spark.operators import retrieval
+
+    filler = " ".join(["pad"] * 20)
+    docs = spark.createDataFrame(
+        [
+            (1, "rare " + filler),                      # one RARE term
+            (2, "common " + filler),                    # one COMMON term
+            (3, "common common common common " + filler[:56]),  # tf-stuffed common
+            (4, filler + " nothing relevant"),
+        ]
+        + [(10 + i, "common " + filler) for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = retrieval.bm25_topk(docs, "doc_id", "text", ["rare", "common"], k=20)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 4 not in rows  # no query term -> no row
+    # 'rare' appears in 1 doc, 'common' in 10 -> rare-term doc outranks
+    assert rows[1]["rank"] < rows[2]["rank"]
+    # tf saturation: 4x the tf must NOT give 4x the score
+    assert rows[3]["score_ppm"] < 2.5 * rows[2]["score_ppm"]
+    assert rows[3]["score_ppm"] > rows[2]["score_ppm"]
