@@ -154,16 +154,36 @@ def snapshot_drift(
             F.coalesce("count_b", F.lit(0)).alias("count_b"),
         )
     )
+    return drift_terms(dense, "__grp", "__bin").select(
+        F.col("__grp").alias("group_key"),
+        F.col("__bin").alias("bin"),
+        "count_a",
+        "count_b",
+        "pa_ppm",
+        "pb_ppm",
+        "l1_ppm",
+        "chi2_ppm",
+    )
+
+
+def drift_terms(dense: DataFrame, group_col: str, bin_col: str) -> DataFrame:
+    """Attach the integer-exact drift statistics to a dense
+    (group, bin, count_a, count_b) histogram pair: per-group totals,
+    proportions in ppm, L1 distance and the symmetric chi-square term
+    (see ``snapshot_drift`` for why chi-square stands in for PSI's log
+    term). Shared by the batch snapshot comparison and the streaming
+    reference-vs-micro-batch monitor."""
     from pyspark.sql import Window as W
 
-    wg = W.partitionBy("__grp")
-    pa = F.expr("count_a * 1000000 div na")
-    pb = F.expr("count_b * 1000000 div nb")
+    wg = W.partitionBy(group_col)
+    # a group with NO rows on one side (na/nb = 0) reads as proportion 0,
+    # not NULL — otherwise its chi-square term would silently collapse to
+    # 0 and brand-new groups would never register as drift
     return (
         dense.withColumn("na", F.sum("count_a").over(wg))
         .withColumn("nb", F.sum("count_b").over(wg))
-        .withColumn("pa_ppm", pa)
-        .withColumn("pb_ppm", pb)
+        .withColumn("pa_ppm", F.expr("CASE WHEN na > 0 THEN count_a * 1000000 div na ELSE 0 END"))
+        .withColumn("pb_ppm", F.expr("CASE WHEN nb > 0 THEN count_b * 1000000 div nb ELSE 0 END"))
         .withColumn("l1_ppm", F.abs(F.col("pa_ppm") - F.col("pb_ppm")))
         .withColumn(
             "chi2_ppm",
@@ -172,14 +192,5 @@ def snapshot_drift(
                 F.expr("(pa_ppm - pb_ppm) * (pa_ppm - pb_ppm) div (pa_ppm + pb_ppm)"),
             ).otherwise(F.lit(0)),
         )
-        .select(
-            F.col("__grp").alias("group_key"),
-            F.col("__bin").alias("bin"),
-            "count_a",
-            "count_b",
-            "pa_ppm",
-            "pb_ppm",
-            "l1_ppm",
-            "chi2_ppm",
-        )
+        .drop("na", "nb")
     )

@@ -4005,8 +4005,8 @@ def q93_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     props AS (
         SELECT grp, bin, count_a, count_b,
-               count_a * 1000000 // na AS pa_ppm,
-               count_b * 1000000 // nb AS pb_ppm
+               CASE WHEN na > 0 THEN count_a * 1000000 // na ELSE 0 END AS pa_ppm,
+               CASE WHEN nb > 0 THEN count_b * 1000000 // nb ELSE 0 END AS pb_ppm
         FROM wsum
     )
     SELECT grp AS group_key, CAST(bin AS INT) AS bin,

@@ -434,3 +434,133 @@ def ingest_dedup_batch(
     delta.withColumn("hash_fn", F.lit(hash_fn)).write.mode("overwrite").parquet(
         f"{store_path}/batch={batch_id}"
     )
+
+
+def reference_histogram(
+    reference: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Frozen reference histogram for ``stream_drift_monitor``: per
+    (group, bin) counts of the reference corpus over equal-width bins of
+    the reference's own [min, max], with every (group, bin) cell present
+    (dense frame) and the bounds carried on each row so probe batches bin
+    against the REFERENCE's edges, not their own. Computed once, small
+    (groups x n_bins rows), broadcastable at any corpus size."""
+    bounds = reference.agg(
+        F.min(F.col(value_col)).alias("__vmin"), F.max(F.col(value_col)).alias("__vmax")
+    )
+    width = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(n_bins))
+    raw_bin = F.floor((F.col(value_col) - F.col("__vmin")) / width)
+    counts = (
+        reference.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(group_col).alias("group_key"),
+            F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)).cast("int").alias("bin"),
+        )
+        .groupBy("group_key", "bin")
+        .agg(F.count("*").alias("count_ref"))
+    )
+    frame = (
+        counts.select("group_key").distinct()
+        .crossJoin(
+            F.broadcast(
+                counts.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    return (
+        frame.join(counts, on=["group_key", "bin"], how="left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "group_key",
+            "bin",
+            F.coalesce("count_ref", F.lit(0)).alias("count_ref"),
+            F.col("__vmin").alias("vmin"),
+            F.col("__vmax").alias("vmax"),
+        )
+    )
+
+
+def stream_drift_monitor(
+    events_stream: DataFrame,
+    reference_hist: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 16,
+) -> None:
+    """Per-micro-batch distribution drift against a FROZEN reference — the
+    production monitoring shape: the reference histogram comes from the
+    corpus a model was trained/validated on (``reference_histogram``),
+    and every arriving batch is binned against the reference's OWN bin
+    edges and scored with the same integer-exact drift terms as
+    ``profile.snapshot_drift`` (shared ``profile.drift_terms``: ppm
+    proportions, L1, symmetric chi-square). Values outside the reference
+    range clamp into the edge bins — mass piling up in bin 0 or
+    n_bins-1 is itself the out-of-range drift signal.
+
+    Output: one row per (group, bin) per batch under
+    ``output_path/batch=<id>`` (count_a = reference, count_b = batch;
+    overwrite per partition, so a foreachBatch replay after a crash
+    rewrites the same rows — idempotent, same contract as
+    ``stream_incremental_dedup``). Groups absent from the reference are
+    monitored too, against an all-zero reference row set.
+
+    State: NONE beyond the broadcastable reference relation — drift
+    scoring is stateless per batch, so there is no watermark and no
+    state store to size; the monitor's cost per batch is one binned
+    aggregation of that batch.
+    """
+    from ..operators.profile import drift_terms
+
+    ref = reference_hist.localCheckpoint()  # freeze; reused every batch
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        bounds = ref.select("vmin", "vmax").limit(1)
+        width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+        raw_bin = F.floor((F.col(value_col) - F.col("vmin")) / width)
+        batch_counts = (
+            batch_df.crossJoin(F.broadcast(bounds))
+            .select(
+                F.col(group_col).alias("group_key"),
+                F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin)).cast("int").alias("bin"),
+            )
+            .groupBy("group_key", "bin")
+            .agg(F.count("*").alias("count_b"))
+        )
+        # dense frame over reference groups ∪ batch groups
+        frame = (
+            ref.select("group_key")
+            .union(batch_counts.select("group_key"))
+            .distinct()
+            .crossJoin(
+                F.broadcast(
+                    ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+                )
+            )
+        )
+        dense = (
+            frame.join(ref.select("group_key", "bin", "count_ref"), on=["group_key", "bin"], how="left")
+            .join(batch_counts, on=["group_key", "bin"], how="left")
+            .select(
+                "group_key",
+                "bin",
+                F.coalesce("count_ref", F.lit(0)).alias("count_a"),
+                F.coalesce("count_b", F.lit(0)).alias("count_b"),
+            )
+        )
+        out = drift_terms(dense, "group_key", "bin").withColumnRenamed("count_a", "count_ref").withColumnRenamed("count_b", "count_batch")
+        out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+
+    q = (
+        events_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -351,3 +351,90 @@ def test_ingest_dedup_xxhash64_family_and_mismatch_guard(spark, tmp_path):
     b2 = spark.createDataFrame([(4, base)], ["doc_id", "text"])
     with pytest.raises(ValueError, match="family|hash_fn"):
         jobs.ingest_dedup_batch(b2, 2, out, store, hash_fn="md5")
+
+
+def test_stream_drift_monitor_matches_batch_and_flags_shift(spark, tmp_path):
+    """Streaming drift vs a frozen reference: an in-distribution batch
+    scores ~0 drift, a shifted batch spikes chi2 in the moved bins, and a
+    brand-new group registers (not NULLed away). Batch-equivalence: the
+    streamed rows equal profile.drift_terms run directly."""
+    import json
+
+    from otokuna_spark.operators import profile
+
+    # reference: group 'a' uniform over [0, 100)
+    ref_rows = [(float(v % 100), "a") for v in range(400)]
+    ref = spark.createDataFrame(ref_rows, "value double, event_type string")
+    ref_hist = jobs.reference_histogram(ref, "value", "event_type", n_bins=10)
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    out = str(tmp_path / "drift_out")
+    ckpt = str(tmp_path / "drift_ckpt")
+
+    def run():
+        stream = spark.readStream.schema("value DOUBLE, event_type STRING").json(str(src))
+        jobs.stream_drift_monitor(stream, ref_hist, out, ckpt, "value", "event_type", n_bins=10)
+
+    # batch 0: same distribution + a shifted group 'b' clustered high +
+    # values beyond the reference max (clamp into the top bin)
+    with open(src / "b0.json", "w") as f:
+        for v in range(200):
+            f.write(json.dumps({"value": float(v % 100), "event_type": "a"}) + "\n")
+        for v in range(50):
+            f.write(json.dumps({"value": 95.0 + (v % 20), "event_type": "b"}) + "\n")
+    run()
+
+    got = spark.read.parquet(out)
+    rows = {(r["group_key"], r["bin"]): r for r in got.collect()}
+    assert len(rows) == 20  # 2 groups x 10 dense bins
+    # in-distribution group: proportions match -> zero drift everywhere
+    for b in range(10):
+        assert rows[("a", b)]["chi2_ppm"] == 0, rows[("a", b)]
+    # new group: all mass clamps into bin 9 (+ some in bin 9's range);
+    # reference side is all-zero -> top bin must spike, and the ppm
+    # columns must be REAL zeros, not NULLs
+    assert rows[("b", 9)]["count_ref"] == 0
+    assert rows[("b", 9)]["pa_ppm"] == 0
+    assert rows[("b", 9)]["count_batch"] == 50
+    assert rows[("b", 9)]["pb_ppm"] == 1000000
+    assert rows[("b", 9)]["chi2_ppm"] == 1000000
+    for b in range(9):
+        assert rows[("b", b)]["count_batch"] == 0
+
+    # batch equivalence: recompute with drift_terms directly
+    batch_df = spark.read.json(str(src / "b0.json"))
+    bounds = ref_hist.select("vmin", "vmax").limit(1)
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(10.0)
+    raw_bin = F.floor((F.col("value") - F.col("vmin")) / width)
+    bc = (
+        batch_df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("event_type").alias("group_key"),
+            F.least(F.lit(9), F.greatest(F.lit(0), raw_bin)).cast("int").alias("bin"),
+        )
+        .groupBy("group_key", "bin")
+        .agg(F.count("*").alias("count_b"))
+    )
+    frame = (
+        ref_hist.select("group_key").union(bc.select("group_key")).distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+    )
+    dense = (
+        frame.join(ref_hist.select("group_key", "bin", "count_ref"), ["group_key", "bin"], "left")
+        .join(bc, ["group_key", "bin"], "left")
+        .select(
+            "group_key", "bin",
+            F.coalesce("count_ref", F.lit(0)).alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        )
+    )
+    want = {
+        (r["group_key"], r["bin"]): (r["pa_ppm"], r["pb_ppm"], r["l1_ppm"], r["chi2_ppm"])
+        for r in profile.drift_terms(dense, "group_key", "bin").collect()
+    }
+    got_t = {
+        (r["group_key"], r["bin"]): (r["pa_ppm"], r["pb_ppm"], r["l1_ppm"], r["chi2_ppm"])
+        for r in got.collect()
+    }
+    assert got_t == want

@@ -70,6 +70,15 @@ EXPECT = {
     # per-domain rate relation broadcast back; the corpus itself never
     # shuffles for the mixing predicate
     "q82_domain_mixture": ["BroadcastHashJoin", "partial_sum"],
+    # centroids attach as a broadcast 1-row relation (map-only assignment)
+    "q92_semantic_dedup": ["BroadcastNestedLoopJoin"],
+    # the 256-row weight table joins back broadcast; top-100 is pushed
+    # down to TakeOrderedAndProject (no global sort)
+    "q93_dsir_selection": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    # global bounds ride as a broadcast 1-row relation, not a driver value
+    "q94_snapshot_drift": ["BroadcastNestedLoopJoin"],
+    # df table + corpus scalars broadcast; top-20 pushed to TakeOrdered
+    "q95_bm25_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -164,6 +173,11 @@ MAX_SHUFFLES = {
     "q90_unigram_likelihood": 3,  # token agg + occurrence-join re-exchange + doc agg (+order folded)
     "q84_ivf_topk": 2,  # assignment is a map; candidate join broadcasts the query side
     "q85_pq_adc_topk": 2,  # ADC scan broadcasts the LUTs; shortlist re-rank window
+    "q91_substring_spans": 1,  # post-checkpoint order; gram-index discipline tested at operator level
+    "q92_semantic_dedup": 5,  # cluster self-join both sides + drops window + survivor join + order
+    "q93_dsir_selection": 4,  # bucket hist + doc agg + rank SinglePartition + order; weights join broadcasts
+    "q94_snapshot_drift": 5,  # binned counts + dense-frame join + per-group window + order
+    "q95_bm25_topk": 7,  # dl/tf/doc aggs + dl join + rank SinglePartition + order; df+scalars broadcast
 }
 
 
