@@ -478,6 +478,168 @@ def substring_span_pairs(
     return out
 
 
+# ---------------------------------------------- content-defined chunks
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking dedup statistics (the Rabin-boundary
+    device from LBFS/storage dedup, applied to tokens): a chunk boundary
+    falls AFTER every token whose hash ≡ 0 (mod ``boundary_mod``), so
+    chunk edges are a function of CONTENT, not position — inserting a
+    paragraph shifts every fixed-width block but leaves all other CDC
+    chunks identical. That is the duplication class fixed-shingle schemes
+    handle poorly: partially-overlapping documents re-chunk to mostly
+    identical chunks (expected length ``boundary_mod`` tokens).
+
+    Per document: (id, n_chunks, n_dup_chunks, dup_ppm) where a chunk is
+    dup if its exact content (md5 of the token run) appears in >= 2
+    distinct documents. The token hash is the md5-hex prefix — engine-
+    portable, same device as the MinHash md5 family.
+
+    Scale shape: one explode scan; chunk assembly is one window (running
+    count of boundaries) + one keyed agg with an in-group sort_array (no
+    order-dependent collect_list); chunk-frequency is a groupBy on the
+    16-byte chunk hash; the df>=2 set joins back by hash. All keyed
+    shuffles over (doc, chunk) rows ~ corpus tokens / boundary_mod.
+    """
+    occ = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(text.tokens(F.col(text_col))).alias("__pos", "__tok"),
+    ).withColumn(
+        "__boundary",
+        (F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long") % boundary_mod == 0).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos").rowsBetween(Window.unboundedPreceding, -1)
+    chunks = (
+        occ.withColumn("__chunk", F.coalesce(F.sum("__boundary").over(w), F.lit(0)))
+        .groupBy("__id", "__chunk")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                        lambda x: x["__tok"],
+                    ),
+                    " ",
+                )
+            ).alias("__chash")
+        )
+    )
+    dup_hashes = (
+        chunks.groupBy("__chash")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .where(F.col("__df") >= 2)
+        .select("__chash")
+    )
+    flagged = chunks.join(dup_hashes, on="__chash", how="leftsemi").groupBy("__id").agg(
+        F.count("*").alias("n_dup_chunks")
+    )
+    return (
+        chunks.groupBy("__id")
+        .agg(F.count("*").alias("n_chunks"))
+        .join(flagged, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_chunks",
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.expr("coalesce(n_dup_chunks, 0) * 1000000 div n_chunks").alias("dup_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------------ winnowing
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    window_w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional k-gram, slide
+    a w-window over the hash sequence, keep the MINIMUM hash of each
+    window (distinct per doc). Guarantees: any shared run of
+    >= w + k - 1 tokens contributes at least one COMMON fingerprint, while
+    expected fingerprint density is only 2/(w+1) — the index is ~4x
+    smaller at w=4 than a full shingle index, with a detection floor full
+    Jaccard gives up on only by sampling. The hash is the md5-hex prefix
+    (engine-portable; the selected minima must agree bit-for-bit across
+    engines or the fingerprint SETS diverge).
+
+    Returns distinct (id, fingerprint) rows. Scale shape: one explode
+    scan + one ordered window (rolling min over ROWS w-1 FOLLOWING) + one
+    distinct — all keyed on the doc id; trailing positions with fewer
+    than w grams left are excluded (standard full-window definition).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(text.positional_shingles_from_tokens(text.tokens(F.col(text_col)), shingle_k)).alias(
+            "__pos", "__s"
+        ),
+    ).select(
+        "__id", "__pos", F.conv(F.substring(F.md5("__s"), 1, 8), 16, 10).cast("long").alias("__h")
+    )
+    w = Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, window_w - 1)
+    return (
+        grams.withColumn("__wmin", F.min("__h").over(w))
+        .withColumn("__wlen", F.count("*").over(w))
+        .where(F.col("__wlen") == window_w)
+        .select(F.col("__id").alias(id_col), F.col("__wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_common: int = 3,
+    shingle_k: int = 3,
+    window_w: int = 4,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_common`` winnowing fingerprints,
+    with containment-style overlap in ppm (n_common / min(|A|, |B|)).
+    Inverted-index self-join on the SPARSE fingerprint sets — same shape
+    as ``ngram_jaccard_pairs`` but over ~2/(w+1) of the postings."""
+    fp = winnowing_fingerprints(docs, id_col, text_col, shingle_k, window_w)
+    from pyspark import StorageLevel
+
+    fp = fp.withColumnRenamed(id_col, "__id").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = fp.groupBy("__id").agg(F.count("*").alias("n_fp"))
+    shared = fp.groupBy("fingerprint").agg(F.count("*").alias("__df")).where(F.col("__df") >= 2)
+    pruned = fp.join(shared.select("fingerprint"), on="fingerprint")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), on="fingerprint")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_fp", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n_fp", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("n_common * 1000000 div least(n_a, n_b)").alias("overlap_ppm"),
+        )
+    )
+    out = out.localCheckpoint()
+    fp.unpersist()
+    return out
+
+
 # ------------------------------------------------------------ simhash
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -9,7 +9,7 @@ engine changes (the DuckDB oracle computes the identical assignment).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -122,4 +122,34 @@ def hashed_importance_scores(
             "score_sum",
             F.expr("score_sum div n_tokens").alias("mean_score_ppm"),
         )
+    )
+
+
+def grouped_sample_exact_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic EXACT-k sample per group — the reservoir-sampling
+    contract (k rows per group, every row equally likely under a random
+    hash) without reservoir state: rank rows inside each group by the md5
+    of their key (a uniform, engine-portable pseudo-random order, same
+    device as the stratified/md5-threshold samplers) and keep rank <= k.
+    Unlike fraction-based stratified sampling, group output size is
+    EXACTLY min(k, |group|) — what eval-set construction and per-domain
+    spot-check queues need.
+
+    One window shuffle on group_col; adds ``sample_rank`` (1-based).
+    Hot groups at 100 TB: the window sorts each group's partition — for
+    pathological group sizes pre-filter with an md5-threshold pass (keep
+    ~4k/|group| fraction) before the exact ranking; composition preserves
+    uniformity.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
     )

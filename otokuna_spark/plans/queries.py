@@ -4088,3 +4088,207 @@ def q95_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     out = retrieval.bm25_topk(docs, "doc_id", "text", ["spark", "join", "window"], k=20)
     return out.select("rank", "doc_id", "n_terms_matched", "score_ppm").orderBy("rank")
+
+
+@register(
+    "q96_pmi_collocations",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    uni AS (
+        SELECT UNNEST(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    utot AS (SELECT SUM(c) AS n FROM ucnt),
+    bi AS (
+        SELECT t[i] AS wa, t[i+1] AS wb
+        FROM toks, UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1) ELSE [] END) AS u(i)
+    ),
+    bcnt AS (SELECT wa, wb, COUNT(*) AS cab FROM bi GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    btot AS (SELECT COUNT(*) AS m FROM bi),
+    scored AS (
+        SELECT b.wa, b.wb, b.cab,
+               FLOOR(
+                   ((CAST(b.cab AS DOUBLE) * CAST(u.n AS DOUBLE)) * CAST(u.n AS DOUBLE))
+                   / ((CAST(t.m AS DOUBLE) * CAST(ca.c AS DOUBLE)) * CAST(cb.c AS DOUBLE))
+                   * 1000000.0
+               ) AS pmi_ratio_m
+        FROM bcnt b
+        JOIN ucnt ca ON b.wa = ca.w
+        JOIN ucnt cb ON b.wb = cb.w, utot u, btot t
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio_m DESC, wa ASC, wb ASC) AS BIGINT) AS rank,
+           wa, wb, CAST(cab AS BIGINT) AS cab, CAST(pmi_ratio_m AS BIGINT) AS pmi_ratio_m
+    FROM scored
+    QUALIFY rank <= 50
+    ORDER BY rank
+    """,
+    "PMI collocation mining (top-50 adjacent word pairs by pointwise "
+    "mutual information, min support 5): corpus bigram counts vs unigram "
+    "marginals — the phrase-discovery / tokenizer-vocab-candidate pass. "
+    "The score is the PMI RATIO p(ab)/(p(a)p(b)) in ppm, not its log "
+    "(same ranking, exact cross-engine arithmetic: every product stays "
+    "an exactly-representable double < 2^53 at any per-shard corpus "
+    "under ~10^8 tokens; shard and merge counts beyond). One explode "
+    "scan feeds both count relations; marginal joins are AQE-broadcast "
+    "when the vocabulary is small",
+)
+def q96_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
+    uni = toks.select(F.explode("__toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("n"))
+    bi = toks.select(F.explode(T.bigrams_from_tokens(F.col("__toks"))).alias("__bg")).select(
+        F.split_part(F.col("__bg"), F.lit(" "), F.lit(1)).alias("wa"),
+        F.split_part(F.col("__bg"), F.lit(" "), F.lit(2)).alias("wb"),
+    )
+    bcnt = bi.groupBy("wa", "wb").agg(F.count("*").alias("cab")).where(F.col("cab") >= 5)
+    btot = bi.agg(F.count("*").alias("m"))
+    pmi = F.floor(
+        ((F.col("cab").cast("double") * F.col("n").cast("double")) * F.col("n").cast("double"))
+        / ((F.col("m").cast("double") * F.col("ca").cast("double")) * F.col("cb").cast("double"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    w = W.orderBy(F.desc("pmi_ratio_m"), F.asc("wa"), F.asc("wb"))
+    return (
+        bcnt.join(ucnt.select(F.col("w").alias("wa"), F.col("c").alias("ca")), on="wa")
+        .join(ucnt.select(F.col("w").alias("wb"), F.col("c").alias("cb")), on="wb")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn("pmi_ratio_m", pmi)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 50)
+        .select("rank", "wa", "wb", "cab", "pmi_ratio_m")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "q97_grouped_sample",
+    """
+    SELECT lang, doc_id, sample_rank FROM (
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 5
+    ORDER BY lang, sample_rank
+    """,
+    "Deterministic exact-k per-group sample (reservoir contract without "
+    "reservoir state): rows ranked inside each language by md5(key) — a "
+    "uniform engine-portable pseudo-random order — keep rank <= 5. "
+    "Exactly min(k, |group|) rows per group, stable under repartitioning "
+    "and re-runs; one window shuffle",
+)
+def q97_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        sampling.grouped_sample_exact_k(docs, "lang", "doc_id", k=5)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@register(
+    "q98_cdc_chunk_dedup",
+    """
+    WITH occ AS (
+        SELECT doc_id, i - 1 AS pos, t[i] AS tok,
+               CASE WHEN CAST(concat('0x', substr(md5(t[i]), 1, 8)) AS BIGINT) % 16 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+             UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    assigned AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk
+        FROM occ
+    ),
+    chunks AS (
+        SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+        FROM assigned GROUP BY doc_id, chunk
+    ),
+    dup AS (
+        SELECT chash FROM chunks GROUP BY chash HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT c.doc_id,
+               COUNT(*) AS n_chunks,
+               SUM(CASE WHEN d.chash IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM chunks c LEFT JOIN dup d USING (chash)
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_dup AS BIGINT) AS n_dup_chunks,
+           CAST(n_dup * 1000000 // n_chunks AS BIGINT) AS dup_ppm
+    FROM per_doc ORDER BY doc_id
+    """,
+    "Content-defined chunking dedup (LBFS/storage-dedup Rabin-boundary "
+    "device over tokens): chunk edges fall after tokens whose md5-prefix "
+    "hash ≡ 0 mod 16, so edges follow CONTENT — an insertion re-chunks "
+    "locally and every other chunk still matches exactly (the shifted-"
+    "content duplication class fixed-width blocks miss). Per-doc chunk "
+    "counts and the fraction of chunks shared verbatim with another doc",
+)
+def q98_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.cdc_chunk_stats(docs, "doc_id", "text", boundary_mod=16).orderBy("doc_id")
+
+
+@register(
+    "q99_winnowing_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS BIGINT) AS h
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    ),
+    wmins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+        FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, wmin AS fingerprint FROM wmins WHERE wlen = 4),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+    shared AS (SELECT fingerprint FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2),
+    pruned AS (SELECT f.* FROM fp f JOIN shared USING (fingerprint)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM pruned a JOIN pruned b USING (fingerprint)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 3
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
+           CAST(n_common * 1000000 // LEAST(sa.n_fp, sb.n_fp) AS BIGINT) AS overlap_ppm
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    ORDER BY id_a, id_b
+    """,
+    "Winnowing overlap detection (Schleimer et al. SIGMOD 2003, the MOSS "
+    "fingerprinting algorithm): per-window minimum of positional 3-gram "
+    "hashes -> sparse fingerprint sets (expected density 2/(w+1), a ~4x "
+    "smaller inverted index than full shingles) with a guaranteed "
+    "detection floor — any shared run of >= w+k-1 = 6 tokens yields a "
+    "common fingerprint. Pairs sharing >= 3 fingerprints with "
+    "containment-style overlap in ppm",
+)
+def q99_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        dedup.winnowing_overlap_pairs(docs, "doc_id", "text", min_common=3)
+        .orderBy("id_a", "id_b")
+    )

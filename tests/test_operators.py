@@ -760,3 +760,157 @@ def test_bm25_ranks_rare_term_and_saturates_tf(spark):
     # tf saturation: 4x the tf must NOT give 4x the score
     assert rows[3]["score_ppm"] < 2.5 * rows[2]["score_ppm"]
     assert rows[3]["score_ppm"] > rows[2]["score_ppm"]
+
+
+def test_grouped_sample_exact_k_sizes_and_stability(spark):
+    rows = [(i, "g1") for i in range(20)] + [(100 + i, "g2") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out1 = sampling.grouped_sample_exact_k(df, "grp", "id", k=5)
+    got1 = sorted((r["grp"], r["id"], r["sample_rank"]) for r in out1.collect())
+    sizes = {}
+    for g, _, _ in got1:
+        sizes[g] = sizes.get(g, 0) + 1
+    assert sizes == {"g1": 5, "g2": 3}  # exactly min(k, |group|)
+    # stable under repartitioning
+    out2 = sampling.grouped_sample_exact_k(df.repartition(7), "grp", "id", k=5)
+    got2 = sorted((r["grp"], r["id"], r["sample_rank"]) for r in out2.collect())
+    assert got1 == got2
+
+
+def test_cdc_chunks_survive_content_shift(spark):
+    import random
+
+    random.seed(42)
+    vocab = [f"tok{i}" for i in range(200)]
+    body = " ".join(random.choice(vocab) for _ in range(400))
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, "inserted preamble paragraph completely new " + body),  # shifted copy
+            (3, " ".join(random.choice(vocab) for _ in range(400))),    # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.cdc_chunk_stats(docs, "doc_id", "text").collect()}
+    # content-defined boundaries: the shifted copy still shares most chunks
+    assert out[1]["dup_ppm"] > 800000, out[1]
+    assert out[2]["dup_ppm"] > 800000, out[2]
+    # unrelated doc shares (almost) nothing
+    assert out[3]["dup_ppm"] < 100000, out[3]
+
+
+def test_winnowing_guarantee_and_sparsity(spark):
+    import random
+
+    random.seed(7)
+    # docs 1 and 2 share EXACTLY a 6-token run (= w + k - 1): the
+    # winnowing guarantee says they MUST share a fingerprint
+    run = "s1 s2 s3 s4 s5 s6"
+    filler_a = " ".join(f"a{i}" for i in range(30))
+    filler_b = " ".join(f"b{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, filler_a + " " + run), (2, run + " " + filler_b), (3, " ".join(f"c{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    fp = dedup.winnowing_fingerprints(docs, "doc_id", "text", shingle_k=3, window_w=4)
+    sets = {}
+    for r in fp.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert sets[1] & sets[2], "guaranteed common fingerprint for a w+k-1 run"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # sparsity: fingerprints per doc well below the gram count (density ~2/(w+1))
+    n_grams_doc3 = 40 - 2
+    assert len(sets[3]) < 0.8 * n_grams_doc3
+
+
+def test_substring_span_pairs_matches_bruteforce_dp(spark):
+    """Operator output == an O(n*m) longest-common-token-run DP reference
+    over every pair, on a randomized corpus engineered for collisions."""
+    import random
+
+    random.seed(1234)
+    vocab = [f"v{i}" for i in range(12)]  # tiny vocab -> frequent matches
+    docs_py = {}
+    for i in range(14):
+        docs_py[i] = [random.choice(vocab) for _ in range(random.randint(5, 35))]
+    # plant one long exact run to guarantee a hit
+    docs_py[20] = docs_py[0][:15] + ["x1", "x2"]
+    docs_py[21] = ["y1"] + docs_py[0][:15]
+
+    k, min_span = 3, 6
+    min_run = min_span - k + 1
+
+    def longest_run(a, b):
+        best = 0
+        dp = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            prev = 0
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = prev + 1 if a[i - 1] == b[j - 1] else 0
+                best = max(best, dp[j])
+                prev = cur
+        return best
+
+    expected = {}
+    ids = sorted(docs_py)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            run_tokens = longest_run(docs_py[ids[x]], docs_py[ids[y]])
+            if run_tokens >= min_span:
+                expected[(ids[x], ids[y])] = run_tokens
+
+    sdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()], "doc_id long, text string"
+    )
+    out = dedup.substring_span_pairs(sdf, "doc_id", "text", shingle_k=k, min_span_tokens=min_span)
+    got = {(r["id_a"], r["id_b"]): r["span_tokens"] for r in out.collect()}
+    assert got == expected
+    assert expected, "fixture must produce at least one qualifying pair"
+    assert (0, 20) in got and got[(0, 20)] >= 15
+
+
+def test_winnowing_overlap_matches_reference_impl(spark):
+    """Operator == a direct Python reference of Schleimer et al.'s
+    full-window winnowing (same md5-prefix hash, same w/k)."""
+    import hashlib
+    import random
+
+    random.seed(99)
+    vocab = [f"w{i}" for i in range(15)]
+    docs_py = {i: [random.choice(vocab) for _ in range(random.randint(6, 30))] for i in range(10)}
+    docs_py[50] = docs_py[1][:12] + ["zz"]
+
+    k, w, min_common = 3, 4, 2
+
+    def fingerprints(toks):
+        hs = []
+        for p in range(len(toks) - k + 1):
+            gram = " ".join(toks[p : p + k])
+            hs.append(int(hashlib.md5(gram.encode()).hexdigest()[:8], 16))
+        return {min(hs[p : p + w]) for p in range(len(hs) - w + 1)}
+
+    fps = {i: fingerprints(t) for i, t in docs_py.items() if len(t) >= k + w - 1}
+    expected = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            common = len(fps[ids[x]] & fps[ids[y]])
+            if common >= min_common:
+                expected[(ids[x], ids[y])] = (
+                    common,
+                    len(fps[ids[x]]),
+                    len(fps[ids[y]]),
+                )
+
+    sdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()], "doc_id long, text string"
+    )
+    out = dedup.winnowing_overlap_pairs(
+        sdf, "doc_id", "text", min_common=min_common, shingle_k=k, window_w=w
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"]) for r in out.collect()
+    }
+    assert got == expected
+    assert (1, 50) in got  # planted prefix-copy detected

@@ -79,6 +79,10 @@ EXPECT = {
     "q94_snapshot_drift": ["BroadcastNestedLoopJoin"],
     # df table + corpus scalars broadcast; top-20 pushed to TakeOrdered
     "q95_bm25_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    # corpus totals ride as broadcast 1-row relations; top-50 TakeOrdered
+    "q96_pmi_collocations": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+    # rank<=k folds into WindowGroupLimit — per-group top-k short-circuit
+    "q97_grouped_sample": ["WindowGroupLimit"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -178,6 +182,10 @@ MAX_SHUFFLES = {
     "q93_dsir_selection": 4,  # bucket hist + doc agg + rank SinglePartition + order; weights join broadcasts
     "q94_snapshot_drift": 5,  # binned counts + dense-frame join + per-group window + order
     "q95_bm25_topk": 7,  # dl/tf/doc aggs + dl join + rank SinglePartition + order; df+scalars broadcast
+    "q96_pmi_collocations": 5,  # uni/bigram count aggs + marginal joins; totals broadcast, top-50 TakeOrdered
+    "q97_grouped_sample": 2,  # group window + output order
+    "q98_cdc_chunk_dedup": 5,  # boundary window + chunk agg + chunk-freq agg + per-doc aggs
+    "q99_winnowing_overlap": 1,  # post-checkpoint order; fingerprint window/join discipline at operator level
 }
 
 
