@@ -914,3 +914,129 @@ def test_winnowing_overlap_matches_reference_impl(spark):
     }
     assert got == expected
     assert (1, 50) in got  # planted prefix-copy detected
+
+
+def test_substring_span_pairs_cache_released_and_served(spark, monkeypatch):
+    # the positional-gram relation feeds the df-prune and BOTH self-join
+    # sides: must be served from cache pre-checkpoint, released after
+    df = spark.createDataFrame(
+        [(i, "shared run of tokens one two three four five six seven " + f"t{i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    real = dedup.substring_span_pairs(df, "doc_id", "text", min_span_tokens=6)
+    assert "ExistingRDD" in real._jdf.queryExecution().executedPlan().toString()
+    cls = type(df)
+    monkeypatch.setattr(cls, "localCheckpoint", lambda self, eager=True: self)
+    monkeypatch.setattr(cls, "unpersist", lambda self, blocking=False: self)
+    out = dedup.substring_span_pairs(df, "doc_id", "text", min_span_tokens=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.undo()
+    spark.catalog.clearCache()
+    assert "InMemoryTableScan" in plan
+
+
+def test_winnowing_overlap_cache_released_and_served(spark, monkeypatch):
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " + f"x{i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    real = dedup.winnowing_overlap_pairs(df, "doc_id", "text", min_common=1)
+    assert "ExistingRDD" in real._jdf.queryExecution().executedPlan().toString()
+    cls = type(df)
+    monkeypatch.setattr(cls, "localCheckpoint", lambda self, eager=True: self)
+    monkeypatch.setattr(cls, "unpersist", lambda self, blocking=False: self)
+    out = dedup.winnowing_overlap_pairs(df, "doc_id", "text", min_common=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.undo()
+    spark.catalog.clearCache()
+    assert "InMemoryTableScan" in plan
+
+
+def test_cdc_chunk_stats_matches_reference_impl(spark):
+    """Operator == a direct Python reference of the token-CDC scheme
+    (same md5-prefix boundary rule, same chunk hashing)."""
+    import hashlib
+    import random
+
+    random.seed(5)
+    vocab = [f"t{i}" for i in range(50)]
+    docs_py = {i: [random.choice(vocab) for _ in range(random.randint(1, 60))] for i in range(12)}
+    # a 200-token base certainly contains interior boundaries (p=1/16 per
+    # token), so its shifted copy re-synchronizes onto identical chunks
+    base = [random.choice(vocab) for _ in range(200)]
+    docs_py[29] = base
+    docs_py[30] = ["new", "intro"] + base  # shifted copy
+
+    mod = 16
+
+    def chunks_of(toks):
+        out, cur = [], []
+        for t in toks:
+            cur.append(t)
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            if h % mod == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    expected = {}
+    all_chunks = {i: chunks_of(t) for i, t in docs_py.items()}
+    owners = {}
+    for i, cs in all_chunks.items():
+        for c in set(cs):
+            owners.setdefault(c, set()).add(i)
+    for i, cs in all_chunks.items():
+        n_dup = sum(1 for c in cs if len(owners[c]) >= 2)
+        expected[i] = (len(cs), n_dup, n_dup * 1000000 // len(cs))
+
+    sdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_ppm"])
+        for r in dedup.cdc_chunk_stats(sdf, "doc_id", "text", boundary_mod=mod).collect()
+    }
+    assert got == expected
+    assert expected[30][1] > 0  # the shifted copy shares chunks with doc 2
+
+
+def test_semantic_dedup_matches_reference_impl(spark):
+    """Operator == a direct Python reference (same deterministic centroid
+    pick, same argmax tie order, same drop rule)."""
+    import math
+    import random
+
+    random.seed(3)
+    dim, n, n_cent, tau = 6, 30, 4, 0.9
+    vecs = {i: [random.gauss(0, 1) for _ in range(dim)] for i in range(n)}
+    vecs[40] = [v + random.gauss(0, 0.01) for v in vecs[7]]  # near-twin
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    ids = sorted(vecs)
+    cents = {c: vecs[i] for c, i in enumerate(ids[:n_cent])}
+    assign = {
+        i: max(cents, key=lambda c: (cos(vecs[i], cents[c]), -c)) for i in ids
+    }
+    drops = {}
+    for i in ids:
+        cands = [
+            u for u in ids
+            if u < i and assign[u] == assign[i] and cos(vecs[u], vecs[i]) >= tau
+        ]
+        if cands:
+            drops[i] = min(cands)
+
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    out = similarity.semantic_dedup(sdf, "vec_id", "embedding", threshold=tau, n_centroids=n_cent)
+    got_assign = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    got_drops = {r["vec_id"]: r["dup_of"] for r in out.collect() if not r["is_kept"]}
+    assert got_assign == assign
+    assert got_drops == drops
+    assert drops.get(40) == 7
