@@ -96,3 +96,72 @@ def test_incremental_daily_serving(spark, tmp_path):
     preds = cleaned.select("jnc_id", "y", (F.col("y") * 1.1).alias("y_pred"))
     serving.materialize_serving_table(preds, cleaned.drop("y"), serving_path, "2021-07-05")
     assert spark.read.parquet(serving_path).count() == 6  # no duplication
+
+
+def test_curate_corpus_funnel_monotone_and_deterministic(spark, tmp_path):
+    """The capstone composition: funnel counts are monotone non-increasing,
+    every planted defect class is removed, survivors are exactly right,
+    and the result is byte-deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.plans import curation
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"u{i}" for i in range(30))
+    bench_text = "benchmark question about spark joins and windows " + " ".join(
+        f"b{i}" for i in range(20)
+    )
+    rows = [
+        (1, filler),                                # keeper
+        (2, filler),                                # exact dup of 1
+        (3, filler.replace("w29", "w99")),          # near dup of 1
+        (4, "too short"),                           # quality drop
+        (5, bench_text + " extra trailing tokens here"),  # contaminated
+        (6, other),                                 # keeper
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    report = curation.curate_to_shards(
+        docs, bench, str(tmp_path / "shards"), n_shards=2,
+        jaccard_threshold=0.5, contamination_max_ppm=200_000,
+    )
+    assert report.n_raw == 6
+    assert report.n_quality == 5          # doc 4 dropped
+    assert report.n_exact == 4            # doc 2 dropped
+    assert report.n_near_dup == 3         # doc 3 dropped
+    assert report.n_decontaminated == 2   # doc 5 dropped
+    assert report.n_selected == 2
+    assert (
+        report.n_raw >= report.n_quality >= report.n_exact
+        >= report.n_near_dup >= report.n_decontaminated >= report.n_selected
+    )
+    out = spark.read.parquet(str(tmp_path / "shards"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 6]
+
+    # determinism: same inputs, shuffled partitioning -> same curated set
+    again = curation.curate_corpus(docs.repartition(5), bench)
+    assert sorted(r["doc_id"] for r in again.collect()) == [1, 6]
+
+
+def test_curate_corpus_selection_and_budget_stages(spark):
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.plans import curation
+
+    # 20 distinct docs; half look like the target (aaa-heavy)
+    rows = [(i, " ".join(["aaa"] * 10 + [f"t{i}{j}" for j in range(5)])) for i in range(10)]
+    rows += [(100 + i, " ".join(["zzz"] * 10 + [f"s{i}{j}" for j in range(5)])) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(999, "nothing shared here at all")], "doc_id long, text string")
+
+    selected = curation.curate_corpus(
+        docs, bench, target_pred=F.col("doc_id") < 10, keep_top_frac=0.5
+    )
+    ids = sorted(r["doc_id"] for r in selected.collect())
+    assert len(ids) == 10
+    assert sum(1 for i in ids if i < 10) >= 8  # target-like docs dominate the keep set
+
+    budgeted = curation.curate_corpus(docs, bench, token_budget=60)
+    total = sum(r["__n_tokens"] for r in budgeted.select("__n_tokens").collect())
+    assert 0 < total <= 60
