@@ -4292,3 +4292,136 @@ def q99_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.winnowing_overlap_pairs(docs, "doc_id", "text", min_common=3)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q100_bpe_tokenize",
+    None,  # iterative argmax-dependent training is not SQL-expressible;
+           # exact-match evidence vs the Sennrich reference algorithm
+           # lives in test_bpe_train_matches_sennrich_reference
+    "Trained-BPE tokenization (Sennrich et al. 2016): learn 24 merges "
+    "from the corpus word-frequency table (the ONLY corpus-scale op is "
+    "that one groupBy — the merge loop runs over the vocab-bounded "
+    "relation, driver-side under a 1M-word limit, distributed rounds "
+    "beyond), then encode every document with the merge ranks in an "
+    "Arrow-batched UDF memoized per distinct word. Rows-only driver "
+    "check; merge-sequence correctness is pinned by an exact-match test "
+    "against the reference implementation",
+)
+def q100_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", n_merges=24)
+    return (
+        bpe.bpe_encode_tokens(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q101_retention_cohorts",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+    firsts AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM ev),
+    cohort_sizes AS (SELECT cohort_week, COUNT(*) AS n_users FROM firsts GROUP BY cohort_week),
+    ret AS (
+        SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN firsts f USING (user_id)
+        GROUP BY f.cohort_week, week_offset
+    )
+    SELECT CAST(r.cohort_week AS BIGINT) AS cohort_week,
+           CAST(r.week_offset AS BIGINT) AS week_offset,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(s.n_users AS BIGINT) AS cohort_size,
+           CAST(r.n_active * 1000000 // s.n_users AS BIGINT) AS retention_ppm
+    FROM ret r JOIN cohort_sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+    "Retention cohort matrix: users bucketed by first-seen week, per "
+    "(cohort, week-offset) distinct-active counts and retention in ppm — "
+    "the standard product-analytics rollup. Two keyed aggregations (first-"
+    "seen, cohort-offset) + one distinct over (user, week); the firsts "
+    "relation joins by user_id and the cohort sizes broadcast. Integer "
+    "epoch-week arithmetic on both engines",
+)
+def q101_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts_us div 604800000000").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    ret = (
+        active.join(firsts, on="user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), on="cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("n_active * 1000000 div cohort_size").alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "q102_dup_graph_stats",
+    f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY ia, ib
+    ),
+    e AS (
+        SELECT ia AS a, ib AS b FROM common
+        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tpn AS (
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree >= 2
+                     THEN COALESCE(t.n_triangles, 0) * 2 * 1000000 // (d.degree * (d.degree - 1))
+                     ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM deg d LEFT JOIN tpn t USING (node)
+    ORDER BY d.node
+    """,
+    "Local graph structure of the near-dup pair graph (Jaccard >= 0.3 "
+    "edges): per-document degree, triangle participation via the a<b<c "
+    "oriented two-join enumeration (each triangle counted once, fan-out "
+    "bounded by oriented out-degree), and clustering coefficient in ppm "
+    "— the 'is this duplication pairwise or clique-shaped' diagnostic "
+    "that decides between keep-first dedup and cluster collapse",
+)
+def q102_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    return graph.triangle_stats(edges).orderBy("node")

@@ -1040,3 +1040,103 @@ def test_semantic_dedup_matches_reference_impl(spark):
     assert got_assign == assign
     assert got_drops == drops
     assert drops.get(40) == 7
+
+
+def test_bpe_train_matches_sennrich_reference(spark):
+    """Distributed BPE == the Sennrich et al. 2016 reference algorithm
+    (verbatim get_stats/merge_vocab over a word-freq dict) with the same
+    deterministic tie-break, including under repartitioning."""
+    from collections import Counter
+
+    from otokuna_spark.operators import bpe
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest wide",
+        "low newer wide lowest",
+    ]
+
+    # ---- reference implementation (word-freq dict form) ----
+    wf = Counter(w for line in corpus for w in line.split())
+    vocab = {tuple(list(w) + [bpe.END]): c for w, c in wf.items()}
+
+    def get_stats(v):
+        stats = Counter()
+        for syms, c in v.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        return stats
+
+    def merge_vocab(pair, v):
+        a, b = pair
+        out = {}
+        for syms, c in v.items():
+            merged, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    merged.append(a + b)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            out[tuple(merged)] = c
+        return out
+
+    expected = []
+    for _ in range(12):
+        stats = get_stats(vocab)
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        expected.append(best[0])
+        vocab = merge_vocab(best[0], vocab)
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = bpe.bpe_train(docs, "text", n_merges=12)
+    assert got == expected
+    assert len(got) >= 8  # fixture actually exercises multiple rounds
+
+    # partitioning independence
+    got2 = bpe.bpe_train(docs.repartition(5), "text", n_merges=12)
+    assert got2 == expected
+
+    # the DISTRIBUTED path (forced with driver_vocab_limit=0) learns the
+    # identical merge sequence
+    got3 = bpe.bpe_train(docs, "text", n_merges=12, driver_vocab_limit=0)
+    assert got3 == expected
+
+
+def test_bpe_encode_counts_and_compression(spark):
+    from otokuna_spark.operators import bpe
+
+    corpus = ["aaab aaab aaab bbbb", "aaab bbbb bbbb", "aaab aaab"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    merges = bpe.bpe_train(docs, "text", n_merges=6, min_pair_freq=2)
+    out = {r["doc_id"]: r for r in bpe.bpe_encode_tokens(docs, "doc_id", "text", merges).collect()}
+    # with no merges a word of length L costs L+1 symbols; trained merges
+    # must compress repeated words well below that
+    naive = {0: 4 * 5, 1: 3 * 5, 2: 2 * 5}
+    for i in range(3):
+        assert 0 < out[i]["n_bpe_tokens"] < naive[i]
+    assert out[2]["n_words"] == 2
+    # frequent identical words encode to the same length: doc 2 = 2x "aaab"
+    assert out[2]["n_bpe_tokens"] % 2 == 0
+
+
+def test_triangle_stats_hand_graph(spark):
+    from otokuna_spark.operators import graph
+
+    # K3 on {1,2,3} + pendant 4 attached to 3 + isolated edge 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r for r in graph.triangle_stats(edges).collect()}
+    assert out[1]["degree"] == 2 and out[1]["n_triangles"] == 1
+    assert out[1]["clustering_ppm"] == 1000000
+    assert out[3]["degree"] == 3 and out[3]["n_triangles"] == 1
+    assert out[3]["clustering_ppm"] == 333333  # 2*1/(3*2) floored
+    assert out[4]["degree"] == 1 and out[4]["n_triangles"] == 0 and out[4]["clustering_ppm"] == 0
+    assert out[5]["n_triangles"] == 0 and out[6]["n_triangles"] == 0

@@ -186,6 +186,9 @@ MAX_SHUFFLES = {
     "q97_grouped_sample": 2,  # group window + output order
     "q98_cdc_chunk_dedup": 5,  # boundary window + chunk agg + chunk-freq agg + per-doc aggs
     "q99_winnowing_overlap": 1,  # post-checkpoint order; fingerprint window/join discipline at operator level
+    "q100_bpe_tokenize": 1,  # encode is a map (Arrow UDF); output order only — training ran driver-side on the word-freq table
+    "q101_retention_cohorts": 7,  # user distinct + firsts + cohort-offset distinct agg (2-phase) + order; sizes broadcast
+    "q102_dup_graph_stats": 6,  # degree agg + wedge/closure joins + per-node agg + order
 }
 
 
