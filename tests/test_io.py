@@ -240,3 +240,56 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
     )
     assert got == {"n": 4, "null_k": 1, "max_k": 3}
     assert spark.read.parquet(out).count() == 4
+
+
+def test_write_zordered_tightens_per_file_ranges(spark, tmp_path):
+    """Z-order clustering: per-file (x, y) footer ranges must cover far
+    less area than an unclustered layout of the same rows — the property
+    that makes min/max file pruning work on EVERY zorder column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from otokuna_spark import io as oio
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "cast(pmod(id * 2654435761, 10000) as double) as x",
+            "cast(pmod(id * 40503, 10000) as double) as y",
+            "id as payload",
+        )
+    )
+    z_path = str(tmp_path / "zorder")
+    r_path = str(tmp_path / "plain")
+    oio.write_zordered(df, z_path, ["x", "y"], n_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(r_path)
+
+    def coverage(path):
+        total = 0.0
+        files = [f for f in glob.glob(path + "/*.parquet")]
+        assert len(files) >= 8
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in ("x", "y") and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = min(mins.get(name, st.min), st.min)
+                        maxs[name] = max(maxs.get(name, st.max), st.max)
+            area = ((maxs["x"] - mins["x"]) / 10000.0) * ((maxs["y"] - mins["y"]) / 10000.0)
+            total += area
+        return total
+
+    cov_z = coverage(z_path)
+    cov_r = coverage(r_path)
+    # unclustered files each span ~the whole (x, y) square (sum ~16);
+    # z-ordered files tile it (sum ~1-2)
+    assert cov_z < cov_r / 4, (cov_z, cov_r)
+    # contents identical
+    a = sorted(r["payload"] for r in spark.read.parquet(z_path).collect())
+    assert a == list(range(n))
