@@ -515,7 +515,12 @@ def cdc_chunk_stats(
             "int"
         ),
     )
+    from pyspark import StorageLevel
+
     w = Window.partitionBy("__id").orderBy("__pos").rowsBetween(Window.unboundedPreceding, -1)
+    # the chunk relation feeds three consumers (chunk-frequency prune,
+    # the leftsemi flag join, and the per-doc count) — persist so the
+    # explode + window + assembly agg run once
     chunks = (
         occ.withColumn("__chunk", F.coalesce(F.sum("__boundary").over(w), F.lit(0)))
         .groupBy("__id", "__chunk")
@@ -530,6 +535,7 @@ def cdc_chunk_stats(
                 )
             ).alias("__chash")
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup_hashes = (
         chunks.groupBy("__chash")
@@ -540,7 +546,7 @@ def cdc_chunk_stats(
     flagged = chunks.join(dup_hashes, on="__chash", how="leftsemi").groupBy("__id").agg(
         F.count("*").alias("n_dup_chunks")
     )
-    return (
+    out = (
         chunks.groupBy("__id")
         .agg(F.count("*").alias("n_chunks"))
         .join(flagged, on="__id", how="left")
@@ -550,7 +556,9 @@ def cdc_chunk_stats(
             F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
             F.expr("coalesce(n_dup_chunks, 0) * 1000000 div n_chunks").alias("dup_ppm"),
         )
-    )
+    ).localCheckpoint()
+    chunks.unpersist()
+    return out
 
 
 # ------------------------------------------------------ winnowing

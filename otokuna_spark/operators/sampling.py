@@ -71,10 +71,13 @@ def hashed_importance_scores(
     with >= 1 token; mean_score_ppm = score_sum div n_tokens is the
     length-normalized importance score.
 
-    Scale shape: one explode scan feeds both the bucket histogram (one
-    keyed shuffle, map-side combine, n_buckets result rows) and the
-    per-doc aggregation; the weight table joins back BROADCAST (n_buckets
-    rows); totals ride along as literal-free 1-row broadcasts. Overflow
+    Scale shape: the token explode runs TWICE — once into the bucket
+    histogram (one keyed shuffle, map-side combine, n_buckets result
+    rows), once into the per-doc aggregation — i.e. two corpus scans;
+    persisting the token-level relation would cost more than the second
+    scan, so recompute is the right trade. The weight table joins back
+    BROADCAST (n_buckets rows); totals ride along as literal-free 1-row
+    broadcasts. Overflow
     headroom: (t_b+1)(R+B)*1e6 must fit BIGINT — fine through ~10^12-token
     corpora per partition-of-the-problem; shard the corpus or drop the ppm
     scale factor beyond that.

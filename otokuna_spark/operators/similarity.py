@@ -572,6 +572,7 @@ def semantic_dedup(
     vec_col: str,
     threshold: float,
     n_centroids: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -597,8 +598,15 @@ def semantic_dedup(
     clustering first. Skewed giant clusters are the known failure mode:
     at 100 TB raise n_centroids (the paper uses ~100k) so max |c| stays
     bounded; the join is still a plain keyed shuffle."""
+    from pyspark import StorageLevel
+
     centroids = _centroids_from_sample(corpus, id_col, vec_col, n_centroids)
-    assigned = ivf_assign(_with_norm(corpus, vec_col), vec_col, centroids)
+    # the assignment feeds both self-join sides AND the final projection —
+    # persist so the scan + per-row centroid scoring run once (same
+    # eager-materialize/release contract as minhash_lsh_pairs)
+    assigned = ivf_assign(_with_norm(corpus, vec_col), vec_col, centroids).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__va"),
@@ -628,11 +636,15 @@ def semantic_dedup(
             F.col("__cos").alias("dup_cosine"),
         )
     )
-    return (
+    out = (
         assigned.select(id_col, "centroid_id")
         .join(drops, on=id_col, how="left")
         .withColumn("is_kept", F.col("dup_of").isNull())
     )
+    if materialize:
+        out = out.localCheckpoint()
+        assigned.unpersist()
+    return out
 
 
 # =====================================================================

@@ -184,7 +184,7 @@ MAX_SHUFFLES = {
     "q95_bm25_topk": 7,  # dl/tf/doc aggs + dl join + rank SinglePartition + order; df+scalars broadcast
     "q96_pmi_collocations": 5,  # uni/bigram count aggs + marginal joins; totals broadcast, top-50 TakeOrdered
     "q97_grouped_sample": 2,  # group window + output order
-    "q98_cdc_chunk_dedup": 5,  # boundary window + chunk agg + chunk-freq agg + per-doc aggs
+    "q98_cdc_chunk_dedup": 1,  # post-checkpoint order; chunk window/agg discipline persists once at operator level
     "q99_winnowing_overlap": 1,  # post-checkpoint order; fingerprint window/join discipline at operator level
     "q100_bpe_tokenize": 1,  # encode is a map (Arrow UDF); output order only — training ran driver-side on the word-freq table
     "q101_retention_cohorts": 7,  # user distinct + firsts + cohort-offset distinct agg (2-phase) + order; sizes broadcast
