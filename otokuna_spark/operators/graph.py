@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# fixed-point scale for pagerank_ppt: ranks are parts-per-trillion of the
+# total probability mass, so 3-4 iterations of floor-divided contributions
+# keep ~6 significant digits
+_PPT = 10**12
+
 
 def triangle_stats(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Per-node local structure from an undirected edge list (id_a < id_b
@@ -68,3 +73,67 @@ def triangle_stats(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
             .alias("clustering_ppm"),
         )
     )
+
+
+def pagerank_ppt(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank over an undirected edge list
+    (id_a < id_b per row): (node, rank_ppt) with ranks in parts-per-
+    trillion of total mass.
+
+    All arithmetic is integer: r0 = PPT div N, and each round computes
+    r'(v) = base + sum over in-neighbors u of
+    ``(r(u) * damping_num div damping_den) div deg(u)``,
+    base = (PPT * (den - num) div den) div N. Integer sums are
+    associative, so the result is bit-identical regardless of partition
+    count or reduction order — the property that makes an iterative
+    algorithm oracle-checkable (the SQL twin unrolls the same rounds).
+
+    Shape per round: one equi-join of the (src, dst, deg) relation with
+    the current ranks on src + one keyed aggregation on dst — the standard
+    message-passing plan, shuffle-bounded by edge count. The edge relation
+    is persisted once; each round's rank relation is localCheckpointed
+    (eager) to cut lineage growth, same discipline as
+    ``dedup.cluster_pairs``. Isolated nodes don't exist by construction
+    (every node is an edge endpoint, and the graph is symmetric, so every
+    node both sends and receives).
+    """
+    # materialize the (bounded) edge list once: it is consumed by the
+    # degree count, the adjacency build, and the rank init — without this
+    # an expensive upstream (LSH candidate generation) re-runs per consumer
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    directed = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count("*").alias("deg"))
+    adj = directed.join(deg, "src").persist()
+    try:
+        n = deg.count()  # bounded driver scalar: node count, one aggregate action
+        if n == 0:
+            return adj.select(
+                F.col("src").alias("node"), F.lit(0).cast("long").alias("rank_ppt")
+            )
+        base = (_PPT * (damping_den - damping_num) // damping_den) // n
+        ranks = deg.select("src", F.lit(_PPT // n).cast("long").alias("rank_ppt"))
+        for _ in range(iterations):
+            contrib = adj.join(ranks, "src").select(
+                F.col("dst"),
+                F.expr(
+                    f"(rank_ppt * {damping_num} div {damping_den}) div deg"
+                ).alias("c"),
+            )
+            ranks = (
+                contrib.groupBy("dst")
+                .agg((F.lit(base) + F.sum("c")).cast("long").alias("rank_ppt"))
+                .withColumnRenamed("dst", "src")
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select(F.col("src").alias("node"), "rank_ppt")
+    finally:
+        adj.unpersist()

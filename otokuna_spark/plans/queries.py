@@ -4425,3 +4425,198 @@ def q102_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return graph.triangle_stats(edges).orderBy("node")
+
+
+@register(
+    "q103_heavy_hitters",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok, tot
+    GROUP BY item, n
+    HAVING COUNT(*) * 40 > n
+    ORDER BY cnt DESC, item
+    """,
+    "Exact heavy hitters (count > n/40) over the corpus token stream via "
+    "distributed Misra-Gries candidate generation + an exact verify scan — "
+    "the long tail never shuffles (candidates are bounded at capacity x "
+    "partitions), unlike a full-vocabulary groupBy",
+)
+def q103_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import frequency
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.where(F.trim(F.col("text")) != "").select(
+        F.explode(T.tokens(F.col("text"))).alias("item")
+    )
+    return frequency.heavy_hitters(tok, "item", k=40).orderBy(F.desc("cnt"), "item")
+
+
+@register(
+    "q104_fuzzy_name_match",
+    """
+    WITH e AS (
+        SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS support,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+           a.support AS support_a, b.support AS support_b
+    FROM e a JOIN e b ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    ORDER BY name_a, name_b
+    """,
+    "Entity resolution over the part catalog: canonicalize to distinct "
+    "names with support counts, block on the trailing noun, verify "
+    "block-mates with JVM-side levenshtein <= 4 — the quadratic compare is "
+    "bounded per block and the record relation never self-joins",
+)
+def q104_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import linkage
+
+    part = read_table(spark, sf_dir, "part")
+    pairs = linkage.fuzzy_match_pairs(
+        part, "p_name", lambda c: F.element_at(F.split(c, " "), -1), max_distance=4
+    )
+    return pairs.orderBy("name_a", "name_b")
+
+
+@register(
+    "q105_pagerank_dupgraph",
+    f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY ia, ib
+    ),
+    e AS (
+        SELECT ia AS a, ib AS b FROM common
+        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3
+    ),
+    d AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS deg FROM d GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src, 1000000000000 // n AS r FROM deg, nn),
+    r1 AS (
+        SELECT d.dst AS src,
+               (SELECT (1000000000000 * 15 // 100) // n FROM nn)
+               + SUM((r.r * 85 // 100) // g.deg) AS r
+        FROM d JOIN r0 r ON d.src = r.src JOIN deg g ON d.src = g.src
+        GROUP BY d.dst
+    ),
+    r2 AS (
+        SELECT d.dst AS src,
+               (SELECT (1000000000000 * 15 // 100) // n FROM nn)
+               + SUM((r.r * 85 // 100) // g.deg) AS r
+        FROM d JOIN r1 r ON d.src = r.src JOIN deg g ON d.src = g.src
+        GROUP BY d.dst
+    ),
+    r3 AS (
+        SELECT d.dst AS src,
+               (SELECT (1000000000000 * 15 // 100) // n FROM nn)
+               + SUM((r.r * 85 // 100) // g.deg) AS r
+        FROM d JOIN r2 r ON d.src = r.src JOIN deg g ON d.src = g.src
+        GROUP BY d.dst
+    )
+    SELECT src AS node, CAST(r AS BIGINT) AS rank_ppt FROM r3 ORDER BY node
+    """,
+    "Fixed-point PageRank (3 rounds, damping 0.85) over the Jaccard>=0.3 "
+    "near-dup graph in parts-per-trillion integer arithmetic — bit-"
+    "deterministic message passing (join on src + agg on dst per round, "
+    "lineage cut by localCheckpoint), oracle-checked against the unrolled "
+    "recurrence; ranks boilerplate hubs for dedup triage",
+)
+def q105_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    return graph.pagerank_ppt(edges, iterations=3).orderBy("node")
+
+
+@register(
+    "q106_gap_fill",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c
+        FROM events WHERE event_type = 'purchase' AND user_id % 25 = 0
+    ),
+    hourly AS (SELECT user_id, hr, CAST(SUM(v_c) AS BIGINT) AS v FROM ev GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY 1),
+    spine AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM span),
+    j AS (SELECT s.user_id, s.hr, h.v FROM spine s LEFT JOIN hourly h USING (user_id, hr))
+    SELECT user_id, hr,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c,
+           CAST(v IS NULL AS INT) AS is_gap
+    FROM j ORDER BY user_id, hr
+    """,
+    "Dense hourly spine per user (sequence + local explode, no shuffle "
+    "fan-out) with last-observation-carried-forward gap fill over purchase "
+    "revenue — the window reuses the join exchange, so the whole densify+"
+    "fill is agg + join + window on the same key",
+)
+def q106_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import windows
+
+    ev = _events(spark, sf_dir).where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 25 == 0)
+    )
+    hourly = (
+        ev.select(
+            "user_id",
+            F.expr("ts_us div 3600000000").alias("hr"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.sum("v_c").alias("v"))
+    )
+    out = windows.gap_fill_locf(
+        hourly, "user_id", "hr", "v", filled_col="filled_c", gap_col="is_gap"
+    )
+    return out.orderBy("user_id", "hr")
+
+
+@register(
+    "q107_pareto_frontier",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_size,
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c
+        FROM part
+    )
+    SELECT p_partkey, p_size, price_c FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+          AND (b.p_size > a.p_size OR b.price_c < a.price_c))
+    ORDER BY p_partkey
+    """,
+    "Exact Pareto frontier (maximize size, minimize price) via partition-"
+    "local skyline prune + anti-join dominance over the small candidate "
+    "union — the full relation never self-joins, so the all-pairs NOT "
+    "EXISTS semantics cost a map pass plus a broadcast among survivors",
+)
+def q107_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pareto
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+    )
+    return pareto.pareto_frontier(part, maximize=["p_size"], minimize=["price_c"]).orderBy(
+        "p_partkey"
+    )

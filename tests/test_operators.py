@@ -1140,3 +1140,112 @@ def test_triangle_stats_hand_graph(spark):
     assert out[3]["clustering_ppm"] == 333333  # 2*1/(3*2) floored
     assert out[4]["degree"] == 1 and out[4]["n_triangles"] == 0 and out[4]["clustering_ppm"] == 0
     assert out[5]["n_triangles"] == 0 and out[6]["n_triangles"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: frequency / linkage / graph.pagerank / gap-fill / pareto
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_counts_and_mg_guarantee(spark):
+    from otokuna_spark.operators import frequency
+
+    # adversarial long tail: 'a' x500 + 'b' x300 + 200 singletons, n=1000,
+    # k=5 -> threshold 200 -> exactly {a: 500, b: 300} qualify. Capacity at
+    # the guarantee minimum (k) and a hostile partitioning both must not
+    # lose a true heavy hitter.
+    rows = [("a",)] * 500 + [("b",)] * 300 + [(f"t{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(7)
+    out = {r["item"]: r["cnt"] for r in frequency.heavy_hitters(df, "v", k=5, capacity=5).collect()}
+    assert out == {"a": 500, "b": 300}
+    # default capacity, int-typed column
+    ints = spark.createDataFrame([(1,)] * 90 + [(i,) for i in range(2, 12)], ["v"]).repartition(4)
+    out2 = {r["item"]: r["cnt"] for r in frequency.heavy_hitters(ints, "v", k=4).collect()}
+    assert out2 == {1: 90}
+    with pytest.raises(ValueError):
+        frequency.heavy_hitters(df, "v", k=8, capacity=4)
+
+
+def test_fuzzy_match_pairs_blocking_and_support(spark):
+    from otokuna_spark.operators import linkage
+
+    rows = [("blue bolt",), ("blue bolt",), ("glue bolt",), ("red bolt",), ("blue ring",)]
+    df = spark.createDataFrame(rows, ["name"])
+    block = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    pairs = linkage.fuzzy_match_pairs(df, "name", block, max_distance=3).collect()
+    got = {(r["name_a"], r["name_b"]): (r["dist"], r["support_a"], r["support_b"]) for r in pairs}
+    # lev(blue,glue)=1; lev(blue,red)=4 -> excluded at 3; ring is another
+    # block so blue bolt ~ blue ring is never compared
+    assert got == {("blue bolt", "glue bolt"): (1, 2, 1)}
+    wider = linkage.fuzzy_match_pairs(df, "name", block, max_distance=4)
+    got4 = {(r["name_a"], r["name_b"]): r["dist"] for r in wider.collect()}
+    assert got4 == {
+        ("blue bolt", "glue bolt"): 1,
+        ("blue bolt", "red bolt"): 4,
+        ("glue bolt", "red bolt"): 4,
+    }
+
+
+def _pagerank_reference(edges, iterations=3, num=85, den=100, ppt=10**12):
+    """Plain-python twin of graph.pagerank_ppt's integer recurrence."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    base = (ppt * (den - num) // den) // n
+    r = {v: ppt // n for v in adj}
+    for _ in range(iterations):
+        nxt = {v: base for v in adj}
+        for u, nbrs in adj.items():
+            c = (r[u] * num // den) // len(nbrs)
+            for v in nbrs:
+                nxt[v] += c
+        r = nxt
+    return r
+
+
+def test_pagerank_ppt_matches_integer_reference(spark):
+    from otokuna_spark.operators import graph
+
+    # triangle (symmetric) + pendant chain (asymmetric): 1-2, 2-3, 1-3, 3-4, 4-5
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["rank_ppt"] for r in graph.pagerank_ppt(df, iterations=3).collect()}
+    assert got == _pagerank_reference(edges, iterations=3)
+    # mass conservation up to floor losses: one unit per div, bounded by
+    # nodes + directed edges per round
+    assert abs(sum(got.values()) - 10**12) < 3 * (len(got) + 2 * len(edges) + 2)
+
+
+def test_gap_fill_locf_fills_and_flags(spark):
+    from otokuna_spark.operators import windows
+
+    rows = [("A", 1, 10), ("A", 4, 40), ("B", 7, 70)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = windows.gap_fill_locf(df, "k", "t", "v").orderBy("k", "t").collect()
+    assert [(r["k"], r["t"], r["filled"], r["is_gap"]) for r in out] == [
+        ("A", 1, 10, 0),
+        ("A", 2, 10, 1),
+        ("A", 3, 10, 1),
+        ("A", 4, 40, 0),
+        ("B", 7, 70, 0),
+    ]
+
+
+def test_pareto_frontier_matches_bruteforce_and_keeps_ties(spark):
+    from otokuna_spark.operators import pareto
+
+    pts = [(1, 5, 100), (2, 5, 100), (3, 4, 90), (4, 3, 120), (5, 7, 150), (6, 2, 80), (7, 7, 160)]
+    df = spark.createDataFrame(pts, ["id", "size", "price"]).repartition(3)
+    got = sorted(r["id"] for r in pareto.pareto_frontier(df, ["size"], ["price"]).collect())
+
+    def dominated(a):
+        return any(
+            b[1] >= a[1] and b[2] <= a[2] and (b[1] > a[1] or b[2] < a[2]) for b in pts if b != a
+        )
+
+    expect = sorted(p[0] for p in pts if not dominated(p))
+    assert got == expect
+    # the duplicate objective vector (ids 1,2) must BOTH survive
+    assert {1, 2} <= set(got)
