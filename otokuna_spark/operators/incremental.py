@@ -47,20 +47,28 @@ def aggregate_state(
     return df.groupBy(*keys).agg(*aggs)
 
 
-def merge_states(
-    state: DataFrame, delta: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
+def fold_states(
+    states: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
 ) -> DataFrame:
-    """Merge two state frames produced by ``aggregate_state`` with the same
-    keys/measures: union + one keyed aggregation (count columns SUM, sums
-    SUM, min/max re-min/max). Shuffle-bounded by distinct key count, never
-    by history size."""
+    """Collapse any number of stacked state frames (one relation holding
+    rows from several ``aggregate_state`` outputs) into one: a single
+    keyed aggregation where count columns SUM, sums SUM, min/max re-min/
+    max. Shuffle-bounded by distinct key count, never by history size."""
     merges = [
         _MERGE[op](F.col(out)).cast("long").alias(out)
         if op in ("count", "sum")
         else _MERGE[op](F.col(out)).alias(out)
         for out, (op, _) in measures.items()
     ]
-    return state.unionByName(delta).groupBy(*keys).agg(*merges)
+    return states.groupBy(*keys).agg(*merges)
+
+
+def merge_states(
+    state: DataFrame, delta: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Merge two state frames produced by ``aggregate_state`` with the
+    same keys/measures: union + one keyed fold."""
+    return fold_states(state.unionByName(delta), keys, measures)
 
 
 def incremental_update(

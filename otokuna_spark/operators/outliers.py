@@ -85,3 +85,39 @@ def remove_outliers(df: DataFrame, columns: list[str], q: float = 0.99) -> DataF
         )
         flag = f if flag is None else (flag | f)
     return joined.filter(~flag).drop(*[f"__q_{c}" for c in columns])
+
+
+def robust_flags(
+    df: DataFrame,
+    group: str,
+    col: str,
+    z: float = 3.0,
+    c: float = 1.4826,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust (median/MAD) outlier flags per group: a row is an outlier
+    when ``|x - median| > z * c * MAD``, MAD = median absolute deviation,
+    ``c = 1.4826`` the normal-consistency constant. Unlike mean/stddev
+    z-scores, both location and scale estimates have a 50% breakdown
+    point — the outliers themselves cannot mask the threshold, which is
+    what makes this the right gate for corpus quality metrics.
+
+    Exact and deterministic: two exact-``percentile`` aggregation passes
+    (same interpolated semantics as DuckDB ``quantile_cont`` — parity
+    proven by the q06/q09 family) with the tiny per-group stats joined
+    back; the threshold comparison is per-row IEEE arithmetic, identical
+    across engines for an identical expression tree. Adds ``__med``,
+    ``__absdev``, ``__mad`` and ``flag_col`` (int 0/1).
+
+    Shape: agg + join + agg + join, all keyed on ``group`` — the stats
+    relations have one row per group and broadcast.
+    """
+    med = df.groupBy(group).agg(F.percentile(F.col(col), F.lit(0.5)).alias("__med"))
+    dev = df.join(F.broadcast(med), group).withColumn(
+        "__absdev", F.abs(F.col(col) - F.col("__med"))
+    )
+    mad = dev.groupBy(group).agg(F.percentile(F.col("__absdev"), F.lit(0.5)).alias("__mad"))
+    return dev.join(F.broadcast(mad), group).withColumn(
+        flag_col,
+        (F.col("__absdev") > F.lit(z) * F.lit(c) * F.col("__mad")).cast("int"),
+    )

@@ -4620,3 +4620,136 @@ def q107_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto.pareto_frontier(part, maximize=["p_size"], minimize=["price_c"]).orderBy(
         "p_partkey"
     )
+
+
+@register(
+    "q108_incremental_agg",
+    """
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v6
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v6) AS BIGINT) AS v_sum6,
+           MIN(v6) AS v_min6, MAX(v6) AS v_max6
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "Incremental materialized-view maintenance: the daily metrics state is "
+    "built from a historical partition, then a late batch is folded in via "
+    "one batch-sized aggregation + one state-sized keyed merge — the "
+    "oracle recomputes over the full history, proving merge(agg(A), "
+    "agg(B)) == agg(A u B) for the decomposable aggregate set",
+)
+def q108_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental
+
+    measures = {
+        "n": ("count", "*"),
+        "v_sum6": ("sum", "v6"),
+        "v_min6": ("min", "v6"),
+        "v_max6": ("max", "v6"),
+    }
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("v6"),
+    )
+    split_day = 19737  # 2024-01-15: ~half history, ~half late batch at every sf
+    state = incremental.aggregate_state(ev.where(F.col("day") < split_day), ["event_type", "day"], measures)
+    batch = ev.where(F.col("day") >= split_day)
+    return incremental.incremental_update(state, batch, ["event_type", "day"], measures).orderBy(
+        "event_type", "day"
+    )
+
+
+@register(
+    "q109_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t FROM trans GROUP BY 1)
+    SELECT a.prev_type, a.next_type, a.n, a.n * 1000000 // b.t AS p_ppm
+    FROM trans a JOIN tot b USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+    "First-order Markov transition matrix over per-user event sequences: "
+    "one (user, time) window for lag, one count agg, row probabilities in "
+    "ppm via a broadcast per-source total join — sequence mining as a "
+    "single keyed shuffle, deterministic tie order by (ts, event_id)",
+)
+def q109_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("n * 1000000 div t").alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "q110_robust_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT e.event_type, ABS(e.value - med.m) AS ad, med.m
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md FROM d GROUP BY 1)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(FLOOR(MIN(d.m) * 1000000.0) AS BIGINT) AS med6,
+           CAST(FLOOR(MIN(mad.md) * 1000000.0) AS BIGINT) AS mad6
+    FROM d JOIN mad USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+    "Robust per-group outlier gate: median/MAD (50% breakdown point — "
+    "outliers cannot mask their own threshold, unlike mean/stddev "
+    "z-scores) via two exact-percentile aggs with 1-row-per-group "
+    "broadcast joins; reports group medians, MADs, and outlier counts in "
+    "scaled integers",
+)
+def q110_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flagged = outliers.robust_flags(
+        _events(spark, sf_dir).select("event_type", "value"), "event_type", "value"
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("is_outlier").cast("long").alias("n_outliers"),
+            F.floor(F.min("__med") * 1000000.0).cast("long").alias("med6"),
+            F.floor(F.min("__mad") * 1000000.0).cast("long").alias("mad6"),
+        )
+        .orderBy("event_type")
+    )

@@ -564,3 +564,49 @@ def stream_drift_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_running_aggregates(
+    events_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> None:
+    """Streaming materialized-view maintenance for decomposable aggregates
+    (count/sum/min/max): each micro-batch writes its OWN aggregated delta
+    to ``store/batch=<id>`` with overwrite — the same batch-partition
+    idempotence device as ``ingest_dedup_batch``, so a replayed batch
+    (crash between sink write and checkpoint commit) overwrites its own
+    partition instead of double-counting. Serving totals are
+    ``running_aggregates`` — one keyed fold over the delta partitions
+    (associative/commutative per ``operators.incremental``). At real
+    scale a compaction job periodically folds old ``batch=`` partitions
+    into one; the fold result is identical by associativity.
+    """
+    from ..operators import incremental
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        delta = incremental.aggregate_state(batch_df, keys, measures)
+        delta.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    q = (
+        events_stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def running_aggregates(
+    spark: SparkSession,
+    store_path: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Current totals of a ``stream_running_aggregates`` store: one keyed
+    fold over all batch deltas."""
+    from ..operators import incremental
+
+    return incremental.fold_states(spark.read.parquet(store_path), keys, measures)

@@ -1249,3 +1249,47 @@ def test_pareto_frontier_matches_bruteforce_and_keeps_ties(spark):
     assert got == expect
     # the duplicate objective vector (ids 1,2) must BOTH survive
     assert {1, 2} <= set(got)
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    from otokuna_spark.operators import incremental
+
+    measures = {"n": ("count", "*"), "s": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v")}
+    rows = [("a", 1), ("a", 5), ("a", -2), ("b", 7), ("b", 7), ("c", 0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    full = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+            for r in incremental.aggregate_state(df, ["k"], measures).collect()}
+
+    # split three ways, fold in two different groupings -> associativity
+    p1, p2, p3 = df.limit(2), df.offset(2).limit(2), df.offset(4)
+    s1 = incremental.aggregate_state(p1, ["k"], measures)
+    m_left = incremental.incremental_update(
+        incremental.merge_states(s1, incremental.aggregate_state(p2, ["k"], measures), ["k"], measures),
+        p3, ["k"], measures)
+    m_right = incremental.merge_states(
+        s1,
+        incremental.merge_states(
+            incremental.aggregate_state(p2, ["k"], measures),
+            incremental.aggregate_state(p3, ["k"], measures), ["k"], measures),
+        ["k"], measures)
+    for m in (m_left, m_right):
+        got = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in m.collect()}
+        assert got == full
+    with pytest.raises(ValueError):
+        incremental.aggregate_state(df, ["k"], {"bad": ("median", "v")})
+
+
+def test_robust_flags_mad_resists_masking(spark):
+    from otokuna_spark.operators import outliers as out_ops
+
+    # 20 inliers at ~10 and TWO extreme points. stddev-based z at 3 sigma
+    # would be inflated by the outliers themselves; median/MAD is not.
+    vals = [10.0 + 0.1 * (i % 5) for i in range(20)] + [1000.0, -1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    flagged = out_ops.robust_flags(df, "k", "v")
+    got = {r["v"]: r["is_outlier"] for r in flagged.collect()}
+    assert got[1000.0] == 1 and got[-1000.0] == 1
+    assert sum(v for k, v in got.items() if abs(k) < 100) == 0
+    # constant group: MAD = 0 -> nothing beats a zero threshold strictly
+    const = spark.createDataFrame([("c", 5.0)] * 4, ["k", "v"])
+    assert all(r["is_outlier"] == 0 for r in out_ops.robust_flags(const, "k", "v").collect())

@@ -438,3 +438,52 @@ def test_stream_drift_monitor_matches_batch_and_flags_shift(spark, tmp_path):
         for r in got.collect()
     }
     assert got_t == want
+
+
+def test_stream_running_aggregates_matches_batch_and_replays_safely(spark, tmp_path):
+    """Streaming MV maintenance: totals after N micro-batches equal a full
+    batch recompute, and a re-delivered batch (crash replay) overwrites
+    its own delta partition instead of double-counting."""
+    import json
+
+    from otokuna_spark.operators import incremental
+
+    src = tmp_path / "agg_src"
+    src.mkdir()
+    store = str(tmp_path / "agg_store")
+    ckpt = str(tmp_path / "agg_ckpt")
+    keys = ["k"]
+    measures = {"n": ("count", "*"), "s": ("sum", "v"), "hi": ("max", "v")}
+
+    def run():
+        stream = spark.readStream.schema("k STRING, v BIGINT").json(str(src))
+        jobs.stream_running_aggregates(stream, store, ckpt, keys, measures)
+
+    def totals():
+        t = jobs.running_aggregates(spark, store, keys, measures)
+        return {r["k"]: (r["n"], r["s"], r["hi"]) for r in t.collect()}
+
+    b1 = [{"k": "a", "v": 1}, {"k": "a", "v": 4}, {"k": "b", "v": 10}]
+    b2 = [{"k": "a", "v": 2}, {"k": "c", "v": -5}]
+    with open(src / "b1.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in b1)
+    run()
+    with open(src / "b2.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in b2)
+    run()
+
+    both = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in b1 + b2], "k STRING, v BIGINT"
+    )
+    expect = {
+        r["k"]: (r["n"], r["s"], r["hi"])
+        for r in incremental.aggregate_state(both, keys, measures).collect()
+    }
+    assert totals() == expect
+
+    # crash replay: re-deliver batch 1's rows under its original batch id —
+    # the overwrite of store/batch=1 must leave totals unchanged
+    replay_df = spark.createDataFrame([(r["k"], r["v"]) for r in b2], "k STRING, v BIGINT")
+    delta = incremental.aggregate_state(replay_df, keys, measures)
+    delta.write.mode("overwrite").parquet(f"{store}/batch=1")
+    assert totals() == expect

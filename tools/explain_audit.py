@@ -91,6 +91,8 @@ EXPECT = {
     # dominance test is an anti-join over the SMALL local-frontier union,
     # never a self-join of the full relation
     "q107_pareto_frontier": ["BroadcastNestedLoopJoin", "LeftAnti"],
+    # per-group median/MAD stats relations join back broadcast
+    "q110_robust_outliers": ["BroadcastHashJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -202,6 +204,9 @@ MAX_SHUFFLES = {
     "q105_pagerank_dupgraph": 1,  # post-checkpoint order; per-round join/agg discipline at operator level
     "q106_gap_fill": 3,  # span agg + spine join + window/order on the same key
     "q107_pareto_frontier": 1,  # post-checkpoint order; local prune is a map, dominance is broadcast
+    "q108_incremental_agg": 3,  # state agg + batch agg + keyed merge fold (order folds into the merge)
+    "q109_event_transitions": 5,  # user window + trans agg (x2 branches) + tot agg + order; post-agg rows are tiny
+    "q110_robust_outliers": 4,  # median agg + MAD agg + report agg + order; stats join back broadcast
 }
 
 
