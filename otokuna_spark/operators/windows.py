@@ -82,3 +82,48 @@ def gap_fill_locf(
         F.last(F.col(value_col), ignorenulls=True).over(w).alias(filled_col),
         F.col(value_col).isNull().cast("int").alias(gap_col),
     )
+
+
+def rolling_robust_anomalies(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    lookback: int = 12,
+    min_obs: int = 8,
+    k: float = 1.5,
+) -> DataFrame:
+    """Flag points outside the Tukey fences of their own TRAILING window:
+    anomaly iff ``v < p25 - k*IQR`` or ``v > p75 + k*IQR`` where the
+    quartiles come from the previous ``lookback`` observations of the same
+    key (the current point is excluded — it must not vote on its own
+    fences). Points with fewer than ``min_obs`` prior observations are
+    never flagged (cold start).
+
+    Quartiles are robust (bounded breakdown within the window), so a
+    burst of anomalies widens the fences far less than a rolling stddev
+    would — the rolling twin of ``outliers.robust_flags``. Exact
+    interpolated ``percentile`` over an explicit ROWS frame; one keyed
+    window shuffle total (all three window aggregates share the frame).
+
+    Adds ``__p25``, ``__p75``, ``__m`` (frame count) and ``is_anomaly``
+    (int 0/1).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col)
+    out = df.withColumns(
+        {
+            "__p25": F.percentile(v, F.lit(0.25)).over(w),
+            "__p75": F.percentile(v, F.lit(0.75)).over(w),
+            "__m": F.count(v).over(w),
+        }
+    )
+    iqr = F.col("__p75") - F.col("__p25")
+    flag = (F.col("__m") >= min_obs) & (
+        (v < F.col("__p25") - F.lit(k) * iqr) | (v > F.col("__p75") + F.lit(k) * iqr)
+    )
+    return out.withColumn("is_anomaly", flag.cast("int"))

@@ -4753,3 +4753,100 @@ def q110_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q111_interval_overlap",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, epoch_us(ts) // 86400000000 AS day
+        FROM events WHERE user_id % 25 = 0
+    ),
+    iv AS (SELECT user_id, day, MIN(us) AS s, MAX(us) AS e FROM ev GROUP BY 1, 2),
+    p AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               GREATEST(a.s, b.s) AS os, LEAST(a.e, b.e) AS oe
+        FROM iv a JOIN iv b
+          ON a.user_id * 1000000 + a.day < b.user_id * 1000000 + b.day
+         AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(oe - os) AS BIGINT) AS overlap_us
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "Interval overlap self-join via time-bucket decomposition: daily "
+    "activity spans meet through an EQUI-join on 6h buckets (explode "
+    "fan-out <= 5/interval), pair dedup by the first-covering-bucket "
+    "trick (no distinct shuffle), overlap predicate decides exactly — "
+    "the telemetry-correlation join that never goes nested-loop",
+)
+def q111_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import intervals
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 25 == 0)
+    iv = (
+        ev.select("user_id", "ts_us", F.expr("ts_us div 86400000000").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+        .select(
+            (F.col("user_id") * 1000000 + F.col("day")).alias("iid"), "s", "e"
+        )
+    )
+    pairs = intervals.overlap_pairs(iv, "iid", "s", "e", bucket_width=21_600_000_000)
+    return (
+        pairs.select(
+            F.expr("id_a div 1000000").alias("user_a"),
+            F.expr("id_b div 1000000").alias("user_b"),
+            (F.col("overlap_end") - F.col("overlap_start")).alias("d"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_overlaps"), F.sum("d").alias("overlap_us"))
+        .orderBy("user_a", "user_b")
+    )
+
+
+@register(
+    "q113_rolling_anomaly",
+    """
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               quantile_cont(value, 0.25) OVER win AS p25,
+               quantile_cont(value, 0.75) OVER win AS p75,
+               COUNT(value) OVER win AS m
+        FROM events
+        WINDOW win AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v6,
+           CAST(FLOOR(p25 * 1000000.0) AS BIGINT) AS p25_6,
+           CAST(FLOOR(p75 * 1000000.0) AS BIGINT) AS p75_6
+    FROM w
+    WHERE m >= 8 AND (value < p25 - 1.5 * (p75 - p25) OR value > p75 + 1.5 * (p75 - p25))
+    ORDER BY user_id, event_id
+    """,
+    "Per-user rolling Tukey-fence anomalies: exact interpolated quartiles "
+    "over the trailing-12 frame (current point excluded so it cannot vote "
+    "on its own fences, cold-start guard at 8 obs) — three window "
+    "aggregates sharing ONE keyed shuffle; the rolling twin of the "
+    "median/MAD gate, robust to anomaly bursts widening the fences",
+)
+def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import windows
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts_us", "value")
+    flagged = windows.rolling_robust_anomalies(
+        ev, "user_id", ["ts_us", "event_id"], "value", lookback=12, min_obs=8, k=1.5
+    )
+    return (
+        flagged.where(F.col("is_anomaly") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 1000000.0).cast("long").alias("v6"),
+            F.floor(F.col("__p25") * 1000000.0).cast("long").alias("p25_6"),
+            F.floor(F.col("__p75") * 1000000.0).cast("long").alias("p75_6"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1293,3 +1293,43 @@ def test_robust_flags_mad_resists_masking(spark):
     # constant group: MAD = 0 -> nothing beats a zero threshold strictly
     const = spark.createDataFrame([("c", 5.0)] * 4, ["k", "v"])
     assert all(r["is_outlier"] == 0 for r in out_ops.robust_flags(const, "k", "v").collect())
+
+
+def test_interval_overlap_pairs_bucket_dedup_and_exactness(spark):
+    from otokuna_spark.operators import intervals
+
+    # width 10: id 1 spans 4 buckets; 1~2 overlap across several buckets
+    # (must emit ONE row), 1~3 touch at a point (inclusive), 4 disjoint,
+    # 5 nested inside 1
+    iv = [(1, 0, 35), (2, 5, 28), (3, 35, 40), (4, 100, 110), (5, 10, 12)]
+    df = spark.createDataFrame(iv, ["iid", "s", "e"])
+    rows = intervals.overlap_pairs(df, "iid", "s", "e", bucket_width=10).collect()
+    got = {(r["id_a"], r["id_b"]): (r["overlap_start"], r["overlap_end"]) for r in rows}
+    assert len(rows) == len(got), "duplicate pair emitted across buckets"
+
+    def brute():
+        out = {}
+        for i, (ia, sa, ea) in enumerate(iv):
+            for ib, sb, eb in iv[i + 1:]:
+                if sa <= eb and sb <= ea:
+                    out[(ia, ib)] = (max(sa, sb), min(ea, eb))
+        return out
+
+    assert got == brute()
+    assert got[(1, 3)] == (35, 35)  # inclusive touch
+
+
+def test_rolling_robust_anomalies_flags_spike_not_cold_start(spark):
+    from otokuna_spark.operators import windows
+
+    base = [10.0, 12.0] * 6  # 12 stable points
+    series = base + [100.0, 11.0, 10.5]  # spike, then recovery
+    rows = [("u", i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = windows.rolling_robust_anomalies(df, "k", ["t"], "v", lookback=12, min_obs=8).collect()
+    flags = {r["t"]: r["is_anomaly"] for r in out}
+    assert flags[12] == 1  # the spike
+    # robust fences: ONE spike in the lookback must not flag normal points
+    assert flags[13] == 0 and flags[14] == 0
+    # cold start: first min_obs points are never flagged
+    assert all(flags[t] == 0 for t in range(8))

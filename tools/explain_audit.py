@@ -207,6 +207,8 @@ MAX_SHUFFLES = {
     "q108_incremental_agg": 3,  # state agg + batch agg + keyed merge fold (order folds into the merge)
     "q109_event_transitions": 5,  # user window + trans agg (x2 branches) + tot agg + order; post-agg rows are tiny
     "q110_robust_outliers": 4,  # median agg + MAD agg + report agg + order; stats join back broadcast
+    "q111_interval_overlap": 4,  # span agg + bucket equi-join + pair agg + order; NEVER nested-loop
+    "q113_rolling_anomaly": 2,  # one keyed window (3 aggregates share the frame) + output order
 }
 
 
