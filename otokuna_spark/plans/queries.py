@@ -4850,3 +4850,65 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q114_nb_quality_classifier",
+    """
+    WITH d AS (SELECT doc_id, lang, text FROM documents WHERE trim(text) <> ''),
+    tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+    te AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+    occ_tr AS (
+        SELECT CAST(lang = 'en' AS INT) AS cls,
+               UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM tr
+    ),
+    cnt AS (SELECT tok, SUM(cls) AS c1, COUNT(*) - SUM(cls) AS c0 FROM occ_tr GROUP BY tok),
+    sc AS (SELECT SUM(c1) AS tot1, SUM(c0) AS tot0, COUNT(*) AS v FROM cnt),
+    pri AS (
+        SELECT SUM(CAST(lang = 'en' AS INT)) AS n1,
+               COUNT(*) - SUM(CAST(lang = 'en' AS INT)) AS n0
+        FROM tr
+    ),
+    lr AS (
+        SELECT tok,
+               CAST(FLOOR((LN((c1 + 1.0) / (tot1 + v)) - LN((c0 + 1.0) / (tot0 + v))) * 1000000.0) AS BIGINT) AS w
+        FROM cnt, sc
+    ),
+    dflt AS (
+        SELECT CAST(FLOOR((LN(1.0 / (tot1 + v)) - LN(1.0 / (tot0 + v))) * 1000000.0) AS BIGINT) AS w0
+        FROM sc
+    ),
+    p AS (
+        SELECT CAST(FLOOR((LN(CAST(n1 AS DOUBLE) / (n1 + n0)) - LN(CAST(n0 AS DOUBLE) / (n1 + n0))) * 1000000.0) AS BIGINT) AS pw
+        FROM pri
+    ),
+    occ_te AS (
+        SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok FROM te
+    ),
+    sco AS (
+        SELECT o.doc_id, SUM(COALESCE(lr.w, dflt.w0)) AS s
+        FROM occ_te o LEFT JOIN lr USING (tok), dflt
+        GROUP BY o.doc_id
+    )
+    SELECT doc_id, CAST(s + pw AS BIGINT) AS score_unat,
+           CAST(s + pw > 0 AS INT) AS pred
+    FROM sco, p ORDER BY doc_id
+    """,
+    "Model-based quality filtering, fully hash-checkable: add-one "
+    "multinomial Naive Bayes trained in closed form on the 80% split "
+    "(label: lang = 'en') and scored on the held-out 20% — per-token "
+    "log-likelihood ratios floored to integer micro-nats BEFORE the "
+    "per-doc sum (double sums are reduction-order-dependent; integer "
+    "sums are exact), scalars ride as 1-row broadcast relations, the "
+    "weight table joins the exploded test tokens AQE-broadcast",
+)
+def q114_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.nb import nb_quality_scores
+
+    docs = read_table(spark, sf_dir, "documents").where(F.trim(F.col("text")) != "")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return nb_quality_scores(
+        train, test, F.col("lang") == "en", "doc_id", T.tokens(F.col("text"))
+    ).orderBy("doc_id")

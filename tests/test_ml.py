@@ -223,3 +223,29 @@ def test_onnx_gate_fails_on_broken_parity(spark):
             session_factory=lambda b: _FakeOnnxSession(b, w_scale=1.001),
             rtol=1e-5,
         )
+
+
+def test_nb_quality_scores_separates_vocabularies(spark):
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.functions import text as T
+    from otokuna_spark.ml.nb import nb_quality_scores
+
+    good = "clear concise prose with varied informative vocabulary and structure"
+    bad = "buy cheap now click here buy cheap now click here buy buy"
+    rows = [(i, good + f" extra{i % 3}", 1) for i in range(20)] + [
+        (100 + i, bad + f" spam{i % 3}", 0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    train = df.where(F.col("doc_id") % 4 != 0)
+    test = df.where(F.col("doc_id") % 4 == 0)
+    scored = nb_quality_scores(
+        train, test, F.col("y") == 1, "doc_id", T.tokens(F.col("text"))
+    ).collect()
+    truth = {r["doc_id"]: r["y"] for r in df.collect()}
+    assert len(scored) == test.count()
+    assert all(r["pred"] == truth[r["doc_id"]] for r in scored), "held-out misclassification"
+    # scores are signed log-odds: positives strictly above negatives
+    pos = [r["score_unat"] for r in scored if truth[r["doc_id"]] == 1]
+    neg = [r["score_unat"] for r in scored if truth[r["doc_id"]] == 0]
+    assert min(pos) > max(neg)

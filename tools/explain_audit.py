@@ -93,6 +93,8 @@ EXPECT = {
     "q107_pareto_frontier": ["BroadcastNestedLoopJoin", "LeftAnti"],
     # per-group median/MAD stats relations join back broadcast
     "q110_robust_outliers": ["BroadcastHashJoin"],
+    # NB weight table + scalar relations ride broadcast onto test tokens
+    "q114_nb_quality_classifier": ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -209,6 +211,7 @@ MAX_SHUFFLES = {
     "q110_robust_outliers": 4,  # median agg + MAD agg + report agg + order; stats join back broadcast
     "q111_interval_overlap": 4,  # span agg + bucket equi-join + pair agg + order; NEVER nested-loop
     "q113_rolling_anomaly": 2,  # one keyed window (3 aggregates share the frame) + output order
+    "q114_nb_quality_classifier": 7,  # token agg + vocab/prior scalar aggs + weight join + doc agg + order
 }
 
 
