@@ -29,10 +29,24 @@ from otokuna_spark.plans.queries import REGISTRY  # noqa: E402
 # check_oracle.py --record) still covers the full registry every round.
 _GATE_ROTATION_SPLIT = 50
 
+# 54 queries are unattested after round 4 but the window holds 50: these
+# four wait at the back of the unattested block (they carry the strongest
+# independent evidence — exact cross-checks against reference
+# implementations in tests/test_operators.py). NEXT ROUND: rotate them to
+# the front and retire the names CORRECTNESS_r05.json has covered.
+_GATE_DEFERRED = [
+    "q91_substring_spans",
+    "q92_semantic_dedup",
+    "q98_cdc_chunk_dedup",
+    "q99_winnowing_overlap",
+]
+
 
 def _gate_ordered_names() -> list[str]:
     names = list(REGISTRY)
-    return names[_GATE_ROTATION_SPLIT:] + names[:_GATE_ROTATION_SPLIT]
+    unattested = names[_GATE_ROTATION_SPLIT:]
+    front = [n for n in unattested if n not in _GATE_DEFERRED]
+    return front + _GATE_DEFERRED + names[:_GATE_ROTATION_SPLIT]
 
 
 def entry(spark: SparkSession) -> DataFrame:
