@@ -73,3 +73,85 @@ def streaming_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_SCHEMA = sty.StructType(
+    [
+        sty.StructField("key", sty.StringType()),
+        sty.StructField("order_col", sty.LongType()),
+        sty.StructField("value", sty.DoubleType()),
+        sty.StructField("p25", sty.DoubleType()),
+        sty.StructField("p75", sty.DoubleType()),
+        sty.StructField("is_anomaly", sty.IntegerType()),
+    ]
+)
+
+_ANOM_STATE_SCHEMA = sty.StructType(
+    [sty.StructField("window", sty.ArrayType(sty.DoubleType()))]
+)
+
+
+def streaming_rolling_anomalies(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lookback: int = 12,
+    min_obs: int = 8,
+    k: float = 1.5,
+) -> DataFrame:
+    """Stateful streaming twin of ``operators.windows.rolling_robust_
+    anomalies``: per-key state is the trailing window of the last
+    ``lookback`` values (bounded — state size never depends on stream
+    length), each arriving point is judged against the Tukey fences of
+    the state BEFORE being appended to it (the point cannot vote on its
+    own fences, exactly like the batch operator's ``-lookback..-1``
+    frame).
+
+    Quartiles use numpy's linear interpolation — the same ``quantile_
+    cont`` semantics as the batch operator's exact ``percentile`` — so a
+    stream fed files in order-column order emits the same flags as the
+    batch window (pinned by the batch-equivalence test). Rows inside one
+    micro-batch are sorted by ``order_col``; cross-batch order is
+    arrival order, the streaming contract.
+    """
+    import numpy as np
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        window = list(state.get[0]) if state.exists else []
+        out: dict[str, list] = {c: [] for c in ("order_col", "value", "p25", "p75", "is_anomaly")}
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("order_col").iterrows():
+                v = float(row["value"])
+                if len(window) >= min_obs:
+                    p25 = float(np.quantile(window, 0.25))
+                    p75 = float(np.quantile(window, 0.75))
+                    iqr = p75 - p25
+                    flag = int(v < p25 - k * iqr or v > p75 + k * iqr)
+                else:
+                    p25 = p75 = float("nan")
+                    flag = 0
+                out["order_col"].append(int(row["order_col"]))
+                out["value"].append(v)
+                out["p25"].append(p25)
+                out["p75"].append(p75)
+                out["is_anomaly"].append(flag)
+                window.append(v)
+                if len(window) > lookback:
+                    window.pop(0)
+        state.update(([float(x) for x in window],))
+        if out["order_col"]:
+            yield pd.DataFrame({"key": [key[0]] * len(out["order_col"]), **out})
+
+    prepared = events.selectExpr(
+        f"CAST({key_col} AS STRING) AS key",
+        f"CAST({order_col} AS LONG) AS order_col",
+        f"CAST({value_col} AS DOUBLE) AS value",
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis): the distributed operators against
+brute-force reference implementations on randomized inputs.
+
+Each property is deliberately small (bounded example counts, tiny
+frames) — the point is adversarial STRUCTURE (ties, duplicates, empty
+groups, skewed multiplicities, touching intervals), not volume; the
+volume path is covered by the sf0.01/sf0.1 oracle sweeps.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@PROP
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=120),
+    st.integers(min_value=2, max_value=6),
+)
+def test_heavy_hitters_equals_bruteforce(spark, values, k):
+    from otokuna_spark.operators import frequency
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"]).repartition(3)
+    got = {r["item"]: r["cnt"] for r in frequency.heavy_hitters(df, "v", k=k).collect()}
+    n = len(values)
+    counts: dict[str, int] = {}
+    for v in values:
+        counts[v] = counts.get(v, 0) + 1
+    expect = {v: c for v, c in counts.items() if c * k > n}
+    assert got == expect
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=40
+    )
+)
+def test_pareto_frontier_equals_bruteforce(spark, pts):
+    from otokuna_spark.operators import pareto
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "size", "price"]).repartition(3)
+    got = sorted(r["id"] for r in pareto.pareto_frontier(df, ["size"], ["price"]).collect())
+
+    def dominated(i, a, b):
+        return any(
+            (a2 >= a and b2 <= b and (a2 > a or b2 < b))
+            for j, (a2, b2) in enumerate(pts)
+            if j != i
+        )
+
+    expect = sorted(i for i, (a, b) in enumerate(pts) if not dominated(i, a, b))
+    assert got == expect
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 25)), min_size=1, max_size=25
+    ),
+    st.integers(min_value=3, max_value=17),
+)
+def test_interval_overlap_equals_bruteforce(spark, raw, width):
+    from otokuna_spark.operators import intervals
+
+    iv = [(i, s, s + d) for i, (s, d) in enumerate(raw)]
+    df = spark.createDataFrame(iv, ["iid", "s", "e"]).repartition(3)
+    rows = intervals.overlap_pairs(df, "iid", "s", "e", bucket_width=width).collect()
+    got = {(r["id_a"], r["id_b"]): (r["overlap_start"], r["overlap_end"]) for r in rows}
+    assert len(rows) == len(got), "bucket dedup emitted a pair twice"
+    expect = {}
+    for i, (ia, sa, ea) in enumerate(iv):
+        for ib, sb, eb in iv[i + 1:]:
+            if sa <= eb and sb <= ea:
+                expect[(ia, ib)] = (max(sa, sb), min(ea, eb))
+    assert got == expect
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xyz"), st.integers(-50, 50)), min_size=1, max_size=40
+    ),
+    st.integers(min_value=1, max_value=39),
+)
+def test_incremental_merge_equals_full_agg(spark, rows, cut):
+    from otokuna_spark.operators import incremental
+
+    measures = {"n": ("count", "*"), "s": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v")}
+    cut = min(cut, len(rows))
+    df = spark.createDataFrame(rows, ["k", "v"])
+    full = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in incremental.aggregate_state(df, ["k"], measures).collect()
+    }
+    a = spark.createDataFrame(rows[:cut], "k STRING, v BIGINT")
+    b = spark.createDataFrame(rows[cut:], "k STRING, v BIGINT") if rows[cut:] else None
+    state = incremental.aggregate_state(a, ["k"], measures)
+    merged = state if b is None else incremental.incremental_update(state, b, ["k"], measures)
+    got = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in merged.collect()}
+    assert got == full
+
+
+@PROP
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_pagerank_equals_integer_reference(spark, raw_edges):
+    from otokuna_spark.operators import graph
+    from tests.test_operators import _pagerank_reference
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["rank_ppt"] for r in graph.pagerank_ppt(df, iterations=2).collect()}
+    assert got == _pagerank_reference(edges, iterations=2)

@@ -487,3 +487,69 @@ def test_stream_running_aggregates_matches_batch_and_replays_safely(spark, tmp_p
     delta = incremental.aggregate_state(replay_df, keys, measures)
     delta.write.mode("overwrite").parquet(f"{store}/batch=1")
     assert totals() == expect
+
+
+def test_streaming_rolling_anomalies_matches_batch_operator(spark, tmp_path):
+    """Stateful rolling-anomaly stream == the batch window operator when
+    files arrive in order: same flags per (key, order), state carries the
+    trailing window across micro-batches."""
+    import json
+    import math
+
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.operators import windows
+    from otokuna_spark.streaming import stateful
+
+    series = {
+        "u1": [10.0, 12.0, 11.0, 10.5, 12.5, 11.5, 10.2, 12.2, 11.1, 10.8, 12.1, 11.9, 95.0, 11.3, 10.9],
+        "u2": [50.0, 52.0, 51.0, 50.5, 52.5, 51.5, 50.2, 52.2, 51.1, 50.8, 52.1, 51.9, 51.0, 2.0, 51.2],
+    }
+    rows = [(k, i, v) for k, vs in series.items() for i, v in enumerate(vs)]
+
+    batch_df = spark.createDataFrame(rows, ["k", "o", "v"])
+    batch = {
+        (r["k"], r["o"]): r["is_anomaly"]
+        for r in windows.rolling_robust_anomalies(batch_df, "k", ["o"], "v").collect()
+    }
+    assert batch[("u1", 12)] == 1 and batch[("u2", 13)] == 1
+    assert sum(batch.values()) == 2
+
+    src = tmp_path / "anom_src"
+    src.mkdir()
+    out = str(tmp_path / "anom_out")
+    ckpt = str(tmp_path / "anom_ckpt")
+
+    def run():
+        stream = spark.readStream.schema("k STRING, o LONG, v DOUBLE").json(str(src))
+        flagged = stateful.streaming_rolling_anomalies(stream, "k", "o", "v")
+        q = (
+            flagged.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # split mid-window so the state must carry values across batches
+    for name, lo, hi in (("b1.json", 0, 9), ("b2.json", 9, 99)):
+        with open(src / name, "w") as f:
+            for k, o, v in rows:
+                if lo <= o < hi:
+                    f.write(json.dumps({"k": k, "o": o, "v": v}) + "\n")
+        run()
+
+    got = {
+        (r["key"], r["order_col"]): r["is_anomaly"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch
+    # fences agree with the batch operator where defined (up to float noise)
+    stream_rows = {(r["key"], r["order_col"]): r for r in spark.read.parquet(out).collect()}
+    for r in windows.rolling_robust_anomalies(batch_df, "k", ["o"], "v").collect():
+        s = stream_rows[(r["k"], r["o"])]
+        if r["__m"] >= 8:
+            assert math.isclose(s["p25"], r["__p25"], rel_tol=1e-9)
+            assert math.isclose(s["p75"], r["__p75"], rel_tol=1e-9)
