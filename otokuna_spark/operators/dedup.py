@@ -1013,3 +1013,38 @@ def incremental_near_dup_filter(
         kept_keys = kept_keys.localCheckpoint()
         keys_new.unpersist()
     return kept, kept_keys
+
+
+def cluster_canonicals(
+    members: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Collapse duplicate clusters to one canonical representative each:
+    the member with the HIGHEST ``score_col`` (ties -> lowest id — fully
+    deterministic, unlike argmax). This is the curation-grade alternative
+    to keep-min-id collapse: when near-dups differ in quality (truncated
+    vs full copy, boilerplate-wrapped vs clean), min-id keeps an
+    arbitrary copy; score-based selection keeps the best one.
+
+    One row per cluster: (cluster, canonical_id, n_members,
+    best_score). Single window over the cluster key — the same shuffle
+    the cluster labels already have.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(Window.partitionBy(cluster_col)))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(cluster_col).alias("cluster"),
+            F.col(id_col).alias("canonical_id"),
+            F.col("__n").cast("long").alias("n_members"),
+            F.col(score_col).alias("best_score"),
+        )
+    )

@@ -4912,3 +4912,137 @@ def q114_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_quality_scores(
         train, test, F.col("lang") == "en", "doc_id", T.tokens(F.col("text"))
     ).orderBy("doc_id")
+
+
+def _quality_m_cte() -> str:
+    """Quality-score CTEs (tokq, qc, q) producing q(doc_id, quality_m) —
+    the q26 expression, reusable inside other oracles."""
+    n_stop = _sql_marker_count("toks", T.STOPWORDS)
+    n_punct = " + ".join(_sql_char_count("text", p) for p in (".", ",", "!", "?", ";", ":"))
+    return f"""
+    tokq AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
+    qc AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars_d,
+               CAST(CAST(len(toks) AS BIGINT) AS DOUBLE) AS n_tokens_d,
+               CAST({n_stop} AS DOUBLE) AS n_stop_d,
+               CAST({n_punct} AS DOUBLE) AS n_punct_d
+        FROM tokq
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(FLOOR((0.4 * LEAST(n_chars_d / 500.0, 1.0)
+                   + 0.3 * LEAST((CASE WHEN n_tokens_d > 0 THEN n_stop_d / n_tokens_d ELSE 0.0 END) * 5.0, 1.0)
+                   + 0.3 * (1.0 - LEAST((CASE WHEN n_chars_d > 0 THEN n_punct_d / n_chars_d ELSE 0.0 END) * 10.0, 1.0)))
+                   * 1000000.0) AS BIGINT) AS quality_m
+        FROM qc
+    )"""
+
+
+@register(
+    "q115_cluster_canonicals",
+    f"""
+    WITH RECURSIVE {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    closure(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a
+    ),
+    labels AS (SELECT a AS node, LEAST(MIN(b), a) AS cluster FROM closure GROUP BY a),
+    {_quality_m_cte()},
+    m AS (SELECT l.cluster, l.node, q.quality_m FROM labels l JOIN q ON l.node = q.doc_id),
+    r AS (
+        SELECT cluster, node, quality_m,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY quality_m DESC, node ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster) AS nm
+        FROM m
+    )
+    SELECT cluster, node AS canonical_id, CAST(nm AS BIGINT) AS n_members,
+           quality_m AS best_score
+    FROM r WHERE rn = 1 ORDER BY cluster
+    """,
+    "Quality-aware duplicate-cluster collapse: near-dup clusters keep "
+    "their HIGHEST-quality member (tie -> lowest id, fully deterministic) "
+    "instead of an arbitrary min-id — truncated or boilerplate-wrapped "
+    "copies lose to the clean original; one window over the cluster key "
+    "the labels already shuffle on",
+)
+def q115_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    labels = dedup.cluster_pairs(pairs).select(
+        F.col("node").cast("long").alias("node"), F.col("cluster").cast("long").alias("cluster")
+    )
+    tok = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("__t"))
+    quality = tok.select(
+        "doc_id",
+        F.floor(T.quality_score_raw_tokens(F.col("text"), F.col("__t")) * 1000000.0)
+        .cast("long")
+        .alias("quality_m"),
+    )
+    members = labels.join(quality, labels.node == quality.doc_id).select(
+        "cluster", "node", "quality_m"
+    )
+    return dedup.cluster_canonicals(members, "cluster", "node", "quality_m").orderBy("cluster")
+
+
+_FK_RELATIONSHIPS = [
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _fk_audit_oracle() -> str:
+    parts = []
+    for name, child, ckey, parent, pkey in _FK_RELATIONSHIPS:
+        parts.append(f"""
+    SELECT '{name}' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+                LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}
+            WHERE p.{pkey} IS NULL) AS orphan_rows,
+           (SELECT CAST(COUNT(DISTINCT c.{ckey}) AS BIGINT) FROM {child} c
+                LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}
+            WHERE p.{pkey} IS NULL) AS orphan_keys""")
+    return "\n    UNION ALL\n".join(parts) + "\n    ORDER BY relationship"
+
+
+@register(
+    "q116_fk_audit",
+    _fk_audit_oracle(),
+    "Referential-integrity audit across all seven TPC-H foreign keys in "
+    "ONE action: per relationship, child row count + orphan rows (LEFT "
+    "ANTI — NULL FKs count as orphans) + distinct orphan key variety. "
+    "The pre-training-run snapshot gate: a racing dimension refresh or "
+    "partial backfill shows up here before it poisons a join",
+)
+def q116_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import audit
+
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ("customer", "lineitem", "nation", "orders", "part", "region", "supplier")}
+    rels = [
+        (name, t[child], ckey, t[parent], pkey)
+        for name, child, ckey, parent, pkey in _FK_RELATIONSHIPS
+    ]
+    return audit.fk_orphan_report(rels).orderBy("relationship")

@@ -40,16 +40,21 @@ def test_gate_window_rotation_attests_newest_first():
 
     names = list(mod.queries())
     registration = list(REGISTRY)
-    rotated_head = registration[50:]
+    unattested = registration[50:]
     window = names[:50]
-    assert names == registration[50:] + registration[:50]
-    missing = [n for n in rotated_head if n not in window]
-    # everything past the original gate cap fits in the window today;
-    # if registrations outgrow 50, the newest must still lead the window
-    if len(rotated_head) <= 50:
-        assert not missing
-    else:
-        assert names[: len(rotated_head)] == rotated_head
+    # ordering is a permutation of the registry: unattested block first
+    # (explicitly-deferred names at its back), then the round-4-attested
+    # block — so the 50-slot window is spent entirely on unattested rows
+    assert sorted(names) == sorted(registration)
+    assert names[len(unattested):] == registration[:50]
+    deferred = [n for n in mod._GATE_DEFERRED if n in unattested]
+    expect_front = [n for n in unattested if n not in deferred]
+    assert names[: len(unattested)] == expect_front + deferred
+    for n in window:
+        assert n in unattested, f"window slot wasted on already-attested {n}"
+    # every unattested name is either in the window or explicitly deferred
+    out_of_window = set(unattested) - set(window)
+    assert out_of_window <= set(deferred) | set(expect_front[50:])
 
 
 def test_oracle_output_columns_are_aliased():

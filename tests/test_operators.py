@@ -1333,3 +1333,32 @@ def test_rolling_robust_anomalies_flags_spike_not_cold_start(spark):
     assert flags[13] == 0 and flags[14] == 0
     # cold start: first min_obs points are never flagged
     assert all(flags[t] == 0 for t in range(8))
+
+
+def test_fk_orphan_report_counts_nulls_and_missing_parents(spark):
+    from otokuna_spark.operators import audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 98), (6, 99)], "id BIGINT, fk BIGINT"
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk BIGINT")
+    rows = audit.fk_orphan_report([("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # orphans: 99 x2, 98, NULL -> 4 rows; distinct non-null orphan keys: {98, 99}
+    assert (r["child_rows"], r["orphan_rows"], r["orphan_keys"]) == (6, 4, 2)
+
+
+def test_cluster_canonicals_prefers_quality_then_min_id(spark):
+    from otokuna_spark.operators import dedup
+
+    members = spark.createDataFrame(
+        [(1, 101, 50), (1, 102, 90), (1, 103, 90), (2, 201, 10)],
+        ["cluster", "node", "score"],
+    )
+    got = {
+        r["cluster"]: (r["canonical_id"], r["n_members"], r["best_score"])
+        for r in dedup.cluster_canonicals(members, "cluster", "node", "score").collect()
+    }
+    # cluster 1: two members tie at 90 -> lowest id 102 wins; never 101
+    assert got == {1: (102, 3, 90), 2: (201, 1, 10)}

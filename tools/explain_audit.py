@@ -212,6 +212,8 @@ MAX_SHUFFLES = {
     "q111_interval_overlap": 4,  # span agg + bucket equi-join + pair agg + order; NEVER nested-loop
     "q113_rolling_anomaly": 2,  # one keyed window (3 aggregates share the frame) + output order
     "q114_nb_quality_classifier": 7,  # token agg + vocab/prior scalar aggs + weight join + doc agg + order
+    "q115_cluster_canonicals": 2,  # post-checkpoint: quality join rides the cluster window exchange + order
+    "q116_fk_audit": 19,  # 7 relationships x (anti-join + count-distinct 2-phase + scalar aggs), one action
 }
 
 
