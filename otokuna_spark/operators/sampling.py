@@ -156,3 +156,33 @@ def grouped_sample_exact_k(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def negative_pairs(df: DataFrame, id_col: str, k: int, seed: int = 0) -> DataFrame:
+    """Deterministic negative sampling over a DENSE 0..N-1 id space:
+    ``k`` pseudo-random partners per row — (id, slot, neg_id) — the
+    contrastive-training primitive (in-batch negatives biased toward
+    co-located rows; this samples corpus-wide).
+
+    Partner for slot r is ``(id + stride_r) mod N`` with
+    ``stride_r = (r * 2654435761 + seed) mod N`` (Knuth multiplicative
+    constant), bumped to 1 when the stride collapses to 0 so a row never
+    partners itself. Map-only — the strides are literals once N is known
+    (one bounded count action), so generating negatives costs an explode
+    and integer arithmetic, never a join or shuffle; pair VARIETY comes
+    from distinct per-slot strides. Requires dense ids: run rows through
+    a dense-id assignment first if the key space has holes (a sparse id
+    space would silently alias partners).
+    """
+    n = df.count()  # bounded driver scalar; the id space must be 0..n-1
+    if n < 2:
+        raise ValueError(f"need >= 2 rows to sample negatives, got {n}")
+    slots = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot")
+    base = df.select(F.col(id_col), slots)
+    stride = (F.col("slot") * F.lit(2654435761) + F.lit(seed)) % F.lit(n)
+    stride = F.when(stride == 0, F.lit(1)).otherwise(stride)
+    return base.select(
+        id_col,
+        "slot",
+        ((F.col(id_col) + stride) % F.lit(n)).cast("long").alias("neg_id"),
+    )

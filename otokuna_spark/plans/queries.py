@@ -5046,3 +5046,75 @@ def q116_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, child, ckey, parent, pkey in _FK_RELATIONSHIPS
     ]
     return audit.fk_orphan_report(rels).orderBy("relationship")
+
+
+@register(
+    "q117_snapshot_rowdiff",
+    """
+    WITH old_s AS (SELECT * FROM orders WHERE o_orderkey % 103 <> 0),
+    new_s AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+    WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END) <> 'unchanged'
+    ORDER BY o_orderkey
+    """,
+    "Row-level snapshot diff (the commit-diff / CDC primitive): two "
+    "synthesized snapshot versions of orders full-outer-join on the key "
+    "carrying only pre-computed content hashes (two longs per row, never "
+    "the payload); every key classifies as added/removed/changed. The "
+    "oracle classifies by direct IS DISTINCT FROM comparison — agreement "
+    "also certifies the hash canonicalization",
+)
+def q117_snapshot_rowdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    old_s = orders.where(F.col("o_orderkey") % 103 != 0)
+    new_s = orders.where(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return diff.snapshot_diff(
+        old_s, new_s, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q118_negative_sampling",
+    """
+    WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    slots AS (SELECT UNNEST(generate_series(1, 4)) AS slot),
+    strides AS (
+        SELECT slot,
+               CASE WHEN (slot * 2654435761) % n = 0 THEN 1
+                    ELSE (slot * 2654435761) % n END AS stride, n
+        FROM slots, n_docs
+    )
+    SELECT d.doc_id, s.slot,
+           CAST((d.doc_id + s.stride) % s.n AS BIGINT) AS neg_id
+    FROM documents d, strides s
+    ORDER BY doc_id, slot
+    """,
+    "Deterministic corpus-wide negative sampling for contrastive "
+    "training: 4 partners per doc via per-slot Knuth strides over the "
+    "dense id space — map-only (strides become literals after one "
+    "bounded count), no join, no shuffle, self-pairing impossible",
+)
+def q118_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.negative_pairs(docs, "doc_id", k=4).orderBy("doc_id", "slot")

@@ -1362,3 +1362,44 @@ def test_cluster_canonicals_prefers_quality_then_min_id(spark):
     }
     # cluster 1: two members tie at 90 -> lowest id 102 wins; never 101
     assert got == {1: (102, 3, 90), 2: (201, 1, 10)}
+
+
+def test_snapshot_diff_classifies_and_null_safety(spark):
+    from otokuna_spark.operators import diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "d", 40.0)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, "b_is_now_null" and None), (3, None, 30.0), (5, "e", 50.0)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    # k=2: ("b", NULL) -> (NULL, NULL): changed (NULL-swap must not alias)
+    got = {r["k"]: r["change_type"] for r in diff.snapshot_diff(old, new, "k", ["s", "v"]).collect()}
+    assert got == {2: "changed", 4: "removed", 5: "added"}
+    full = {
+        r["k"]: r["change_type"]
+        for r in diff.snapshot_diff(old, new, "k", ["s", "v"], include_unchanged=True).collect()
+    }
+    assert full[1] == "unchanged" and full[3] == "unchanged"
+
+
+def test_negative_pairs_no_self_and_deterministic(spark):
+    from otokuna_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(7)], "doc_id BIGINT")
+    a = sampling.negative_pairs(df, "doc_id", k=3).collect()
+    b = sampling.negative_pairs(df, "doc_id", k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 21
+    for r in a:
+        assert r["neg_id"] != r["doc_id"]
+        assert 0 <= r["neg_id"] < 7
+    # distinct slots give distinct partners for the same doc (stride variety)
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r["doc_id"], set()).add(r["neg_id"])
+    assert all(len(v) >= 2 for v in per_doc.values())
+    with pytest.raises(ValueError):
+        sampling.negative_pairs(spark.createDataFrame([(0,)], "doc_id BIGINT"), "doc_id", k=2)

@@ -95,6 +95,9 @@ EXPECT = {
     "q110_robust_outliers": ["BroadcastHashJoin"],
     # NB weight table + scalar relations ride broadcast onto test tokens
     "q114_nb_quality_classifier": ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+    # full-outer diff cannot broadcast: sort-merge on the key, content
+    # hashes computed scan-side so the join moves (key, long) pairs only
+    "q117_snapshot_rowdiff": ["SortMergeJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -214,6 +217,8 @@ MAX_SHUFFLES = {
     "q114_nb_quality_classifier": 7,  # token agg + vocab/prior scalar aggs + weight join + doc agg + order
     "q115_cluster_canonicals": 2,  # post-checkpoint: quality join rides the cluster window exchange + order
     "q116_fk_audit": 19,  # 7 relationships x (anti-join + count-distinct 2-phase + scalar aggs), one action
+    "q117_snapshot_rowdiff": 3,  # full-outer SMJ (2 side exchanges, hashes only in the payload) + order
+    "q118_negative_sampling": 1,  # map-only stride arithmetic; output order is the only exchange
 }
 
 
