@@ -121,3 +121,45 @@ def robust_flags(
         flag_col,
         (F.col("__absdev") > F.lit(z) * F.lit(c) * F.col("__mad")).cast("int"),
     )
+
+
+def scalable_quantile_disc(df: DataFrame, col: str, p: float, n_buckets: int = 65536):
+    """Discrete quantile of an INTEGER column by histogram refinement —
+    the shape that survives when the column is too large for a single
+    exact-``percentile`` aggregation state: (1) one agg for min/max/
+    count, (2) one bucket-histogram pass, (3) an exact top-(rank-offset)
+    over the ONE bucket holding the target rank (bounded by count/
+    n_buckets for non-degenerate distributions). Three scans, each with
+    map-side partial aggregation; nothing collects beyond scalars and
+    the bucket histogram.
+
+    Returns the Python int value at 1-based rank ``floor((n-1)*p) + 1``
+    — DuckDB ``quantile_disc`` semantics. A driver-side function (the
+    result is a scalar, like ``DataFrame.count``), deterministic.
+    """
+    c = F.col(col)
+    lo, hi, n = df.agg(F.min(c), F.max(c), F.count(c)).first()
+    if n == 0:
+        raise ValueError("quantile of an empty column")
+    rank = int((n - 1) * p) + 1  # 1-based target rank
+    width = max(1, (hi - lo) // n_buckets + 1)
+    hist = (
+        # integer div (not a double round-trip): exact for the full long range
+        df.select(F.expr(f"({col} - {lo}L) div {width}L").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("b")
+        .collect()  # bounded: <= n_buckets rows
+    )
+    cum = 0
+    for row in hist:
+        if cum + row["cnt"] >= rank:
+            bucket, offset = row["b"], rank - cum
+            break
+        cum += row["cnt"]
+    in_bucket = df.select(c.alias("v")).where(
+        (F.col("v") >= lo + bucket * width) & (F.col("v") < lo + (bucket + 1) * width)
+    )
+    # exact k-th smallest inside the bucket: TakeOrdered(offset) then max
+    top = in_bucket.orderBy("v").limit(offset).agg(F.max("v")).first()[0]
+    return int(top)

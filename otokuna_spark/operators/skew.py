@@ -63,3 +63,30 @@ def salted_join(
     small_r = small.select("*", salts)
     out = big_s.join(small_r, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
+    """Key-distribution diagnostic that decides whether a join/agg on
+    ``key`` needs salting before it runs at scale: the top-``top_k``
+    keys with their row counts, share of the table in ppm, and the
+    ratio of each key's count to the MEAN key count in ppm (a hot key
+    at 100x mean is the AQE-skew-split / salting trigger).
+
+    One keyed aggregation + a 1-row global-stats broadcast + top-k via
+    TakeOrderedAndProject — the diagnostic never costs more than the
+    aggregation it is protecting."""
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key_value").cast("string").alias("key_value"),
+            "cnt",
+            F.expr("cnt * 1000000 div __total").alias("share_ppm"),
+            F.expr("cnt * __n_keys * 1000000 div __total").alias("vs_mean_ppm"),
+        )
+        .orderBy(F.desc("cnt"), "key_value")
+        .limit(top_k)
+    )

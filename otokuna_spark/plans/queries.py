@@ -5118,3 +5118,52 @@ def q117_snapshot_rowdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return sampling.negative_pairs(docs, "doc_id", k=4).orderBy("doc_id", "slot")
+
+
+@register(
+    "q119_skew_report",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item
+        FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (SELECT item AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c)
+    SELECT key_value, cnt,
+           cnt * 1000000 // total AS share_ppm,
+           cnt * n_keys * 1000000 // total AS vs_mean_ppm
+    FROM c, t ORDER BY cnt DESC, key_value LIMIT 5
+    """,
+    "Join/agg pre-flight skew diagnostic: top-5 hottest keys with table "
+    "share and count-vs-mean-key ratio in ppm (the salting / AQE-skew-"
+    "split trigger metric) — one keyed agg + a 1-row stats broadcast + "
+    "TakeOrderedAndProject, never costlier than the operation it protects",
+)
+def q119_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.where(F.trim(F.col("text")) != "").select(
+        F.explode(T.tokens(F.col("text"))).alias("item")
+    )
+    return skew.skew_report(tok, "item", top_k=5)
+
+
+@register(
+    "q120_scalable_median",
+    """
+    SELECT CAST(quantile_disc(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT), 0.5) AS BIGINT) AS median_c
+    FROM lineitem
+    """,
+    "Exact discrete median of lineitem prices by histogram refinement "
+    "(min/max scan -> 64k-bucket histogram -> exact k-th inside the ONE "
+    "target bucket) — the quantile shape that survives columns too large "
+    "for a single percentile aggregation state; DuckDB quantile_disc is "
+    "the oracle for the rank convention",
+)
+def q120_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("v")
+    )
+    med = outliers.scalable_quantile_disc(li, "v", 0.5)
+    return spark.createDataFrame([(med,)], "median_c BIGINT")

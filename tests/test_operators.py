@@ -1403,3 +1403,36 @@ def test_negative_pairs_no_self_and_deterministic(spark):
     assert all(len(v) >= 2 for v in per_doc.values())
     with pytest.raises(ValueError):
         sampling.negative_pairs(spark.createDataFrame([(0,)], "doc_id BIGINT"), "doc_id", k=2)
+
+
+def test_skew_report_shares_and_ratios(spark):
+    from otokuna_spark.operators import skew
+
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(4)
+    out = skew.skew_report(df, "k", top_k=3).collect()
+    assert out[0]["key_value"] == "hot"
+    assert out[0]["cnt"] == 90
+    assert out[0]["share_ppm"] == 900000  # 90/100
+    assert out[0]["vs_mean_ppm"] == 9900000  # 90 vs mean 100/11 keys
+    assert len(out) == 3 and all(r["cnt"] == 1 for r in out[1:])
+
+
+def test_scalable_quantile_disc_matches_sorted_rank(spark):
+    import random
+
+    from otokuna_spark.operators import outliers as out_ops
+
+    rng = random.Random(7)
+    vals = [rng.randint(-500, 10_000) for _ in range(997)] + [10_000, 10_000, -500]
+    df = spark.createDataFrame([(v,) for v in vals], "v BIGINT").repartition(5)
+    sv = sorted(vals)
+    n = len(vals)
+    for p in (0.0, 0.25, 0.5, 0.9, 1.0):
+        expect = sv[int((n - 1) * p)]  # quantile_disc rank convention
+        assert out_ops.scalable_quantile_disc(df, "v", p, n_buckets=64) == expect
+    # degenerate: constant column, single bucket
+    const = spark.createDataFrame([(5,)] * 10, "v BIGINT")
+    assert out_ops.scalable_quantile_disc(const, "v", 0.5) == 5
+    with pytest.raises(ValueError):
+        out_ops.scalable_quantile_disc(spark.createDataFrame([], "v BIGINT"), "v", 0.5)

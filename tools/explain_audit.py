@@ -98,6 +98,8 @@ EXPECT = {
     # full-outer diff cannot broadcast: sort-merge on the key, content
     # hashes computed scan-side so the join moves (key, long) pairs only
     "q117_snapshot_rowdiff": ["SortMergeJoin"],
+    # top-k hot keys via TakeOrderedAndProject, stats ride a 1-row broadcast
+    "q119_skew_report": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -219,6 +221,8 @@ MAX_SHUFFLES = {
     "q116_fk_audit": 19,  # 7 relationships x (anti-join + count-distinct 2-phase + scalar aggs), one action
     "q117_snapshot_rowdiff": 3,  # full-outer SMJ (2 side exchanges, hashes only in the payload) + order
     "q118_negative_sampling": 1,  # map-only stride arithmetic; output order is the only exchange
+    "q119_skew_report": 3,  # key agg + 1-row stats broadcast + top-k; TakeOrdered, no global sort
+    "q120_scalable_median": 0,  # scalar result frame; the 3-scan histogram refinement runs inside the operator
 }
 
 
