@@ -5167,3 +5167,73 @@ def q120_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     med = outliers.scalable_quantile_disc(li, "v", 0.5)
     return spark.createDataFrame([(med,)], "median_c BIGINT")
+
+
+@register(
+    "q112_funnel_steps",
+    """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, MIN(us) AS t_view FROM ev WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+        SELECT e.user_id, MIN(e.us) AS t_click
+        FROM ev e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.us > v.t_view
+          AND e.us <= v.t_view + 86400000000
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.us) AS t_purchase
+        FROM ev e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.us > c.t_click
+          AND e.us <= c.t_click + 86400000000
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT 1 AS ord, 'all_users' AS stage, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
+        UNION ALL SELECT 2, 'viewed', CAST(COUNT(*) AS BIGINT) FROM v
+        UNION ALL SELECT 3, 'clicked_24h', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL SELECT 4, 'purchased_24h', CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY ord
+    """,
+    "Three-step conversion funnel with per-step 24h timeouts (view -> "
+    "first later click -> first later purchase): conditional-min "
+    "aggregations chained by per-user joins — each step is one keyed agg "
+    "+ one keyed join, no window over full event history, no self-join "
+    "explosion; the stage counts land in one 4-row report",
+)
+def q112_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    ev = _events(spark, sf_dir).select("user_id", "event_type", F.col("ts_us").alias("us"))
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("us") > F.col("t_view")) & (F.col("us") <= F.col("t_view") + day_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("us") > F.col("t_click")) & (F.col("us") <= F.col("t_click") + day_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    stages = [
+        ev.agg(
+            F.lit(1).alias("ord"),
+            F.lit("all_users").alias("stage"),
+            F.count_distinct("user_id").alias("n_users"),
+        ),
+        v.agg(F.lit(2).alias("ord"), F.lit("viewed").alias("stage"), F.count("*").alias("n_users")),
+        c.agg(F.lit(3).alias("ord"), F.lit("clicked_24h").alias("stage"), F.count("*").alias("n_users")),
+        p.agg(F.lit(4).alias("ord"), F.lit("purchased_24h").alias("stage"), F.count("*").alias("n_users")),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("ord").select("stage", "n_users")
