@@ -186,3 +186,13 @@ def negative_pairs(df: DataFrame, id_col: str, k: int, seed: int = 0) -> DataFra
         "slot",
         ((F.col(id_col) + stride) % F.lit(n)).cast("long").alias("neg_id"),
     )
+
+
+def epoch_order_key(id_col: Column, epoch: int) -> Column:
+    """Deterministic per-epoch global shuffle key: md5 over
+    ``"<epoch>:<id>"``. Every epoch is a different uniform permutation of
+    the corpus, reproducible across runs and engines — the training-
+    loader contract (epoch N's order must be recoverable to resume mid-
+    epoch). Sorting by this key is a range-partitioned sort; taking the
+    first k is a shuffle-free TakeOrderedAndProject."""
+    return F.md5(F.concat(F.lit(f"{epoch}:"), id_col.cast("string")))

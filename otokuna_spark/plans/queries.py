@@ -5237,3 +5237,25 @@ def q112_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out.orderBy("ord").select("stage", "n_users")
+
+
+@register(
+    "q121_epoch_shuffle",
+    """
+    SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS epoch_key
+    FROM documents ORDER BY epoch_key LIMIT 100
+    """,
+    "Per-epoch deterministic corpus reshuffle (training-loader contract: "
+    "epoch order must be reproducible to resume mid-epoch): md5 over "
+    "(epoch, id) is a fresh uniform permutation each epoch; the first-k "
+    "probe plans as shuffle-free TakeOrderedAndProject",
+)
+def q121_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", sampling.epoch_order_key(F.col("doc_id"), 3).alias("epoch_key")
+        )
+        .orderBy("epoch_key")
+        .limit(100)
+    )

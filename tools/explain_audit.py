@@ -100,6 +100,7 @@ EXPECT = {
     "q117_snapshot_rowdiff": ["SortMergeJoin"],
     # top-k hot keys via TakeOrderedAndProject, stats ride a 1-row broadcast
     "q119_skew_report": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+    "q121_epoch_shuffle": ["TakeOrderedAndProject"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -223,6 +224,8 @@ MAX_SHUFFLES = {
     "q118_negative_sampling": 1,  # map-only stride arithmetic; output order is the only exchange
     "q119_skew_report": 3,  # key agg + 1-row stats broadcast + top-k; TakeOrdered, no global sort
     "q120_scalable_median": 0,  # scalar result frame; the 3-scan histogram refinement runs inside the operator
+    "q112_funnel_steps": 9,  # 3 conditional-min aggs + 2 step joins + 4 stage-count scalar aggs, one action
+    "q121_epoch_shuffle": 0,  # TakeOrderedAndProject: first-k of the epoch permutation, NO shuffle
 }
 
 
