@@ -32,15 +32,16 @@ def overlap_pairs(
     """All pairs (id_a < id_b) whose [start, end] intervals overlap
     (inclusive touch counts), with the overlap window:
     (id_a, id_b, overlap_start, overlap_end). Exact — bucketing only
-    routes candidates; the overlap predicate decides."""
+    routes candidates; the overlap predicate decides. Times must be
+    NON-NEGATIVE integers (bucketing uses exact integer division —
+    a double round-trip would mis-bucket beyond 2^53, e.g. nanosecond
+    epochs, and silently drop pairs)."""
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(start).alias("s"),
         F.col(end).alias("e"),
         F.explode(
-            F.sequence(
-                F.floor(F.col(start) / bucket_width), F.floor(F.col(end) / bucket_width)
-            )
+            F.sequence(F.expr(f"{start} div {bucket_width}"), F.expr(f"{end} div {bucket_width}"))
         ).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
@@ -54,7 +55,7 @@ def overlap_pairs(
             (F.col("a.s") <= F.col("b.e"))
             & (F.col("b.s") <= F.col("a.e"))
             # first-bucket dedup: emit only where max(start) falls in this bucket
-            & (F.floor(pair_start / bucket_width) == F.col("a.bucket"))
+            & (F.expr(f"greatest(a.s, b.s) div {bucket_width}") == F.col("a.bucket"))
         )
         .select(
             F.col("a.id").alias("id_a"),
