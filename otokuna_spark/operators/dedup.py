@@ -1048,3 +1048,70 @@ def cluster_canonicals(
             F.col(score_col).alias("best_score"),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 8,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level SEGMENT dedup (the C4 "three-sentence span" rule,
+    Raffel et al. 2020 §2.2, re-expressed over fixed token windows):
+    split every document into consecutive ``seg_tokens``-token segments,
+    find segments occurring in MORE THAN ``max_docs`` distinct documents
+    (boilerplate: headers, navigation, license blurbs), remove those
+    segments from every document, and reassemble the survivors in
+    original order. Complements doc-level near-dup: it scrubs repeated
+    REGIONS from documents that are otherwise unique.
+
+    Returns one row per non-blank doc: (id, kept_text, n_segs,
+    n_dropped); a fully-boilerplate doc keeps an empty string (filter
+    ``kept_text != ''`` downstream to drop it).
+
+    Scale shape: segmenting is map-only (an in-row array slice, no
+    explode-then-regroup round trip); the document-frequency aggregation
+    is ONE keyed shuffle with map-side combine, and its ``> max_docs``
+    survivors — the hot set, which is small BY CONSTRUCTION (segments
+    repeated across many docs are exactly the rare boilerplate tail) —
+    broadcast back as a LEFT JOIN marker, so the per-segment membership
+    test never shuffles the corpus. Reassembly is the second and last
+    shuffle; ``collect_list`` skips NULL-marked (hot) segments and
+    ``array_sort`` on (seg_idx, seg) structs restores document order
+    without relying on shuffle order.
+    """
+    toks = text.tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    exploded = (
+        docs.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("__id"), F.posexplode(segs).alias("seg_idx", "seg"))
+    )
+    hot = (
+        exploded.groupBy("seg")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .where(F.col("__df") > max_docs)
+        .select("seg", F.lit(True).alias("__hot"))
+    )
+    marked = exploded.join(F.broadcast(hot), on="seg", how="left")
+    kept_struct = F.when(
+        F.col("__hot").isNull(), F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum(F.col("__hot").isNotNull().cast("long")).alias("n_dropped"),
+        )
+        .select(F.col("__id").alias(id_col), "kept_text", "n_segs", "n_dropped")
+    )

@@ -196,3 +196,36 @@ def epoch_order_key(id_col: Column, epoch: int) -> Column:
     epoch). Sorting by this key is a range-partitioned sort; taking the
     first k is a shuffle-free TakeOrderedAndProject."""
     return F.md5(F.concat(F.lit(f"{epoch}:"), id_col.cast("string")))
+
+
+def weighted_priority(id_col: Column, weight_col: Column) -> Column:
+    """Efraimidis-Spirakis (2006) weighted-sampling-without-replacement
+    priority: the k rows with the SMALLEST ``-ln(u)/w`` (equivalently the
+    largest u^(1/w)) are an exact weighted sample without replacement.
+    ``u`` is deterministic — the first 60 md5 bits of the id mapped into
+    (0, 1] — so the sample is reproducible across runs, partitionings,
+    and engines (DuckDB computes the identical priority; the only
+    divergence channel is a last-ulp ``ln`` difference flipping two
+    nearly-tied priorities, ~2^-50 per boundary pair). Weights must be
+    > 0."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    return -F.log(u) / weight_col.cast("double")
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: k rows, each
+    row's inclusion probability proportional to its weight (A-ES,
+    "Weighted random sampling with a reservoir", Efraimidis & Spirakis
+    2006) — how a mixing pipeline takes "10k docs, long docs
+    proportionally more likely" without a global sort: the k smallest
+    priorities are a shuffle-free TakeOrderedAndProject, state = k rows
+    per partition then k at the driver, never a full shuffle."""
+    pr = weighted_priority(F.col(id_col), F.col(weight_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(id_col, weight_col, pr.alias("__priority"))
+        .orderBy("__priority")
+        .limit(k)
+        .drop("__priority")
+    )

@@ -127,3 +127,42 @@ def rolling_robust_anomalies(
         (v < F.col("__p25") - F.lit(k) * iqr) | (v > F.col("__p75") + F.lit(k) * iqr)
     )
     return out.withColumn("is_anomaly", flag.cast("int"))
+
+
+def scd2_versions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: collapse
+    each key's event stream to its DISTINCT consecutive attribute values
+    and emit one validity interval per version — (key, version, attr,
+    valid_from, valid_to, is_current), half-open [from, to). The
+    warehouse primitive for "what was this entity's state at time T"
+    (join on key AND from <= T < to).
+
+    Consecutive duplicate states (the overwhelmingly common case in
+    event logs) are dropped BEFORE numbering, so versions count real
+    transitions. ``tiebreak_col`` must make (ts, tiebreak) unique per key
+    — simultaneous events would otherwise make lag() order, and thus the
+    version chain, nondeterministic. Two window passes over the SAME
+    (key x order) partitioning — one exchange, the second window reuses
+    it.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .where(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        F.col(key_col),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -5259,3 +5259,90 @@ def q121_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("epoch_key")
         .limit(100)
     )
+
+
+@register(
+    "q122_segment_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    segs AS (
+      SELECT doc_id, CAST(s.i AS BIGINT) AS seg_idx,
+             array_to_string(t[s.i * 8 + 1 : s.i * 8 + 8], ' ') AS seg
+      FROM base, UNNEST(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS s(i)
+    ),
+    hot AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 2)
+    SELECT s.doc_id,
+           COALESCE(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS kept_text,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN h.seg IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM segs s LEFT JOIN hot h USING (seg)
+    GROUP BY s.doc_id
+    """,
+    "C4-style corpus-level segment dedup (Raffel et al. 2020 rule over "
+    "8-token windows): segments occurring in >2 distinct docs are "
+    "boilerplate and get scrubbed from every doc, survivors reassembled "
+    "in order — segmenting is a map-only in-row array slice, the "
+    "document-frequency agg is one keyed shuffle whose small hot tail "
+    "broadcasts back, reassembly is the only other shuffle",
+)
+def q122_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.segment_dedup(docs, "doc_id", "text", seg_tokens=8, max_docs=2)
+
+
+@register(
+    "q123_weighted_sample",
+    """
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                 / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS p
+      FROM documents WHERE n_chars > 0
+    ) ORDER BY p LIMIT 100
+    """,
+    "Weighted sample WITHOUT replacement (Efraimidis-Spirakis 2006 A-ES): "
+    "k smallest -ln(u)/w priorities with u deterministic from md5(id) -- "
+    "inclusion probability proportional to doc length, reproducible across "
+    "engines/runs/partitionings; plans as shuffle-free TakeOrderedAndProject "
+    "(k rows per partition, k at the driver, never a global sort)",
+)
+def q123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 100)
+
+
+@register(
+    "q124_scd2_versions",
+    """
+    WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    ch AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type, us,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM ev
+      ) WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           event_type AS attr,
+           us AS valid_from,
+           lead(us) OVER w AS valid_to,
+           lead(us) OVER w IS NULL AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+    "SCD type-2 dimension build from a change log: collapse each user's "
+    "event stream to distinct consecutive states, emit half-open validity "
+    "intervals [valid_from, valid_to) + is_current — the warehouse "
+    "'state as of time T' primitive; both window passes share one "
+    "(key x order) exchange",
+)
+def q124_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import windows as W
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us")
+    return W.scd2_versions(ev, "user_id", "ts_us", "event_type", "event_id")

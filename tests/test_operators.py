@@ -1436,3 +1436,99 @@ def test_scalable_quantile_disc_matches_sorted_rank(spark):
     assert out_ops.scalable_quantile_disc(const, "v", 0.5) == 5
     with pytest.raises(ValueError):
         out_ops.scalable_quantile_disc(spark.createDataFrame([], "v BIGINT"), "v", 0.5)
+
+
+def test_segment_dedup_scrubs_boilerplate_keeps_order(spark):
+    from otokuna_spark.operators.dedup import segment_dedup
+
+    # seg_tokens=2 -> segments are adjacent word pairs; "NAV BAR" is
+    # boilerplate shared by 3 docs (> max_docs=2), "AD BLOCK" by only 2
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV BAR alpha beta AD BLOCK"),
+            (2, "NAV BAR gamma delta AD BLOCK"),
+            (3, "NAV BAR epsilon zeta"),
+            (4, "NAV BAR"),  # fully boilerplate
+            (5, "   "),  # blank: excluded entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, "doc_id", "text", seg_tokens=2, max_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["kept_text"] == "alpha beta AD BLOCK"
+    assert out[2]["kept_text"] == "gamma delta AD BLOCK"
+    assert out[3]["kept_text"] == "epsilon zeta"
+    assert out[4]["kept_text"] == "" and out[4]["n_dropped"] == 1
+    assert out[1]["n_segs"] == 3 and out[1]["n_dropped"] == 1
+
+
+def test_segment_dedup_partial_tail_segment_counts(spark):
+    from otokuna_spark.operators.dedup import segment_dedup
+
+    # 5 tokens at seg_tokens=2 -> 3 segments, last has one token
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    row = segment_dedup(docs, "doc_id", "text", seg_tokens=2, max_docs=2).collect()[0]
+    assert row["n_segs"] == 3 and row["n_dropped"] == 0
+    assert row["kept_text"] == "a b c d e"
+
+
+def test_weighted_sample_matches_local_reference_and_biases_heavy(spark):
+    import hashlib
+    import math
+
+    from otokuna_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 + (i % 7) * 100) for i in range(60)] + [(60, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").repartition(7)
+
+    def prio(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return -math.log((h + 1) / float(1 << 60)) / w
+
+    expected = sorted((prio(i, w) for i, w in rows if w > 0))[:10]
+    expected_ids = {
+        i for i, w in rows if w > 0 and prio(i, w) <= expected[-1]
+    }
+    got = weighted_sample(df, "doc_id", "w", 10).collect()
+    assert {r["doc_id"] for r in got} == expected_ids  # exact A-ES selection
+    assert 60 not in {r["doc_id"] for r in got}  # zero weight excluded
+    # determinism under re-run and different partitioning
+    again = weighted_sample(df.repartition(2), "doc_id", "w", 10).collect()
+    assert {r["doc_id"] for r in again} == expected_ids
+    # a dominant weight is (essentially) always sampled
+    heavy = spark.createDataFrame(
+        [(i, 1) for i in range(99)] + [(99, 1_000_000)], "doc_id long, w long"
+    )
+    assert 99 in {r["doc_id"] for r in weighted_sample(heavy, "doc_id", "w", 5).collect()}
+
+
+def test_scd2_versions_collapses_runs_and_chains_intervals(spark):
+    from otokuna_spark.operators.windows import scd2_versions
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "free", 100),
+            (2, 10, "free", 200),   # duplicate state: collapsed
+            (3, 10, "pro", 300),
+            (4, 10, "pro", 400),    # collapsed
+            (5, 10, "free", 500),   # back to free: NEW version (type-2)
+            (6, 20, "pro", 50),
+        ],
+        "event_id long, user_id long, tier string, ts long",
+    )
+    out = scd2_versions(ev, "user_id", "ts", "tier", "event_id")
+    u10 = sorted(
+        (r["version"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.where("user_id = 10").collect()
+    )
+    assert u10 == [
+        (1, "free", 100, 300, False),
+        (2, "pro", 300, 500, False),
+        (3, "free", 500, None, True),
+    ]
+    # intervals chain: each valid_to equals the next version's valid_from
+    u20 = out.where("user_id = 20").collect()
+    assert len(u20) == 1 and u20[0]["is_current"] and u20[0]["valid_to"] is None

@@ -101,6 +101,9 @@ EXPECT = {
     # top-k hot keys via TakeOrderedAndProject, stats ride a 1-row broadcast
     "q119_skew_report": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
     "q121_epoch_shuffle": ["TakeOrderedAndProject"],
+    # the >max_docs hot-segment tail broadcasts back onto the corpus
+    "q122_segment_dedup": ["BroadcastHashJoin"],
+    "q123_weighted_sample": ["TakeOrderedAndProject"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -226,6 +229,9 @@ MAX_SHUFFLES = {
     "q120_scalable_median": 0,  # scalar result frame; the 3-scan histogram refinement runs inside the operator
     "q112_funnel_steps": 9,  # 3 conditional-min aggs + 2 step joins + 4 stage-count scalar aggs, one action
     "q121_epoch_shuffle": 0,  # TakeOrderedAndProject: first-k of the epoch permutation, NO shuffle
+    "q122_segment_dedup": 3,  # 2-phase distinct df agg + reassembly groupBy; hot set broadcasts
+    "q123_weighted_sample": 0,  # TakeOrderedAndProject: k smallest priorities, NO shuffle
+    "q124_scd2_versions": 1,  # both window passes share one (key x order) exchange
 }
 
 
