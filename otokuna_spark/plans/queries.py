@@ -5346,3 +5346,132 @@ def q124_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us")
     return W.scd2_versions(ev, "user_id", "ts_us", "event_type", "event_id")
+
+
+@register(
+    "q125_lsh_eval",
+    f"""
+    WITH {_minhash_buckets_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+    ),
+    tp AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth)
+    SELECT
+        CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+        CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+        CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_tp,
+        CAST(CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+             THEN (SELECT COUNT(*) FROM tp) * 1000000 // (SELECT COUNT(*) FROM cand)
+             ELSE 0 END AS BIGINT) AS precision_ppm,
+        CAST(CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+             THEN (SELECT COUNT(*) FROM tp) * 1000000 // (SELECT COUNT(*) FROM truth)
+             ELSE 0 END AS BIGINT) AS recall_ppm
+    """,
+    "LSH quality evaluation harness: MinHash-LSH candidate pairs scored "
+    "against exact-Jaccard ground truth (threshold 0.5) in one report row "
+    "— n_candidates / n_true_pairs / true positives / precision / recall "
+    "in exact integer ppm. The go/no-go check before trusting a banding "
+    "config on a new corpus; both pair sets are localCheckpointed by their "
+    "operators, so the three counts and the semi-join reuse materialized "
+    "relations instead of recomputing signature pipelines",
+)
+def q125_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, shingle_k=3
+    )
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD, shingle_k=3
+    ).select("id_a", "id_b")
+    tp = cand.join(truth, ["id_a", "id_b"], "leftsemi")
+    counts = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_true_pairs")))
+        .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_tp",
+        F.when(
+            F.col("n_candidates") > 0, F.expr("n_tp * 1000000 div n_candidates")
+        ).otherwise(F.lit(0)).cast("long").alias("precision_ppm"),
+        F.when(
+            F.col("n_true_pairs") > 0, F.expr("n_tp * 1000000 div n_true_pairs")
+        ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
+    )
+
+
+@register(
+    "q126_knn_label_eval",
+    """
+    WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 200),
+    ex AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM sub, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS d
+        FROM ex q JOIN ex c USING (i)
+        WHERE c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    top1 AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY d / (nq.nrm * nc.nrm) DESC, neighbor_id ASC
+                   ) AS rnk
+            FROM dots
+            JOIN norms nq ON query_id = nq.vec_id
+            JOIN norms nc ON neighbor_id = nc.vec_id
+        ) WHERE rnk = 1
+    )
+    SELECT q.label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN q.label = n.label THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match
+    FROM top1
+    JOIN sub q ON top1.query_id = q.vec_id
+    JOIN sub n ON top1.neighbor_id = n.vec_id
+    GROUP BY q.label
+    ORDER BY q.label
+    """,
+    "Leave-one-out 1-NN label-agreement eval (the embedding-space health "
+    "check run before trusting vectors for semantic dedup or retrieval): "
+    "per-label query count and top-1 neighbor label matches over a FIXED "
+    "200-vector probe slice — constant cost at any corpus scale; exact "
+    "cosine with id tiebreak, same ranking contract as the ANN baseline",
+)
+def q126_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    sub = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding", "label")
+    top1 = similarity.brute_force_topk(sub, sub, "vec_id", "embedding", k=1)
+    q_lab = sub.select(F.col("vec_id").alias("query_id"), F.col("label").alias("label"))
+    n_lab = sub.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nlabel"))
+    return (
+        top1.join(q_lab, "query_id")
+        .join(n_lab, "neighbor_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum((F.col("label") == F.col("__nlabel")).cast("long")).alias("n_top1_match"),
+        )
+        .orderBy("label")
+    )

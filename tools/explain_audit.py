@@ -232,6 +232,8 @@ MAX_SHUFFLES = {
     "q122_segment_dedup": 3,  # 2-phase distinct df agg + reassembly groupBy; hot set broadcasts
     "q123_weighted_sample": 0,  # TakeOrderedAndProject: k smallest priorities, NO shuffle
     "q124_scd2_versions": 1,  # both window passes share one (key x order) exchange
+    "q125_lsh_eval": 5,  # post-checkpoint tails: 3 scalar count aggs + semi-join; signature pipelines materialize once at operator level
+    "q126_knn_label_eval": 3,  # probe slice broadcasts; rank window + label agg + order
 }
 
 
