@@ -136,3 +136,44 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert j.count() == 4_000  # 2 of 10 partitions survive
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """Spark injects a runtime Bloom filter on the fact side of a shuffle
+    join when the dim side is selective — at 100 TB this is the row-level
+    pruning that keeps a fact-dim shuffle join from moving rows whose key
+    can never match. Evidence: `BloomFilterMightContain` lands in the
+    physical plan and the result equals the unfiltered join's."""
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    spark.range(200_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 1000).alias("payload")
+    ).write.parquet(fact_path)
+    spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
+    ).write.parquet(dim_path)
+
+    def joined():
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).where("grp = 3")
+        return fact.join(dim, F.col("fk") == F.col("k")).agg(
+            F.count("*").alias("n"), F.sum("payload").alias("s")
+        )
+
+    expected = joined().collect()  # broadcast plan, no bloom needed
+    try:
+        # force the shuffle-join path and let any scan size qualify
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        q = joined()
+        rows = q.collect()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan, plan[:2000]
+        assert rows == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
