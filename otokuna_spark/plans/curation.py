@@ -42,6 +42,26 @@ class CurationReport:
     n_selected: int
 
 
+def scrub_boilerplate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 8,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Stage 0 (optional) — C4-style segment scrub: remove every
+    ``seg_tokens``-token segment occurring in more than ``max_docs``
+    distinct documents (headers, navigation, license blurbs) and carry
+    the reassembled text forward under the same column name. Runs BEFORE
+    dedup so shared boilerplate cannot glue otherwise-unrelated documents
+    into near-dup clusters; fully-boilerplate docs become empty and fall
+    out at the quality floor. Other columns survive via the id join."""
+    kept = dedup.segment_dedup(docs, id_col, text_col, seg_tokens, max_docs).select(
+        id_col, F.col("kept_text").alias(text_col)
+    )
+    return docs.drop(text_col).join(kept, on=id_col)
+
+
 def quality_floor(docs: DataFrame, text_col: str, min_tokens: int) -> DataFrame:
     """Stage 1 — row-local token-count floor; adds ``__n_tokens``.
     Stricter quality predicates (stopword ratio, repetition, lang) are
@@ -137,11 +157,15 @@ def curate_corpus(
     target_pred: Column | None = None,
     keep_top_frac: float = 0.8,
     token_budget: int | None = None,
+    segment_max_docs: int | None = None,
 ) -> DataFrame:
     """Compose the full pipeline (lazy). Stages, cheapest first:
-    quality floor -> exact dedup (keep lowest id) -> near-dup dedup
-    (LSH -> exact verify -> connected components) -> decontamination ->
-    optional DSIR selection -> optional token budget."""
+    optional boilerplate segment scrub -> quality floor -> exact dedup
+    (keep lowest id) -> near-dup dedup (LSH -> exact verify -> connected
+    components) -> decontamination -> optional DSIR selection -> optional
+    token budget."""
+    if segment_max_docs is not None:
+        docs = scrub_boilerplate(docs, id_col, text_col, max_docs=segment_max_docs)
     quality = quality_floor(docs, text_col, min_tokens)
     exact = dedup.dedup_exact(quality, [text_col], [F.asc(id_col)])
     near = dedup.near_dup_dedup(exact, id_col, text_col, jaccard_threshold)
@@ -166,6 +190,7 @@ def curate_to_shards(
     target_pred: Column | None = None,
     keep_top_frac: float = 0.8,
     token_budget: int | None = None,
+    segment_max_docs: int | None = None,
 ) -> CurationReport:
     """Run the pipeline stage-by-stage, record the funnel, write
     deterministic training shards. Stage boundaries are materialized
@@ -175,6 +200,10 @@ def curate_to_shards(
     from ..io import write_training_shards
 
     n_raw = docs.count()
+    if segment_max_docs is not None:
+        docs = scrub_boilerplate(
+            docs, id_col, text_col, max_docs=segment_max_docs
+        ).localCheckpoint()
     quality = quality_floor(docs, text_col, min_tokens).localCheckpoint()
     n_quality = quality.count()
     exact = dedup.dedup_exact(quality, [text_col], [F.asc(id_col)]).localCheckpoint()

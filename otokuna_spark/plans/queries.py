@@ -4988,15 +4988,19 @@ def q115_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = dedup.cluster_pairs(pairs).select(
         F.col("node").cast("long").alias("node"), F.col("cluster").cast("long").alias("cluster")
     )
-    tok = docs.select("doc_id", "text", T.tokens(F.col("text")).alias("__t"))
-    quality = tok.select(
-        "doc_id",
-        F.floor(T.quality_score_raw_tokens(F.col("text"), F.col("__t")) * 1000000.0)
-        .cast("long")
-        .alias("quality_m"),
-    )
-    members = labels.join(quality, labels.node == quality.doc_id).select(
-        "cluster", "node", "quality_m"
+    # join FIRST, score AFTER: cluster members are a sliver of the corpus
+    # (only docs in dup clusters), so the quality expression — the
+    # expensive part — runs on member rows only, never the full corpus
+    members = (
+        docs.join(labels, docs.doc_id == labels.node)  # AQE broadcasts when small
+        .withColumn("__t", T.tokens(F.col("text")))
+        .select(
+            "cluster",
+            "node",
+            F.floor(T.quality_score_raw_tokens(F.col("text"), F.col("__t")) * 1000000.0)
+            .cast("long")
+            .alias("quality_m"),
+        )
     )
     return dedup.cluster_canonicals(members, "cluster", "node", "quality_m").orderBy("cluster")
 

@@ -165,3 +165,38 @@ def test_curate_corpus_selection_and_budget_stages(spark):
     budgeted = curation.curate_corpus(docs, bench, token_budget=60)
     total = sum(r["__n_tokens"] for r in budgeted.select("__n_tokens").collect())
     assert 0 < total <= 60
+
+
+def test_curate_corpus_boilerplate_scrub_stage(spark):
+    """With the optional segment scrub on, boilerplate shared across many
+    docs is removed BEFORE dedup — so docs that are near-dups only
+    through boilerplate survive as distinct, and fully-boilerplate docs
+    fall out at the quality floor."""
+    from otokuna_spark.plans import curation
+
+    nav = "NAV HOME ABOUT CONTACT LOGIN SIGNUP HELP TERMS"  # 8 tokens = 1 segment
+    body_a = " ".join(f"a{i}" for i in range(16))
+    body_b = " ".join(f"b{i}" for i in range(16))
+    rows = [
+        (1, f"{nav} {body_a}"),
+        (2, f"{nav} {body_b}"),
+        (3, f"{nav} {body_a.replace('a15', 'zz')}"),  # near-dup of 1 beyond the nav
+        (4, nav),  # boilerplate-only page
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, "nothing shared here at all")], "doc_id long, text string")
+
+    # without scrub the nav block glues nothing here (bodies differ), but
+    # doc 4 survives as "content"
+    plain = curation.curate_corpus(docs, bench, min_tokens=8, jaccard_threshold=0.6)
+    assert 4 in {r["doc_id"] for r in plain.collect()}
+
+    scrubbed = curation.curate_corpus(
+        docs, bench, min_tokens=8, jaccard_threshold=0.6, segment_max_docs=3
+    )
+    ids = sorted(r["doc_id"] for r in scrubbed.collect())
+    # doc 4 became empty and dropped at the floor; 3 collapsed into 1 as a
+    # near-dup once the shared nav no longer pads the union side
+    assert ids == [1, 2]
+    texts = {r["doc_id"]: r["text"] for r in scrubbed.collect()}
+    assert "NAV" not in texts[1] and texts[1].startswith("a0")
