@@ -1,0 +1,152 @@
+"""Measured evidence for the PRODUCTION (non-oracle) scale paths.
+
+The registry queries pin the oracle-portable variants (md5-lane MinHash,
+exact brute-force cosine) because DuckDB must reproduce them bit-for-bit.
+The production variants trade that portability for throughput — this tool
+measures both sides at bench scale and records the deltas in
+PROD_BENCH.json so the "xxhash64 is faster" / "ANN shortlists are
+cheaper" claims stay MEASURED, not asserted:
+
+- MinHash-LSH candidate pairs: md5 4-lane family vs xxhash64 family
+  (identical banding scheme; pair sets differ only through hash family).
+- n-gram Jaccard verify: exact vs ``max_df`` hot-shingle cap (the skew
+  mitigation) — wall time, join fan-in proxy (pair count), and how many
+  above-threshold pairs survive.
+- ANN top-10: exact brute force vs IVF(nprobe=4/16 centroids) vs PQ-ADC
+  (m=8, 16 codes, exact-refine shortlist) — wall time + recall@10 against
+  the exact result.
+
+Usage: python tools/bench_prod_paths.py [sf_dir]  (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from otokuna_spark.io import read_table
+from otokuna_spark.operators import dedup, similarity
+from otokuna_spark.session import get_spark
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("prod-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs.count()  # warm footer caches outside the timed spans
+    emb.count()
+    result: dict[str, dict] = {"sf_dir": sf_dir}
+
+    # --- MinHash family -------------------------------------------------
+    fam = {}
+    for hash_fn in ("md5", "xxhash64"):
+        spark.catalog.clearCache()
+        n, secs = timed(
+            lambda: dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", num_hashes=16, bands=8, shingle_k=3, hash_fn=hash_fn
+            ).count()
+        )
+        fam[hash_fn] = {"seconds": secs, "candidate_pairs": n}
+    fam["speedup_x"] = round(fam["md5"]["seconds"] / fam["xxhash64"]["seconds"], 2)
+    result["minhash_family"] = fam
+
+    # --- Jaccard max_df cap ---------------------------------------------
+    jd = {}
+    for label, max_df in (("exact", None), ("max_df_64", 64)):
+        spark.catalog.clearCache()
+        pairs, secs = timed(
+            lambda: dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, shingle_k=3, max_df=max_df
+            ).count()
+        )
+        jd[label] = {"seconds": secs, "pairs_above_threshold": pairs}
+    jd["pairs_retained_frac"] = round(
+        jd["max_df_64"]["pairs_above_threshold"] / max(1, jd["exact"]["pairs_above_threshold"]), 4
+    )
+    result["jaccard_max_df"] = jd
+
+    # --- ANN paths --------------------------------------------------------
+    queries = emb.where(F.col("vec_id") < 50)
+    spark.catalog.clearCache()
+    exact_rows, t_exact = timed(
+        lambda: similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    )
+    truth = {}
+    for r in exact_rows:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        hit = sum(1 for r in rows if r["neighbor_id"] in truth.get(r["query_id"], ()))
+        total = sum(len(v) for v in truth.values())
+        return round(hit / max(1, total), 4)
+
+    ann = {"brute_force": {"seconds": t_exact, "recall_at_10": 1.0}}
+    for n_probe in (4, 8):
+        spark.catalog.clearCache()
+        ivf_rows, t_ivf = timed(
+            lambda: similarity.ivf_topk(
+                emb, queries, "vec_id", "embedding", k=10, n_centroids=16, n_probe=n_probe
+            ).collect()
+        )
+        ann[f"ivf_nprobe{n_probe}"] = {"seconds": t_ivf, "recall_at_10": recall(ivf_rows)}
+    spark.catalog.clearCache()
+
+    def run_pq():
+        # the production recipe (mirrors registry q85): ADC shortlist of
+        # 150 with n_codes=64 codebooks, then exact re-rank of the
+        # shortlist ids only
+        books = similarity.pq_train(emb, "embedding", m=8, n_codes=64, id_col="vec_id")
+        shortlist = similarity.pq_adc_topk(
+            emb, queries, "vec_id", "embedding", books, k=150
+        ).select("query_id", "neighbor_id")
+        from otokuna_spark.functions import vectors as V
+        from pyspark.sql import Window as W
+
+        qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+        nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"))
+        cos = V.dot(F.col("__qv"), F.col("__nv")) / (V.norm(F.col("__qv")) * V.norm(F.col("__nv")))
+        w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        return (
+            shortlist.join(F.broadcast(qv), "query_id")
+            .join(nv, "neighbor_id")
+            .withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .collect()
+        )
+
+    pq_rows, t_pq = timed(run_pq)
+    ann["pq_adc_refined"] = {"seconds": t_pq, "recall_at_10": recall(pq_rows)}
+    result["ann_top10_50_queries"] = ann
+    result["notes"] = (
+        "ANN wall times at this SF are dominated by fixed costs (centroid "
+        "train, codebook train, extra joins) that amortize with corpus "
+        "size; brute force scans N*d per query batch and wins below ~10^6 "
+        "vectors, while IVF scans n_probe/n_centroids of the corpus and "
+        "ADC reads m bytes/vector — the scale paths. Recall is the "
+        "quality trade being bought; the synthetic near-random embeddings "
+        "are the hard case for both (see q85's n_codes=64 note)."
+    )
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PROD_BENCH.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
