@@ -267,3 +267,27 @@ def shingles(col: Column, k: int = 3) -> Column:
     Prefer projecting tokens first and using shingles_from_tokens (see
     its docstring for the CSE pitfall)."""
     return shingles_from_tokens(tokens(col), k)
+
+
+# --- normalization (C4/CCNet-style pre-clean) ------------------------------
+
+# full-width ASCII block (U+FF01..U+FF5E) + ideographic space -> half-width.
+# Shared constants: the DuckDB oracle SQL is generated from the SAME pair
+# (plans/queries.py), so the two engines cannot drift.
+NORM_FULLWIDTH = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
+NORM_HALFWIDTH = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+_CTRL = "[\\x00-\\x1f\\x7f]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text normalization applied before any hashing/dedup so
+    cosmetic variants (full-width punctuation, control chars, ragged
+    whitespace, case) hash identically: full-width->half-width fold,
+    control chars -> space, whitespace squeeze, trim, lowercase. Pure
+    codegen expression chain (translate + regexp_replace) — one map over
+    the corpus, no UDF. Idempotent: normalize(normalize(x)) ==
+    normalize(x) (property-tested)."""
+    folded = F.translate(col, NORM_FULLWIDTH, NORM_HALFWIDTH)
+    no_ctrl = F.regexp_replace(folded, _CTRL, " ")
+    squeezed = F.regexp_replace(no_ctrl, _WS, " ")
+    return F.lower(F.trim(squeezed))

@@ -5479,3 +5479,81 @@ def q126_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _normalize_oracle() -> str:
+    fw = T.NORM_FULLWIDTH.replace("'", "''")
+    hw = T.NORM_HALFWIDTH.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           lower(trim(regexp_replace(regexp_replace(
+               translate(text, '{fw}', '{hw}'),
+               '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_text,
+           CAST(length(lower(trim(regexp_replace(regexp_replace(
+               translate(text, '{fw}', '{hw}'),
+               '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+    FROM documents
+    """
+
+
+@register(
+    "q127_normalize_text",
+    _normalize_oracle(),
+    "Canonical text normalization (C4/CCNet pre-clean): full-width->half-"
+    "width fold, control chars -> space, whitespace squeeze, trim, "
+    "lowercase — the map run before any hashing/dedup so cosmetic "
+    "variants hash identically; pure codegen translate+regexp chain, "
+    "oracle SQL generated from the SAME fold tables so engines cannot "
+    "drift",
+)
+def q127_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    norm = T.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+_CANARY_DOC_IDS = (0, 7, 21, 33, 49)
+
+
+@register(
+    "q128_canary_hits",
+    f"""
+    WITH can AS (
+        SELECT doc_id AS canary_id,
+               array_to_string(string_split_regex(trim(text), '\\s+')[4:9], ' ') AS phrase
+        FROM documents
+        WHERE doc_id IN {_CANARY_DOC_IDS}
+          AND len(string_split_regex(trim(text), '\\s+')) >= 9
+    )
+    SELECT canary_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_docs_hit
+    FROM can JOIN documents d ON contains(d.text, can.phrase)
+    GROUP BY canary_id, phrase
+    ORDER BY canary_id
+    """,
+    "Benchmark-canary detection: exact SUBSTRING containment of a handful "
+    "of marker phrases across the whole corpus (the canary-GUID / eval-"
+    "leak scan) — phrases broadcast once, one corpus scan with a contains "
+    "predicate, per-canary hit counts; complements n-gram-overlap "
+    "decontamination (q62) with exact-phrase evidence",
+)
+def q128_canary_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    can = (
+        docs.where(F.col("doc_id").isin(list(_CANARY_DOC_IDS)))
+        .where(F.size(toks) >= 9)
+        .select(
+            F.col("doc_id").alias("canary_id"),
+            F.array_join(F.slice(toks, 4, 6), " ").alias("phrase"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(can), F.expr("contains(text, phrase)"))
+        .groupBy("canary_id", "phrase")
+        .agg(F.count("*").alias("n_docs_hit"))
+        .orderBy("canary_id")
+    )

@@ -125,3 +125,56 @@ def test_pagerank_equals_integer_reference(spark, raw_edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["node"]: r["rank_ppt"] for r in graph.pagerank_ppt(df, iterations=2).collect()}
     assert got == _pagerank_reference(edges, iterations=2)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Z", "Cc")
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_normalize_text_idempotent_and_canonical(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode, and
+    the output never contains control chars, double spaces, uppercase
+    ASCII, or full-width ASCII."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    out = df.select(
+        "i",
+        normalize_text(F.col("s")).alias("once"),
+        normalize_text(normalize_text(F.col("s"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"]
+        assert not re.search(r"[\x00-\x1f\x7f]", r["once"])
+        assert "  " not in r["once"]
+        assert not re.search(r"[A-Z]", r["once"])
+        assert not re.search(r"[！-～　]", r["once"])
+        assert r["once"] == r["once"].strip()
+
+
+def test_segment_dedup_identity_when_nothing_hot(spark):
+    """With max_docs above the corpus size no segment can be hot, so
+    reassembly must reproduce every non-blank doc's token stream exactly
+    (whitespace-canonical)."""
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.operators.dedup import segment_dedup
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(1 + (i * 7) % 23))) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["kept_text"] for r in segment_dedup(docs, "doc_id", "text", 8, 10**6).collect()}
+    for i, t in rows:
+        assert out[i] == t
