@@ -22,31 +22,60 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from otokuna_spark.plans.queries import REGISTRY  # noqa: E402
 
 # The driver's correctness gate records only the FIRST 50 ``queries()``
-# entries (dict order). Registration order would leave everything past
-# q59 permanently unattested, so the gate window is ROTATED: the newest
-# registrations (round 3+ — q60 onward, registration index >= 50) come
-# first, then the earlier queries. CORRECTNESS_LOCAL.json (tools/
-# check_oracle.py --record) still covers the full registry every round.
-_GATE_ROTATION_SPLIT = 50
+# entries (dict order), so the window is ROTATED based on the committed
+# attestation history: at import time we read every CORRECTNESS_r*.json
+# in the repo root and order the registry never-attested-first, then
+# least-recently-attested. Each round therefore attests the queries with
+# the weakest driver evidence instead of re-attesting last round's
+# window. q100_bpe_tokenize is pinned to the very end: it is the one
+# deliberate ``no_oracle`` rows-only entry (BPE merges aren't
+# SQL-expressible), so it can never earn a hash-match row and would
+# waste a window slot. CORRECTNESS_LOCAL.json (tools/check_oracle.py
+# --record) still covers the full registry every round.
+_GATE_PINNED_LAST = ["q100_bpe_tokenize"]
 
-# 54 queries are unattested after round 4 but the window holds 50: these
-# four wait at the back of the unattested block (they carry the strongest
-# independent evidence — exact cross-checks against reference
-# implementations in tests/test_operators.py). NEXT ROUND: rotate them to
-# the front and retire the names CORRECTNESS_r05.json has covered.
-_GATE_DEFERRED = [
-    "q91_substring_spans",
-    "q92_semantic_dedup",
-    "q98_cdc_chunk_dedup",
-    "q99_winnowing_overlap",
-]
+
+def _attestation_rounds() -> dict[str, int]:
+    """name -> latest round with a green driver row (rows+schema match,
+    and hash match when a hash was computed)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, v in rows.items():
+            if not isinstance(v, dict):
+                continue
+            green = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _gate_ordered_names() -> list[str]:
     names = list(REGISTRY)
-    unattested = names[_GATE_ROTATION_SPLIT:]
-    front = [n for n in unattested if n not in _GATE_DEFERRED]
-    return front + _GATE_DEFERRED + names[:_GATE_ROTATION_SPLIT]
+    latest = _attestation_rounds()
+    order = {n: i for i, n in enumerate(names)}
+    body = [n for n in names if n not in _GATE_PINNED_LAST]
+    # never-attested (latest=0) first, then ascending last-attested round;
+    # registration order breaks ties so the rotation is deterministic.
+    body.sort(key=lambda n: (latest.get(n, 0), order[n]))
+    return body + [n for n in _GATE_PINNED_LAST if n in order]
 
 
 def entry(spark: SparkSession) -> DataFrame:

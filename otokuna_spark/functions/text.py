@@ -276,18 +276,35 @@ def shingles(col: Column, k: int = 3) -> Column:
 # (plans/queries.py), so the two engines cannot drift.
 NORM_FULLWIDTH = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
 NORM_HALFWIDTH = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
-_CTRL = "[\\x00-\\x1f\\x7f]"
+# Scrub class shared VERBATIM with the DuckDB oracle (queries.py
+# generates its SQL from this constant, so the engines cannot drift):
+# C0 controls, DEL, C1 controls (U+0080-U+009F — NEL U+0085 is Unicode
+# whitespace Python's str.strip() removes but Spark's ASCII-only trim
+# does not), and the non-ASCII Unicode whitespace code points (NBSP,
+# OGHAM, the U+2000 block, LINE/PARA SEP, NNBSP, MMSP) embedded as
+# literal chars — valid in both Java regex and RE2 character classes.
+NORM_SCRUB_CLASS = (
+    "[\\x00-\\x1f\\x7f-\\x9f"  # C0 + DEL + C1 (incl. NEL U+0085)
+    + chr(0x00A0)                   # NBSP
+    + chr(0x1680)                   # OGHAM SPACE MARK
+    + chr(0x2000) + "-" + chr(0x200A)  # EN QUAD .. HAIR SPACE (literal range)
+    + chr(0x2028) + chr(0x2029)     # LINE / PARAGRAPH SEPARATOR
+    + chr(0x202F) + chr(0x205F)     # NARROW NBSP, MEDIUM MATH SPACE
+    + "]"
+)
+_CTRL = NORM_SCRUB_CLASS  # back-compat alias
 
 
 def normalize_text(col: Column) -> Column:
     """Canonical text normalization applied before any hashing/dedup so
     cosmetic variants (full-width punctuation, control chars, ragged
     whitespace, case) hash identically: full-width->half-width fold,
-    control chars -> space, whitespace squeeze, trim, lowercase. Pure
-    codegen expression chain (translate + regexp_replace) — one map over
-    the corpus, no UDF. Idempotent: normalize(normalize(x)) ==
-    normalize(x) (property-tested)."""
+    control/Unicode-whitespace chars -> space, whitespace squeeze, trim,
+    lowercase. Pure codegen expression chain (translate + regexp_replace)
+    — one map over the corpus, no UDF. Idempotent:
+    normalize(normalize(x)) == normalize(x) (property-tested, including
+    `once == once.strip()` under Python's Unicode-aware strip)."""
     folded = F.translate(col, NORM_FULLWIDTH, NORM_HALFWIDTH)
-    no_ctrl = F.regexp_replace(folded, _CTRL, " ")
+    no_ctrl = F.regexp_replace(folded, NORM_SCRUB_CLASS, " ")
     squeezed = F.regexp_replace(no_ctrl, _WS, " ")
     return F.lower(F.trim(squeezed))

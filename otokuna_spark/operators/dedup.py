@@ -1056,6 +1056,7 @@ def segment_dedup(
     text_col: str,
     seg_tokens: int = 8,
     max_docs: int = 2,
+    broadcast_hot: bool = False,
 ) -> DataFrame:
     """Corpus-level SEGMENT dedup (the C4 "three-sentence span" rule,
     Raffel et al. 2020 §2.2, re-expressed over fixed token windows):
@@ -1073,13 +1074,18 @@ def segment_dedup(
     Scale shape: segmenting is map-only (an in-row array slice, no
     explode-then-regroup round trip); the document-frequency aggregation
     is ONE keyed shuffle with map-side combine, and its ``> max_docs``
-    survivors — the hot set, which is small BY CONSTRUCTION (segments
-    repeated across many docs are exactly the rare boilerplate tail) —
-    broadcast back as a LEFT JOIN marker, so the per-segment membership
-    test never shuffles the corpus. Reassembly is the second and last
-    shuffle; ``collect_list`` skips NULL-marked (hot) segments and
-    ``array_sort`` on (seg_idx, seg) structs restores document order
-    without relying on shuffle order.
+    survivors — the hot set — join back as a LEFT JOIN marker.
+    At the 100 TB design point the hot-set size is CORPUS-DEPENDENT: on
+    organic web text it is a small boilerplate tail, but on mirror- or
+    template-heavy corpora most segments can exceed ``max_docs``, so the
+    default leaves the join strategy to AQE (which broadcasts when the
+    runtime size is under the threshold and falls back to sort-merge
+    when it is not — never a driver OOM). Pass ``broadcast_hot=True``
+    only when the hot set is KNOWN small (e.g. a curated boilerplate
+    list) to pin the map-side join and skip the corpus shuffle.
+    Reassembly is the second keyed shuffle; ``collect_list`` skips
+    NULL-marked (hot) segments and ``array_sort`` on (seg_idx, seg)
+    structs restores document order without relying on shuffle order.
     """
     toks = text.tokens(F.col(text_col))
     n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
@@ -1097,7 +1103,7 @@ def segment_dedup(
         .where(F.col("__df") > max_docs)
         .select("seg", F.lit(True).alias("__hot"))
     )
-    marked = exploded.join(F.broadcast(hot), on="seg", how="left")
+    marked = exploded.join(F.broadcast(hot) if broadcast_hot else hot, on="seg", how="left")
     kept_struct = F.when(
         F.col("__hot").isNull(), F.struct(F.col("seg_idx"), F.col("seg"))
     )

@@ -5393,8 +5393,23 @@ def q124_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators, so the three counts and the semi-join reuse materialized "
     "relations instead of recomputing signature pipelines",
 )
-def q125_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_lsh_eval(
+    spark: SparkSession, sf_dir: str, sample_fraction: float = 1.0
+) -> DataFrame:
+    """``sample_fraction`` is the 100 TB contract: exact-Jaccard ground
+    truth is quadratic in shingle co-occurrence, so at scale the eval runs
+    on a deterministic hash-slice of the corpus (both the truth AND the
+    candidate side restrict to the SAME slice, so precision/recall stay
+    well-defined estimates over sampled pairs). The slice is
+    ``xxhash64(doc_id) mod 1e6 < fraction*1e6`` — reproducible across
+    runs/engines, no RNG. The driver/oracle path keeps fraction=1.0
+    (exact, what DuckDB computes at sf0.01)."""
     docs = read_table(spark, sf_dir, "documents")
+    if sample_fraction < 1.0:
+        docs = docs.where(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000))
+            < F.lit(int(sample_fraction * 1_000_000))
+        )
     cand = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, shingle_k=3
     )
@@ -5484,14 +5499,19 @@ def q126_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _normalize_oracle() -> str:
     fw = T.NORM_FULLWIDTH.replace("'", "''")
     hw = T.NORM_HALFWIDTH.replace("'", "''")
+    # the scrub class is the SAME Python constant the Spark expression
+    # uses (text.py NORM_SCRUB_CLASS): \x escapes pass through DuckDB's
+    # non-escaping single-quoted strings into RE2, and the literal
+    # Unicode-whitespace chars are valid in an RE2 class as-is.
+    scrub = T.NORM_SCRUB_CLASS
     return f"""
     SELECT doc_id,
            lower(trim(regexp_replace(regexp_replace(
                translate(text, '{fw}', '{hw}'),
-               '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_text,
+               '{scrub}', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_text,
            CAST(length(lower(trim(regexp_replace(regexp_replace(
                translate(text, '{fw}', '{hw}'),
-               '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+               '{scrub}', ' ', 'g'), '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
     FROM documents
     """
 

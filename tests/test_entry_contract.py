@@ -30,31 +30,34 @@ def test_queries_and_oracles_cover_registry():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
-def test_gate_window_rotation_attests_newest_first():
+def test_gate_window_rotation_attests_weakest_first():
     """The driver records only the FIRST 50 queries() entries; the window
-    must lead with everything past the original 50 registrations (q60+
-    and all later additions) so the newest queries get driver-attested
-    correctness rows."""
+    is ordered by attestation history (committed CORRECTNESS_r*.json):
+    never-attested queries first, then least-recently-attested, with the
+    rows-only q100 pinned to the very end (it can never earn a
+    hash-match row, so a window slot on it is wasted)."""
     mod = _load_entry()
     from otokuna_spark.plans.queries import REGISTRY
 
     names = list(mod.queries())
     registration = list(REGISTRY)
-    unattested = registration[50:]
-    window = names[:50]
-    # ordering is a permutation of the registry: unattested block first
-    # (explicitly-deferred names at its back), then the round-4-attested
-    # block — so the 50-slot window is spent entirely on unattested rows
     assert sorted(names) == sorted(registration)
-    assert names[len(unattested):] == registration[:50]
-    deferred = [n for n in mod._GATE_DEFERRED if n in unattested]
-    expect_front = [n for n in unattested if n not in deferred]
-    assert names[: len(unattested)] == expect_front + deferred
-    for n in window:
-        assert n in unattested, f"window slot wasted on already-attested {n}"
-    # every unattested name is either in the window or explicitly deferred
-    out_of_window = set(unattested) - set(window)
-    assert out_of_window <= set(deferred) | set(expect_front[50:])
+
+    latest = mod._attestation_rounds()
+    window = names[:50]
+    never = [n for n in registration if n not in latest and n != "q100_bpe_tokenize"]
+
+    # every never-attested query (except pinned q100) must occupy a window
+    # slot before ANY already-attested query does
+    if len(never) <= 50:
+        missing = set(never) - set(window)
+        assert not missing, f"never-attested left out of window: {missing}"
+    assert names[-1] == "q100_bpe_tokenize"
+
+    # monotone: last-attested round never decreases along the ordering
+    # (q100 excluded); never-attested sorts as round 0
+    rounds = [latest.get(n, 0) for n in names[:-1]]
+    assert rounds == sorted(rounds)
 
 
 def test_oracle_output_columns_are_aliased():

@@ -101,8 +101,11 @@ EXPECT = {
     # top-k hot keys via TakeOrderedAndProject, stats ride a 1-row broadcast
     "q119_skew_report": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
     "q121_epoch_shuffle": ["TakeOrderedAndProject"],
-    # the >max_docs hot-segment tail broadcasts back onto the corpus
-    "q122_segment_dedup": ["BroadcastHashJoin"],
+    # the >max_docs hot-segment tail joins back under AQE's choice: at
+    # sf0.01 the runtime size converts it to broadcast; on template-heavy
+    # corpora a SortMergeJoin is the correct (non-OOM) outcome, so the
+    # audit asserts the two-phase df agg rather than a fixed strategy
+    "q122_segment_dedup": ["partial_count"],
     "q123_weighted_sample": ["TakeOrderedAndProject"],
 }
 
@@ -234,6 +237,8 @@ MAX_SHUFFLES = {
     "q124_scd2_versions": 1,  # both window passes share one (key x order) exchange
     "q125_lsh_eval": 5,  # post-checkpoint tails: 3 scalar count aggs + semi-join; signature pipelines materialize once at operator level
     "q126_knn_label_eval": 3,  # probe slice broadcasts; rank window + label agg + order
+    "q127_normalize_text": 0,  # pure map: translate+regexp chain, no exchange at all
+    "q128_canary_hits": 2,  # canaries broadcast onto the corpus scan; hit agg + output order
 }
 
 
