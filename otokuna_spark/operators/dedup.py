@@ -1087,22 +1087,47 @@ def segment_dedup(
     NULL-marked (hot) segments and ``array_sort`` on (seg_idx, seg)
     structs restores document order without relying on shuffle order.
     """
-    toks = text.tokens(F.col(text_col))
-    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
-    )
-    exploded = (
-        docs.where(F.trim(F.col(text_col)) != "")
-        .select(F.col(id_col).alias("__id"), F.posexplode(segs).alias("seg_idx", "seg"))
-    )
+    exploded = segment_explode(docs, id_col, text_col, seg_tokens)
     hot = (
         exploded.groupBy("seg")
         .agg(F.count_distinct("__id").alias("__df"))
         .where(F.col("__df") > max_docs)
         .select("seg", F.lit(True).alias("__hot"))
     )
+    return scrub_hot_segments(exploded, hot, id_col, broadcast_hot=broadcast_hot)
+
+
+def segment_explode(
+    docs: DataFrame, id_col: str, text_col: str, seg_tokens: int = 8
+) -> DataFrame:
+    """(__id, seg_idx, seg) — one row per consecutive ``seg_tokens``-token
+    window of each non-blank document. The segmentation is an in-row array
+    slice over one tokenization (map-only, no shuffle); blank docs are
+    dropped here so every downstream consumer (batch segment_dedup, the
+    streaming twin, rescrub) shares identical window boundaries."""
+    toks = text.tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    return (
+        docs.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("__id"), F.posexplode(segs).alias("seg_idx", "seg"))
+    )
+
+
+def scrub_hot_segments(
+    exploded: DataFrame,
+    hot: DataFrame,
+    id_col: str,
+    broadcast_hot: bool = False,
+) -> DataFrame:
+    """Reassemble documents from ``segment_explode`` output, dropping the
+    segments present in ``hot`` (columns: seg, __hot) — the shared tail of
+    batch ``segment_dedup`` and its streaming twin. ``array_sort`` on
+    (seg_idx, seg) structs restores document order without relying on
+    shuffle order; a fully-hot doc keeps an empty string."""
     marked = exploded.join(F.broadcast(hot) if broadcast_hot else hot, on="seg", how="left")
     kept_struct = F.when(
         F.col("__hot").isNull(), F.struct(F.col("seg_idx"), F.col("seg"))

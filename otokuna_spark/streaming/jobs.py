@@ -436,6 +436,122 @@ def ingest_dedup_batch(
     )
 
 
+def stream_segment_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    output_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    max_docs: int = 2,
+) -> None:
+    """Streaming twin of ``dedup.segment_dedup`` (C4-style boilerplate
+    segment scrub): each micro-batch maintains a persisted per-segment
+    document-frequency store at ``store_path`` and scrubs the batch's
+    documents against the CUMULATIVE hot set (segments whose df over all
+    batches so far exceeds ``max_docs``); scrubbed docs land under
+    ``output_path/batch=<id>`` with the ORIGINAL text preserved beside
+    ``kept_text``.
+
+    Prefix consistency, not retroactivity: a doc ingested before a segment
+    crossed ``max_docs`` keeps that segment in its ``kept_text``. Run
+    ``rescrub_segments`` over the output root + final store to apply the
+    final hot set retroactively — its result is EXACTLY
+    ``segment_dedup(union of all batches)`` (batch-equivalence-tested).
+
+    Scale shape: per-batch cost is the batch's own segmentation (map-only)
+    plus one keyed merge against the store's per-segment counts — corpus
+    text is never re-read. Cross-batch df is the SUM of per-batch distinct
+    counts, exact under the ingest contract that a doc_id arrives in one
+    batch only (replays are handled by partition exclusion, same
+    idempotence device as ``stream_incremental_dedup``).
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_segment_batch(
+            batch_df, batch_id, output_path, store_path,
+            id_col, text_col, seg_tokens, max_docs,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_segment_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    max_docs: int = 2,
+) -> None:
+    """One idempotent micro-batch of ``stream_segment_dedup`` (the
+    foreachBatch body, callable directly for replay testing / backfills):
+    overwrite this batch's own ``batch=<id>`` partitions in both the
+    output and the store; the store read EXCLUDES the current batch's
+    partition so a crash replay never double-counts its own segments."""
+    import os as _os
+
+    from ..operators.dedup import scrub_hot_segments, segment_explode
+
+    sp = batch_df.sparkSession
+    exploded = segment_explode(batch_df, id_col, text_col, seg_tokens).localCheckpoint()
+    batch_counts = (
+        exploded.groupBy("seg").agg(F.count_distinct("__id").alias("n_docs")).localCheckpoint()
+    )
+    if _os.path.exists(store_path):
+        store = sp.read.parquet(store_path)
+        if "batch" in store.columns:
+            store = store.where(F.col("batch") != batch_id)
+        store = store.select("seg", "n_docs")
+    else:
+        store = sp.createDataFrame([], "seg string, n_docs long")
+    cum = store.unionByName(batch_counts).groupBy("seg").agg(F.sum("n_docs").alias("n_docs"))
+    hot = cum.where(F.col("n_docs") > max_docs).select("seg", F.lit(True).alias("__hot"))
+    kept = scrub_hot_segments(exploded, hot, id_col)
+    out = batch_df.select(F.col(id_col), F.col(text_col)).join(kept, on=id_col, how="inner")
+    out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+    batch_counts.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+
+def rescrub_segments(
+    spark: SparkSession,
+    output_path: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Retroactive finalization for ``stream_segment_dedup``: re-segment
+    the ORIGINAL text preserved in the streaming output and scrub against
+    the FINAL cumulative hot set from the store. Returns exactly what
+    batch ``segment_dedup(union of all ingested batches)`` returns —
+    prefix-kept segments that later crossed ``max_docs`` are removed.
+    One corpus re-read + the same two keyed shuffles as the batch
+    operator; the store merge is (distinct segments)-sized, not
+    corpus-sized."""
+    from ..operators.dedup import scrub_hot_segments, segment_explode
+
+    docs = spark.read.parquet(output_path).select(id_col, text_col)
+    cum = (
+        spark.read.parquet(store_path)
+        .groupBy("seg")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    hot = cum.where(F.col("n_docs") > max_docs).select("seg", F.lit(True).alias("__hot"))
+    return scrub_hot_segments(segment_explode(docs, id_col, text_col, seg_tokens), hot, id_col)
+
+
 def reference_histogram(
     reference: DataFrame,
     value_col: str,

@@ -553,3 +553,90 @@ def test_streaming_rolling_anomalies_matches_batch_operator(spark, tmp_path):
         if r["__m"] >= 8:
             assert math.isclose(s["p25"], r["__p25"], rel_tol=1e-9)
             assert math.isclose(s["p75"], r["__p75"], rel_tol=1e-9)
+
+
+def test_stream_segment_dedup_batch_equivalence(spark, tmp_path):
+    """Streaming segment scrub: cumulative hot set suppresses boilerplate
+    across micro-batches; rescrub_segments over the output + final store
+    equals batch segment_dedup on the union of all batches (including
+    retroactive removal of segments that crossed max_docs late)."""
+    import json
+
+    from otokuna_spark.operators.dedup import segment_dedup
+
+    src = tmp_path / "seg_src"
+    src.mkdir()
+    out = str(tmp_path / "seg_corpus")
+    store = str(tmp_path / "seg_store")
+    ckpt = str(tmp_path / "seg_ckpt")
+
+    boiler = "all rights reserved contact us terms of service"  # 8 tokens
+    rows_by_batch = [
+        [  # batch 0: boilerplate df=2 -> NOT yet hot (max_docs=2)
+            {"doc_id": 1, "text": boiler + " alpha beta gamma delta epsilon zeta eta theta"},
+            {"doc_id": 2, "text": boiler + " red orange yellow green blue indigo violet black"},
+        ],
+        [  # batch 1: third occurrence -> df=3 crosses max_docs; doc 4 unique
+            {"doc_id": 3, "text": boiler + " one two three four five six seven eight"},
+            {"doc_id": 4, "text": "lorem ipsum dolor sit amet consectetur adipiscing elit"},
+        ],
+    ]
+
+    def run(batch_rows, name):
+        with open(src / name, "w") as f:
+            for r in batch_rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+        jobs.stream_segment_dedup(spark, stream, out, store, ckpt)
+
+    run(rows_by_batch[0], "b0.json")
+    # prefix consistency: df=2 == max_docs -> nothing hot yet
+    got0 = {r["doc_id"]: r["kept_text"] for r in spark.read.parquet(out).collect()}
+    assert got0[1].startswith("all rights reserved")
+
+    run(rows_by_batch[1], "b1.json")
+    got1 = {r["doc_id"]: r["kept_text"] for r in spark.read.parquet(out).collect()}
+    # batch 1 saw cumulative df=3 > 2: its own doc is scrubbed...
+    assert got1[3] == "one two three four five six seven eight"
+    assert got1[4] == "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    # ...but batch 0's docs keep the prefix-consistent text
+    assert got1[1].startswith("all rights reserved")
+
+    # retroactive finalization == batch operator on the full corpus
+    final = {
+        r["doc_id"]: (r["kept_text"], r["n_segs"], r["n_dropped"])
+        for r in jobs.rescrub_segments(spark, out, store).collect()
+    }
+    all_rows = [r for b in rows_by_batch for r in b]
+    union = spark.createDataFrame([(r["doc_id"], r["text"]) for r in all_rows], "doc_id long, text string")
+    batch = {
+        r["doc_id"]: (r["kept_text"], r["n_segs"], r["n_dropped"])
+        for r in segment_dedup(union, "doc_id", "text", 8, 2).collect()
+    }
+    assert final == batch
+    assert final[1][0] == "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_ingest_segment_batch_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must not double-count its own
+    segments in the store: the store read excludes the current batch's
+    partition, so the hot-set decision and the written partitions are
+    identical across attempts."""
+    out = str(tmp_path / "seg_out")
+    store = str(tmp_path / "seg_store2")
+    boiler = "all rights reserved contact us terms of service"
+    b0 = spark.createDataFrame(
+        [(1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+         (2, boiler + " red orange yellow green blue indigo violet black")],
+        "doc_id long, text string",
+    )
+    jobs.ingest_segment_batch(b0, 0, out, store, max_docs=1)
+    first = {r["doc_id"]: r["kept_text"] for r in spark.read.parquet(out).collect()}
+    # df=2 > 1 within the batch itself: scrubbed immediately
+    assert not first[1].startswith("all rights reserved")
+    # replay the same batch: store must not see the crashed attempt's counts
+    jobs.ingest_segment_batch(b0, 0, out, store, max_docs=1)
+    again = {r["doc_id"]: r["kept_text"] for r in spark.read.parquet(out).collect()}
+    assert again == first
+    cum = spark.read.parquet(store).groupBy("seg").sum("n_docs").collect()
+    assert all(r["sum(n_docs)"] <= 2 for r in cum)
