@@ -5577,3 +5577,210 @@ def q128_canary_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs_hit"))
         .orderBy("canary_id")
     )
+
+
+@register(
+    "q129_vocab_coverage",
+    """
+    WITH occ AS (
+        SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS f FROM occ GROUP BY tok),
+    tot AS (SELECT SUM(f) AS total FROM cnt),
+    ranked AS (
+        SELECT tok, f,
+               ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS rank,
+               SUM(f) OVER (ORDER BY f DESC, tok ASC ROWS UNBOUNDED PRECEDING) AS cum_f
+        FROM cnt
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(f AS BIGINT) AS freq,
+           CAST(cum_f * 1000000 // total AS BIGINT) AS coverage_ppm
+    FROM ranked, tot
+    WHERE rank <= 200
+    ORDER BY rank
+    """,
+    "Tokenizer-vocabulary coverage curve: top-200 corpus tokens by "
+    "frequency with the cumulative fraction of all token occurrences they "
+    "cover (exact integer ppm) — the standard 'how big must the vocab be' "
+    "planning query before training a tokenizer. The global rank window "
+    "runs on the VOCABULARY-sized aggregate (shuffle output), never the "
+    "corpus: one token agg shuffle + one single-partition window over "
+    "|vocab| rows; ties broken (freq DESC, tok ASC) for determinism",
+)
+def q129_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    total = cnt.agg(F.sum("f").alias("__total"))
+    order = [F.desc("f"), F.asc("tok")]
+    w_rank = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        cnt.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("cum_f", F.sum("f").over(w_cum))
+        .where(F.col("rank") <= 200)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            F.col("f").alias("freq"),
+            F.expr("cum_f * 1000000 div __total").alias("coverage_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "q130_novel_ngrams",
+    f"""
+    WITH {_SH_CTE},
+    df AS (SELECT shingle, COUNT(*) AS d FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS novel_ppm
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    "Per-document n-gram novelty (the inverse of the memorization/overlap "
+    "signal): fraction of each doc's distinct word 3-shingles that occur "
+    "in NO other document — high novelty marks fresh content worth "
+    "keeping, near-zero marks templated/duplicated text, complementing "
+    "pairwise near-dup with a per-doc scalar. Shingle document-frequency "
+    "is one keyed agg over the shared inverted index; the df table joins "
+    "back AQE-broadcast when the shingle vocab is small, and the per-doc "
+    "regroup is the second and last shuffle. Integer div keeps ppm exact",
+)
+def q130_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("shingle")
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("d"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("d") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_shingles").alias("novel_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q131_crosslang_tokens",
+    """
+    WITH occ AS (
+        SELECT DISTINCT lang, doc_id,
+               UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT tok,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM occ
+    GROUP BY tok
+    HAVING COUNT(DISTINCT lang) >= 4
+    ORDER BY tok
+    """,
+    "Cross-language token audit (loanword / code-switch / contamination "
+    "detector): tokens attested in documents of >= 4 distinct language "
+    "labels, with language and document reach — tokens a language-ID "
+    "model cannot rely on, and a data-quality smell when a 'language' "
+    "feature leaks across splits. One explode scan feeds a single "
+    "two-distinct-count aggregate (Expand-based, no second scan); "
+    "deterministic token order",
+)
+def q131_crosslang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "lang", "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("tok")
+    )
+    return (
+        occ.groupBy("tok")
+        .agg(
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_langs") >= 4)
+        .orderBy("tok")
+    )
+
+
+@register(
+    "q132_source_divergence",
+    """
+    WITH occ AS (
+        SELECT source, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    scnt AS (SELECT source, tok, COUNT(*) AS fs FROM occ GROUP BY source, tok),
+    ccnt AS (SELECT tok, SUM(fs) AS fc FROM scnt GROUP BY tok),
+    stot AS (SELECT source, SUM(fs) AS ns FROM scnt GROUP BY source),
+    ctot AS (SELECT SUM(fc) AS nc FROM ccnt)
+    SELECT s.source,
+           CAST(t.ns AS BIGINT) AS n_tokens,
+           CAST((SUM(ABS(s.fs * c2.nc - c.fc * t.ns))
+                 + (c2.nc - SUM(c.fc)) * t.ns) * 1000000
+                // (2 * t.ns * c2.nc) AS BIGINT) AS tv_ppm
+    FROM scnt s
+    JOIN ccnt c USING (tok)
+    JOIN stot t USING (source), ctot c2
+    GROUP BY s.source, t.ns, c2.nc
+    ORDER BY s.source
+    """,
+    "Per-source distribution drift: total-variation distance between each "
+    "source's token distribution and the whole corpus, in exact integer "
+    "ppm — the domain-mixture monitoring number that decides reweighting "
+    "(q82) before training. TV instead of KL keeps the arithmetic "
+    "log-free and integer-exact (same device as q96's PMI ratio): "
+    "sum |fs*Nc - fc*Ns| over the source's own tokens plus the "
+    "mass of corpus tokens the source never emits, halved and scaled. "
+    "The corpus is scanned and shuffled ONCE — into the (source, tok) "
+    "counts, localCheckpoint-materialized; the corpus-wide counts, "
+    "per-source totals, and grand total all derive from that vocab-sized "
+    "relation, and the dense source x corpus-vocab grid is never built. "
+    "Products stay exact BIGINTs below ~10^9-token shards; "
+    "shard-and-merge beyond",
+)
+def q132_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    # the ONE corpus-sized agg, reused by three derivations — materialize
+    # so the explode scan runs exactly once
+    scnt = occ.groupBy("source", "tok").agg(F.count("*").alias("fs")).localCheckpoint()
+    ccnt = scnt.groupBy("tok").agg(F.sum("fs").alias("fc"))
+    stot = scnt.groupBy("source").agg(F.sum("fs").alias("ns"))
+    ctot = ccnt.agg(F.sum("fc").alias("nc"))
+    return (
+        scnt.join(ccnt, "tok")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", "ns", "nc")
+        .agg(
+            F.sum(F.abs(F.col("fs") * F.col("nc") - F.col("fc") * F.col("ns"))).alias("__present"),
+            F.sum("fc").alias("__covered"),
+        )
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            F.expr(
+                "(__present + (nc - __covered) * ns) * 1000000 div (2 * ns * nc)"
+            ).alias("tv_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -107,6 +107,14 @@ EXPECT = {
     # audit asserts the two-phase df agg rather than a fixed strategy
     "q122_segment_dedup": ["partial_count"],
     "q123_weighted_sample": ["TakeOrderedAndProject"],
+    # the grand-total rides as a broadcast 1-row relation onto the ranked vocab
+    "q129_vocab_coverage": ["BroadcastNestedLoopJoin"],
+    # shingle-df table joins back AQE-broadcast onto the inverted index
+    "q130_novel_ngrams": ["BroadcastHashJoin"],
+    # two distinct-counts in ONE Expand-based agg, not one scan per count
+    "q131_crosslang_tokens": ["Expand"],
+    # vocab-sized count relations join back broadcast; 1-row grand total BNLJ
+    "q132_source_divergence": ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -239,6 +247,10 @@ MAX_SHUFFLES = {
     "q126_knn_label_eval": 3,  # probe slice broadcasts; rank window + label agg + order
     "q127_normalize_text": 0,  # pure map: translate+regexp chain, no exchange at all
     "q128_canary_hits": 2,  # canaries broadcast onto the corpus scan; hit agg + output order
+    "q129_vocab_coverage": 4,  # token agg + vocab-sized rank window (SinglePartition) + order
+    "q130_novel_ngrams": 3,  # shingle-df agg + per-doc regroup + output order
+    "q131_crosslang_tokens": 3,  # Expand two-distinct agg (2-phase) + output order
+    "q132_source_divergence": 6,  # post-checkpoint vocab-sized derivations only; the one corpus shuffle is materialized at the checkpoint
 }
 
 
