@@ -145,17 +145,24 @@ def scd2_versions(
 
     Consecutive duplicate states (the overwhelmingly common case in
     event logs) are dropped BEFORE numbering, so versions count real
-    transitions. ``tiebreak_col`` must make (ts, tiebreak) unique per key
-    — simultaneous events would otherwise make lag() order, and thus the
+    transitions. NULL is a legal attribute state: the change predicate is
+    null-safe (``eqNullSafe`` / SQL ``IS DISTINCT FROM``), so transitions
+    into and out of NULL produce versions and consecutive NULLs collapse
+    — a plain ``!=`` would silently drop every NULL-adjacent transition.
+    ``tiebreak_col`` must make (ts, tiebreak) unique per key —
+    simultaneous events would otherwise make lag() order, and thus the
     version chain, nondeterministic. Two window passes over the SAME
     (key x order) partitioning — one exchange, the second window reuses
     it.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     changes = (
-        df.withColumn("__prev", F.lag(attr_col).over(w))
-        .where(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
-        .drop("__prev")
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .where(
+            (F.col("__rn") == 1) | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
+        )
+        .drop("__rn", "__prev")
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     return changes.select(

@@ -5326,9 +5326,10 @@ def q123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch AS (
       SELECT * FROM (
         SELECT user_id, event_id, event_type, us,
+               row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
                lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
         FROM ev
-      ) WHERE prev IS NULL OR event_type <> prev
+      ) WHERE rn = 1 OR event_type IS DISTINCT FROM prev
     )
     SELECT user_id,
            CAST(row_number() OVER w AS BIGINT) AS version,

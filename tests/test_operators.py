@@ -1532,3 +1532,30 @@ def test_scd2_versions_collapses_runs_and_chains_intervals(spark):
     # intervals chain: each valid_to equals the next version's valid_from
     u20 = out.where("user_id = 20").collect()
     assert len(u20) == 1 and u20[0]["is_current"] and u20[0]["valid_to"] is None
+
+
+def test_scd2_versions_null_state_transitions(spark):
+    """NULL is a legal attribute state: transitions into and out of NULL
+    must produce versions (null-safe change predicate), and consecutive
+    NULLs must collapse like any other run — a plain != drops both."""
+    from otokuna_spark.operators.windows import scd2_versions
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "free", 100),
+            (2, 10, None, 200),    # free -> NULL: new version
+            (3, 10, None, 300),    # NULL run: collapsed
+            (4, 10, "pro", 400),   # NULL -> pro: new version
+            (5, 20, None, 50),     # NULL-initial state
+            (6, 20, None, 60),     # collapsed
+        ],
+        "event_id long, user_id long, tier string, ts long",
+    )
+    out = scd2_versions(ev, "user_id", "ts", "tier", "event_id")
+    u10 = sorted(
+        (r["version"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in out.where("user_id = 10").collect()
+    )
+    assert u10 == [(1, "free", 100, 200), (2, None, 200, 400), (3, "pro", 400, None)]
+    u20 = out.where("user_id = 20").collect()
+    assert len(u20) == 1 and u20[0]["attr"] is None and u20[0]["valid_from"] == 50
