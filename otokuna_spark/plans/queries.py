@@ -5785,3 +5785,43 @@ def q132_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q133_image_resize_stats",
+    """
+    WITH p AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+        SELECT doc_id, w, h, i, j,
+               (doc_id * 7 + ((i * h // 4) * w + (j * w // 4)) * 13) % 256 AS v
+        FROM p, UNNEST(generate_series(0, 3)) AS gi(i),
+               UNNEST(generate_series(0, 3)) AS gj(j)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+           CAST(SUM(v) AS BIGINT) AS resized_sum,
+           CAST(MAX(CASE WHEN i = 0 AND j = 0 THEN v END) AS INT) AS p_first,
+           CAST(MAX(CASE WHEN i = 3 AND j = 3 THEN v END) AS INT) AS p_last
+    FROM px GROUP BY doc_id, w, h ORDER BY media_id
+    """,
+    "REAL image resize end-to-end: the synthetic BMPs are decoded by the "
+    "struct parser and downsampled to 4x4 by nearest-neighbor with FLOOR "
+    "index mapping (out[i,j] = in[i*h//4, j*w//4]) inside the Arrow-"
+    "batched image_resize stage; the oracle recomputes every resized "
+    "pixel arithmetically from doc_id, so a wrong index map, row order, "
+    "or channel math hash-mismatches. The thumbnail column itself is "
+    "re-encoded real BMP bytes (round-trip-tested); this query emits the "
+    "integer stats the oracle can check",
+)
+def q133_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import multimodal
+
+    media = _synth_bmp_media(spark, sf_dir)
+    return (
+        multimodal.image_resize(media, decode_fn=multimodal.decode_bmp)
+        .select("media_id", "src_w", "src_h", "resized_sum", "p_first", "p_last")
+        .orderBy("media_id")
+    )

@@ -314,3 +314,73 @@ def audio_windows(
             )
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(_batches, schema=schema)
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize with FLOOR index mapping: out[i, j] =
+    in[i*h // out_h, j*w // out_w]. Integer-exact and therefore
+    SQL-expressible — the q133 oracle recomputes every resized pixel of
+    the synthetic corpus arithmetically, so the whole decode -> resize
+    path is value-checked end-to-end, not just shape-checked."""
+    h, w = px.shape
+    ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    rj = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[np.ix_(ri, rj)]
+
+
+IMAGE_RESIZE_SCHEMA = sty.StructType(
+    [
+        sty.StructField("media_id", sty.LongType()),
+        sty.StructField("src_w", sty.IntegerType()),
+        sty.StructField("src_h", sty.IntegerType()),
+        sty.StructField("out_w", sty.IntegerType()),
+        sty.StructField("out_h", sty.IntegerType()),
+        sty.StructField("resized_bmp", sty.BinaryType()),
+        sty.StructField("resized_sum", sty.LongType()),
+        sty.StructField("p_first", sty.IntegerType()),
+        sty.StructField("p_last", sty.IntegerType()),
+    ]
+)
+
+
+def image_resize(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    out_h: int = 4,
+    out_w: int = 4,
+    decode_fn: Callable[[bytes], tuple[int, int, np.ndarray]] = decode_image,
+) -> DataFrame:
+    """Thumbnail stage of a multimodal ingest: decode -> nearest-neighbor
+    downsample -> re-encode (real BMP bytes out, round-trip-tested) plus
+    integer stats (pixel sum, first/last corner) for cheap downstream
+    filtering. One Arrow batch at a time via mapInPandas — the same
+    batch shape as ``image_features``, so the stage slots into the same
+    pipeline; output rows are ~out_h*out_w bytes regardless of source
+    size, which is what makes the thumbnail column safe to carry through
+    later shuffles at corpus scale."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                w, hgt, px = decode_fn(bytes(data))
+                small = resize_nearest(px, out_h, out_w)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "src_w": w,
+                        "src_h": hgt,
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "resized_bmp": encode_bmp(small),
+                        "resized_sum": int(small.sum(dtype=np.int64)),
+                        "p_first": int(small[0, 0]),
+                        "p_last": int(small[-1, -1]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_RESIZE_SCHEMA.fields]) if rows else (
+                pd.DataFrame({f.name: pd.Series(dtype="object") for f in IMAGE_RESIZE_SCHEMA.fields})
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(_batches, schema=IMAGE_RESIZE_SCHEMA)

@@ -433,3 +433,26 @@ def test_scrape_pipeline_parses_each_page_once(spark, tmp_path, monkeypatch):
     n_raw = read_raw_pages(spark, pages).count()
     assert parsed_once == n_raw  # each raw listing crossed the UDTF once
     assert parsed_twice == 2 * parsed_once
+
+
+def test_image_resize_nearest_exact_and_roundtrip(spark):
+    """image_resize: FLOOR-mapped nearest-neighbor downsample is value-
+    exact against a numpy reference, and the emitted thumbnail is real
+    re-encoded BMP bytes that decode back to the same pixels."""
+    import numpy as np
+
+    from otokuna_spark.sources import multimodal
+
+    px = ((np.arange(7 * 9) * 11 + 3) % 256).astype(np.uint8).reshape(7, 9)
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(px)))], "media_id long, data binary"
+    )
+    out = multimodal.image_resize(df, decode_fn=multimodal.decode_bmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    ref = px[np.ix_((np.arange(4) * 7) // 4, (np.arange(4) * 9) // 4)]
+    assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"]) == (9, 7, 4, 4)
+    assert r["resized_sum"] == int(ref.sum())
+    assert (r["p_first"], r["p_last"]) == (int(ref[0, 0]), int(ref[-1, -1]))
+    w, h, decoded = multimodal.decode_bmp(bytes(r["resized_bmp"]))
+    assert (w, h) == (4, 4) and (decoded == ref).all()

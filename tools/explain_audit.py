@@ -251,6 +251,7 @@ MAX_SHUFFLES = {
     "q130_novel_ngrams": 3,  # shingle-df agg + per-doc regroup + output order
     "q131_crosslang_tokens": 3,  # Expand two-distinct agg (2-phase) + output order
     "q132_source_divergence": 6,  # post-checkpoint vocab-sized derivations only; the one corpus shuffle is materialized at the checkpoint
+    "q133_image_resize_stats": 1,  # decode+resize is map-only (mapInPandas); output order only
 }
 
 
