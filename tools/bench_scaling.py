@@ -1,0 +1,83 @@
+"""Scale-behavior evidence: run one representative query per physical
+class at sf0.001 / sf0.01 / sf0.1 (100x data span) and record how wall
+time grows with data size -> SCALING.json.
+
+The number that matters is the step ratio t(sf*10)/t(sf) against the 10x
+data growth: scan-bound queries should ratio well under 10 (fixed
+planning/startup amortizes away), shuffle-bound ones should stay near or
+below 10 (linear), and anything super-linear flags a design that would
+NOT survive the 100 TB target. min-of-2 per cell, cache cleared between
+runs (same discipline as bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from otokuna_spark.plans.queries import REGISTRY  # noqa: E402
+from otokuna_spark.session import get_spark  # noqa: E402
+
+SFS = ["0.001", "0.01", "0.1"]
+
+# one per class; the full registry is covered by bench.py at sf0.1
+CASES = {
+    "scan_agg": "q01_pricing_summary",           # pushdown + 2-stage agg
+    "broadcast_join": "q05_region_revenue",      # dim broadcast chain
+    "window": "q67_rolling_window",              # keyed range-frame window
+    "global_topk": "q08_score_topk",             # TakeOrderedAndProject
+    "exact_dedup": "q20_exact_dedup",            # corpus hash-groupBy
+    "lsh_dedup": "q22_minhash_lsh_pairs",        # signature + band join
+    "inverted_index": "q21_ngram_jaccard_pairs", # shingle self-join (the quadratic risk)
+    "embedding_topk": "q23_embedding_topk",      # HOF dot products + topk
+    "segment_dedup": "q122_segment_dedup",       # df agg + scrub + reassembly
+    "text_map": "q127_normalize_text",           # pure codegen map
+}
+
+
+def main() -> None:
+    spark = get_spark("scaling-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmups: JVM, parquet footers, Python worker fork (see bench.py)
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+
+    out: dict[str, dict] = {}
+    for label, qname in CASES.items():
+        fn = REGISTRY[qname].fn
+        cell: dict[str, float] = {}
+        for sf in SFS:
+            sf_dir = f"/root/testdata/sf{sf}"
+            if not os.path.isdir(sf_dir):
+                continue
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.monotonic()
+                fn(spark, sf_dir).collect()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            cell[sf] = round(best, 3)
+        ratios = {}
+        for a, b in zip(SFS, SFS[1:]):
+            if a in cell and b in cell and cell[a] > 0:
+                ratios[f"x10_{a}_to_{b}"] = round(cell[b] / cell[a], 2)
+        out[label] = {"query": qname, "sec": cell, "step_ratio_vs_10x_data": ratios}
+
+    doc = {
+        "metric": "scaling_step_ratios",
+        "note": "t(sf*10)/t(sf) per 10x data step; <=10 is at-worst-linear",
+        "cases": out,
+    }
+    with open("SCALING.json", "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()
