@@ -1073,8 +1073,11 @@ def segment_dedup(
 
     Scale shape: segmenting is map-only (an in-row array slice, no
     explode-then-regroup round trip); the document-frequency aggregation
-    is ONE keyed shuffle with map-side combine, and its ``> max_docs``
-    survivors — the hot set — join back as a LEFT JOIN marker.
+    keys on ``xxhash64(seg)`` — 8-byte keys + agg state move through the
+    shuffle, never segment text (measured in SHUFFLE.json; hash-equality
+    is the standard dedup contract, a 64-bit collision can only
+    over-scrub one cold segment) — and its ``> max_docs`` survivors —
+    the hot set — join back as a LEFT JOIN marker on the same hash.
     At the 100 TB design point the hot-set size is CORPUS-DEPENDENT: on
     organic web text it is a small boilerplate tail, but on mirror- or
     template-heavy corpora most segments can exceed ``max_docs``, so the
@@ -1087,14 +1090,16 @@ def segment_dedup(
     NULL-marked (hot) segments and ``array_sort`` on (seg_idx, seg)
     structs restores document order without relying on shuffle order.
     """
-    exploded = segment_explode(docs, id_col, text_col, seg_tokens)
+    exploded = segment_explode(docs, id_col, text_col, seg_tokens).withColumn(
+        "__h", F.xxhash64("seg")
+    )
     hot = (
-        exploded.groupBy("seg")
+        exploded.groupBy("__h")
         .agg(F.count_distinct("__id").alias("__df"))
         .where(F.col("__df") > max_docs)
-        .select("seg", F.lit(True).alias("__hot"))
+        .select("__h", F.lit(True).alias("__hot"))
     )
-    return scrub_hot_segments(exploded, hot, id_col, broadcast_hot=broadcast_hot)
+    return scrub_hot_segments(exploded, hot, id_col, broadcast_hot=broadcast_hot, on="__h")
 
 
 def segment_explode(
@@ -1122,13 +1127,16 @@ def scrub_hot_segments(
     hot: DataFrame,
     id_col: str,
     broadcast_hot: bool = False,
+    on: str = "seg",
 ) -> DataFrame:
     """Reassemble documents from ``segment_explode`` output, dropping the
-    segments present in ``hot`` (columns: seg, __hot) — the shared tail of
-    batch ``segment_dedup`` and its streaming twin. ``array_sort`` on
-    (seg_idx, seg) structs restores document order without relying on
-    shuffle order; a fully-hot doc keeps an empty string."""
-    marked = exploded.join(F.broadcast(hot) if broadcast_hot else hot, on="seg", how="left")
+    segments present in ``hot`` (columns: ``on``, __hot) — the shared
+    tail of batch ``segment_dedup`` and its streaming twin. ``on`` is the
+    membership key: the raw segment text, or its xxhash64 (``__h``) so
+    the marker join never carries text. ``array_sort`` on (seg_idx, seg)
+    structs restores document order without relying on shuffle order; a
+    fully-hot doc keeps an empty string."""
+    marked = exploded.join(F.broadcast(hot) if broadcast_hot else hot, on=on, how="left")
     kept_struct = F.when(
         F.col("__hot").isNull(), F.struct(F.col("seg_idx"), F.col("seg"))
     )

@@ -488,17 +488,23 @@ _SH_CTE = """
     """
     SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies, md5(text) AS text_md5
     FROM documents
-    GROUP BY text
+    GROUP BY md5(text)
     ORDER BY doc_id
     """,
-    "Exact content dedup: hash-groupBy on text, keep lowest id (one shuffle, map-side combine)",
+    "Exact content dedup: hash-groupBy on md5(text), keep lowest id. "
+    "Grouping by the scan-side DIGEST instead of the text itself means "
+    "the shuffle moves 32-byte keys + agg state, never documents — "
+    "measured in SHUFFLE.json; at 100 TB this is the difference between "
+    "shuffling the corpus and shuffling ~48 B/doc (128-bit-collision "
+    "equality is the standard exact-dedup contract)",
 )
 def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return (
-        docs.groupBy("text")
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+        .groupBy("text_md5")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-        .select("doc_id", "n_copies", F.md5(F.col("text")).alias("text_md5"))
+        .select("doc_id", "n_copies", "text_md5")
         .orderBy("doc_id")
     )
 

@@ -504,20 +504,26 @@ def ingest_segment_batch(
     from ..operators.dedup import scrub_hot_segments, segment_explode
 
     sp = batch_df.sparkSession
-    exploded = segment_explode(batch_df, id_col, text_col, seg_tokens).localCheckpoint()
+    # the store and the marker join key on xxhash64(seg): 8-byte store
+    # rows and a text-free shuffle, same contract as batch segment_dedup
+    exploded = (
+        segment_explode(batch_df, id_col, text_col, seg_tokens)
+        .withColumn("__h", F.xxhash64("seg"))
+        .localCheckpoint()
+    )
     batch_counts = (
-        exploded.groupBy("seg").agg(F.count_distinct("__id").alias("n_docs")).localCheckpoint()
+        exploded.groupBy("__h").agg(F.count_distinct("__id").alias("n_docs")).localCheckpoint()
     )
     if _os.path.exists(store_path):
         store = sp.read.parquet(store_path)
         if "batch" in store.columns:
             store = store.where(F.col("batch") != batch_id)
-        store = store.select("seg", "n_docs")
+        store = store.select("__h", "n_docs")
     else:
-        store = sp.createDataFrame([], "seg string, n_docs long")
-    cum = store.unionByName(batch_counts).groupBy("seg").agg(F.sum("n_docs").alias("n_docs"))
-    hot = cum.where(F.col("n_docs") > max_docs).select("seg", F.lit(True).alias("__hot"))
-    kept = scrub_hot_segments(exploded, hot, id_col)
+        store = sp.createDataFrame([], "__h long, n_docs long")
+    cum = store.unionByName(batch_counts).groupBy("__h").agg(F.sum("n_docs").alias("n_docs"))
+    hot = cum.where(F.col("n_docs") > max_docs).select("__h", F.lit(True).alias("__hot"))
+    kept = scrub_hot_segments(exploded, hot, id_col, on="__h")
     out = batch_df.select(F.col(id_col), F.col(text_col)).join(kept, on=id_col, how="inner")
     out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
     batch_counts.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
@@ -545,11 +551,14 @@ def rescrub_segments(
     docs = spark.read.parquet(output_path).select(id_col, text_col)
     cum = (
         spark.read.parquet(store_path)
-        .groupBy("seg")
+        .groupBy("__h")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
-    hot = cum.where(F.col("n_docs") > max_docs).select("seg", F.lit(True).alias("__hot"))
-    return scrub_hot_segments(segment_explode(docs, id_col, text_col, seg_tokens), hot, id_col)
+    hot = cum.where(F.col("n_docs") > max_docs).select("__h", F.lit(True).alias("__hot"))
+    exploded = segment_explode(docs, id_col, text_col, seg_tokens).withColumn(
+        "__h", F.xxhash64("seg")
+    )
+    return scrub_hot_segments(exploded, hot, id_col, on="__h")
 
 
 def reference_histogram(

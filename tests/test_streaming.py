@@ -638,5 +638,5 @@ def test_ingest_segment_batch_replay_idempotent(spark, tmp_path):
     jobs.ingest_segment_batch(b0, 0, out, store, max_docs=1)
     again = {r["doc_id"]: r["kept_text"] for r in spark.read.parquet(out).collect()}
     assert again == first
-    cum = spark.read.parquet(store).groupBy("seg").sum("n_docs").collect()
+    cum = spark.read.parquet(store).groupBy("__h").sum("n_docs").collect()
     assert all(r["sum(n_docs)"] <= 2 for r in cum)
