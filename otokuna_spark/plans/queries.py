@@ -5831,3 +5831,70 @@ def q133_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "src_w", "src_h", "resized_sum", "p_first", "p_last")
         .orderBy("media_id")
     )
+
+
+@register(
+    "q134_watermark_lateness",
+    """
+    WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    arr AS (
+        SELECT user_id, us,
+               MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) - us AS late_us
+        FROM ev
+    ),
+    per_user AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
+               MAX(late_us) AS max_late_us
+        FROM arr GROUP BY user_id
+    )
+    SELECT CAST(CASE WHEN max_late_us = 0 THEN -1
+                     ELSE length(bin(max_late_us)) - 1 END AS BIGINT) AS late_bucket_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_late) AS BIGINT) AS n_late_events,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_user
+    GROUP BY 1 ORDER BY 1
+    """,
+    "Watermark-lateness audit: per-user out-of-orderness measured as "
+    "(running max event-time seen so far in ARRIVAL order, keyed by "
+    "event_id) minus each event's time, summarized into power-of-two "
+    "lateness buckets (floor-log2 via binary-string length — integer-"
+    "exact in both engines; bucket -1 = perfectly ordered users). THE "
+    "query run before choosing `withWatermark` bounds: the top occupied "
+    "bucket is the delay a streaming job must tolerate, and the "
+    "n_late_events column prices each candidate bound in dropped "
+    "events. Keyed window + two keyed aggs — no global ordering at any "
+    "corpus size",
+)
+def q134_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = ev.select(
+        "user_id", (F.max("ts_us").over(w) - F.col("ts_us")).alias("late_us")
+    )
+    per_user = arr.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+        F.max("late_us").alias("max_late_us"),
+    )
+    bucket = F.when(F.col("max_late_us") == 0, F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("max_late_us"))) - 1
+    )
+    return (
+        per_user.groupBy(bucket.cast("long").alias("late_bucket_log2"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_late").alias("n_late_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("late_bucket_log2")
+    )

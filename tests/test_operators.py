@@ -1559,3 +1559,44 @@ def test_scd2_versions_null_state_transitions(spark):
     assert u10 == [(1, "free", 100, 200), (2, None, 200, 400), (3, "pro", 400, None)]
     u20 = out.where("user_id = 20").collect()
     assert len(u20) == 1 and u20[0]["attr"] is None and u20[0]["valid_from"] == 50
+
+
+def test_watermark_lateness_buckets_on_disordered_events(spark, tmp_path):
+    """q134 on hand-made out-of-order events: per-user running-max
+    lateness lands in the right floor-log2 buckets, in-order users land
+    in bucket -1, and counts are exact. (The driver-generated corpus is
+    perfectly ordered, so its oracle row only certifies orderedness —
+    this exercises the non-degenerate path.)"""
+    import datetime as dt
+
+    from otokuna_spark.plans.queries import REGISTRY
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: arrival order (event_id) 1..3, times 10, 4, 12:
+        # event 2 is 6s late -> max lateness 6_000_000 us, bucket 22
+        (1, ts(10), 1, "a", 0.0, "{}"),
+        (2, ts(4), 1, "a", 0.0, "{}"),
+        (3, ts(12), 1, "a", 0.0, "{}"),
+        # user 2: perfectly ordered -> bucket -1
+        (4, ts(1), 2, "a", 0.0, "{}"),
+        (5, ts(2), 2, "a", 0.0, "{}"),
+        # user 3: 1s late (1_000_000 us) -> bucket 19
+        (6, ts(5), 3, "a", 0.0, "{}"),
+        (7, ts(4), 3, "a", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["late_bucket_log2"]: (r["n_users"], r["n_late_events"], r["n_events"])
+        for r in REGISTRY["q134_watermark_lateness"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[-1] == (1, 0, 2)
+    assert out[19] == (1, 1, 2)   # 2^19 <= 1_000_000 us < 2^20
+    assert out[22] == (1, 1, 3)   # 2^22 <= 6_000_000 us < 2^23

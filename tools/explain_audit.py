@@ -252,6 +252,7 @@ MAX_SHUFFLES = {
     "q131_crosslang_tokens": 3,  # Expand two-distinct agg (2-phase) + output order
     "q132_source_divergence": 6,  # post-checkpoint vocab-sized derivations only; the one corpus shuffle is materialized at the checkpoint
     "q133_image_resize_stats": 1,  # decode+resize is map-only (mapInPandas); output order only
+    "q134_watermark_lateness": 2,  # keyed window shares the per-user exchange with the user agg; bucket agg + order
 }
 
 
