@@ -132,6 +132,47 @@ def main() -> None:
     pq_rows, t_pq = timed(run_pq)
     ann["pq_adc_refined"] = {"seconds": t_pq, "recall_at_10": recall(pq_rows)}
     result["ann_top10_50_queries"] = ann
+    # --- streaming ingest throughput ------------------------------------
+    # the two foreachBatch twins, driven batch-by-batch exactly as the
+    # stream runner calls them: per-batch cost must stay flat as the
+    # persisted store grows (store reads are partition-pruned and
+    # hash-keyed), or the "incremental" claim is false at corpus scale
+    import shutil
+    import tempfile
+
+    from otokuna_spark.streaming import jobs as sjobs
+
+    n_batches = 5
+    batched = docs.withColumn("__b", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)))
+    batches = [
+        batched.where(F.col("__b") == i).drop("__b").localCheckpoint()
+        for i in range(n_batches)
+    ]
+    stream_res = {}
+    for label, ingest in (
+        ("segment_dedup", lambda b, i, o, st: sjobs.ingest_segment_batch(b, i, o, st)),
+        ("near_dup", lambda b, i, o, st: sjobs.ingest_dedup_batch(b, i, o, st)),
+    ):
+        tmp = tempfile.mkdtemp(prefix=f"ingest_{label}_")
+        out_dir, store_dir = f"{tmp}/out", f"{tmp}/store"
+        per_batch = []
+        for i, b in enumerate(batches):
+            spark.catalog.clearCache()
+            _, secs = timed(lambda: ingest(b, i, out_dir, store_dir))
+            per_batch.append(secs)
+        n_docs = sum(b.count() for b in batches)
+        total = round(sum(per_batch), 3)
+        stream_res[label] = {
+            "batches": n_batches,
+            "docs": n_docs,
+            "per_batch_seconds": per_batch,
+            "total_seconds": total,
+            "docs_per_second": round(n_docs / total, 1),
+            "last_vs_first_batch_x": round(per_batch[-1] / per_batch[0], 2),
+        }
+        shutil.rmtree(tmp, ignore_errors=True)
+    result["streaming_ingest"] = stream_res
+
     result["notes"] = (
         "ANN wall times at this SF are dominated by fixed costs (centroid "
         "train, codebook train, extra joins) that amortize with corpus "
