@@ -5898,3 +5898,95 @@ def q134_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("late_bucket_log2")
     )
+
+
+@register(
+    "q135_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+    "Custom GROUPING SETS (not a full CUBE): the two marginals, the "
+    "cross, and the grand total in ONE Expand-based aggregation pass — "
+    "four report granularities for one scan+shuffle instead of four "
+    "jobs, with GROUPING() lineage disambiguating real NULLs from "
+    "subtotal rows. Complements q35 (ROLLUP) and q70 (CUBE) with the "
+    "arbitrary-sets case; price summed in floor-scaled cents (exact "
+    "BIGINT both engines)",
+)
+def q135_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.withColumn("__cents", cents)
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("__cents").alias("sum_price_cents"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price_cents")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "q136_unpivot_charges",
+    """
+    WITH wide AS (
+        SELECT l_orderkey,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS extendedprice_cents,
+               CAST(FLOOR(l_discount * 10000) AS BIGINT) AS discount_bps,
+               CAST(FLOOR(l_tax * 10000) AS BIGINT) AS tax_bps
+        FROM lineitem
+    ),
+    long AS (UNPIVOT wide ON extendedprice_cents, discount_bps, tax_bps
+             INTO NAME measure VALUE v)
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS total,
+           CAST(MIN(v) AS BIGINT) AS vmin,
+           CAST(MAX(v) AS BIGINT) AS vmax
+    FROM long GROUP BY measure ORDER BY measure
+    """,
+    "UNPIVOT / melt (the inverse of q41's pivot): three per-line charge "
+    "columns fold into (measure, value) rows in one map-only pass — the "
+    "wide->long reshape every metrics store needs — then aggregate per "
+    "measure. Spark's native DataFrame.unpivot (no UDF, no union of N "
+    "scans); measures floor-scaled to exact integer cents/bps so the "
+    "DuckDB UNPIVOT twin hash-matches",
+)
+def q136_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("extendedprice_cents"),
+        F.floor(F.col("l_discount") * 10000).cast("long").alias("discount_bps"),
+        F.floor(F.col("l_tax") * 10000).cast("long").alias("tax_bps"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_orderkey"],
+            values=["extendedprice_cents", "discount_bps", "tax_bps"],
+            variableColumnName="measure",
+            valueColumnName="v",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .orderBy("measure")
+    )

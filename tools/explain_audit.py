@@ -115,6 +115,10 @@ EXPECT = {
     "q131_crosslang_tokens": ["Expand"],
     # vocab-sized count relations join back broadcast; 1-row grand total BNLJ
     "q132_source_divergence": ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+    # all four granularities in one Expand pass, never four scans
+    "q135_grouping_sets": ["Expand", "partial_count"],
+    # melt is a map-only Expand, never a union of per-column scans
+    "q136_unpivot_charges": ["Expand"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -253,6 +257,8 @@ MAX_SHUFFLES = {
     "q132_source_divergence": 6,  # post-checkpoint vocab-sized derivations only; the one corpus shuffle is materialized at the checkpoint
     "q133_image_resize_stats": 1,  # decode+resize is map-only (mapInPandas); output order only
     "q134_watermark_lateness": 2,  # keyed window shares the per-user exchange with the user agg; bucket agg + order
+    "q135_grouping_sets": 2,  # ONE Expand + two-phase agg for all four granularities; output order
+    "q136_unpivot_charges": 2,  # map-only Expand melt + 3-group agg; output order
 }
 
 
