@@ -1,0 +1,103 @@
+"""Behavioral invariants for the corpus-analysis queries added in round 6
+(q129-q136), driven through the REGISTRY functions on hand-built tables —
+the properties the sf0.01 oracle hash cannot express (limit behavior,
+known-answer corners, algebraic identities)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otokuna_spark.plans.queries import REGISTRY
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a a a b b c", "en", "s0", 11),
+        (2, "a b d", "en", "s0", 5),
+    ])
+    rows = REGISTRY["q129_vocab_coverage"].fn(spark, sf).collect()
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    cov = [r["coverage_ppm"] for r in rows]
+    assert cov == sorted(cov) and cov[-1] == 1_000_000
+    # ties broken by token asc at equal freq; top token is the true mode
+    assert rows[0]["tok"] == "a" and rows[0]["freq"] == 4
+    assert rows[0]["coverage_ppm"] == 4 * 1_000_000 // 9
+
+
+def test_novel_ngrams_duplicate_doc_scores_zero(spark, tmp_path):
+    dup = "one two three four five six"
+    sf = _write_docs(spark, tmp_path, [
+        (1, dup, "en", "s0", len(dup)),
+        (2, dup, "en", "s0", len(dup)),          # exact copy: nothing novel
+        (3, "cat dog emu fox gnu hen", "en", "s0", 23),  # fully novel
+    ])
+    out = {r["doc_id"]: r["novel_ppm"] for r in REGISTRY["q130_novel_ngrams"].fn(spark, sf).collect()}
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == 1_000_000
+
+
+def test_crosslang_threshold_is_four_langs(spark, tmp_path):
+    rows = []
+    for i, lang in enumerate(["en", "de", "fr", "es", "zh"]):
+        rows.append((i, "everywhere word%d" % i, lang, "s0", 10))
+    rows.append((10, "threeway x", "en", "s0", 8))
+    rows.append((11, "threeway y", "de", "s0", 8))
+    rows.append((12, "threeway z", "fr", "s0", 8))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["tok"]: (r["n_langs"], r["n_docs"]) for r in REGISTRY["q131_crosslang_tokens"].fn(spark, sf).collect()}
+    assert out == {"everywhere": (5, 5)}  # 'threeway' spans only 3 langs
+
+
+def test_source_divergence_identity_and_disjoint(spark, tmp_path):
+    # single source: its distribution IS the corpus -> TV = 0
+    sf = _write_docs(spark, tmp_path, [
+        (1, "p q r", "en", "only", 5),
+        (2, "p q", "en", "only", 3),
+    ])
+    out = REGISTRY["q132_source_divergence"].fn(spark, sf).collect()
+    assert len(out) == 1 and out[0]["tv_ppm"] == 0
+    # two equal-mass sources with disjoint vocab -> TV = 1/2 for each
+    sf2 = _write_docs(spark, tmp_path, [
+        (1, "aa bb cc dd", "en", "left", 11),
+        (2, "ww xx yy zz", "en", "right", 11),
+    ])
+    out2 = {r["source"]: r["tv_ppm"] for r in REGISTRY["q132_source_divergence"].fn(spark, sf2).collect()}
+    assert out2 == {"left": 500_000, "right": 500_000}
+
+
+def test_grouping_sets_grand_total_and_marginals(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "O", "1-URGENT", 10.0), (2, "O", "2-HIGH", 20.0), (3, "F", "1-URGENT", 30.0)],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, o_totalprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    rows = REGISTRY["q135_grouping_sets"].fn(spark, str(tmp_path)).collect()
+    # gid 3 = grand total (both cols aggregated away)
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1 and grand[0]["n_orders"] == 3 and grand[0]["sum_price_cents"] == 6000
+    # status marginal rows (gid 1: priority grouped away)
+    status = {r["o_orderstatus"]: r["n_orders"] for r in rows if r["gid"] == 1}
+    assert status == {"O": 2, "F": 1}
+    # cross rows (gid 0) partition the total
+    assert sum(r["n_orders"] for r in rows if r["gid"] == 0) == 3
+
+
+def test_unpivot_totals_match_direct_sums(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 100.005, 0.05, 0.08), (2, 200.5, 0.10, 0.02)],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["measure"]: (r["n"], r["total"]) for r in REGISTRY["q136_unpivot_charges"].fn(spark, str(tmp_path)).collect()}
+    import math
+    exp_price = math.floor(100.005 * 100) + math.floor(200.5 * 100)
+    assert out["extendedprice_cents"] == (2, exp_price)
+    assert out["discount_bps"] == (2, math.floor(0.05 * 10000) + math.floor(0.10 * 10000))
+    assert out["tax_bps"] == (2, math.floor(0.08 * 10000) + math.floor(0.02 * 10000))
