@@ -5618,10 +5618,14 @@ def q129_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
+    # vocab-sized after the agg, but its INPUT is the corpus token explode
+    # — localCheckpoint so the scan feeds the rank window and the grand
+    # total from one materialization (same device as q132)
     cnt = (
         docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("f"))
+        .localCheckpoint()
     )
     total = cnt.agg(F.sum("f").alias("__total"))
     order = [F.desc("f"), F.asc("tok")]
@@ -5667,9 +5671,15 @@ def q129_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q130_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    from pyspark import StorageLevel
+
+    # the shingle explode is the corpus-sized stage and feeds BOTH the df
+    # aggregation and the join probe — persist so it computes once per
+    # action instead of twice (MEMORY_AND_DISK spills rather than
+    # recomputing at scale; same device as ngram_jaccard_pairs)
     sh = docs.select(
         "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("shingle")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("d"))
     return (
         sh.join(df_counts, "shingle")
@@ -5981,6 +5991,10 @@ def q136_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
             variableColumnName="measure",
             valueColumnName="v",
         )
+        # Spark's unpivot RETAINS null measure values; DuckDB's UNPIVOT
+        # excludes them by default — pin the exclude-NULLs semantic so the
+        # engines agree on corpora with null charge columns
+        .where(F.col("v").isNotNull())
         .groupBy("measure")
         .agg(
             F.count("*").alias("n"),

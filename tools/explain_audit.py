@@ -244,14 +244,14 @@ MAX_SHUFFLES = {
     "q120_scalable_median": 0,  # scalar result frame; the 3-scan histogram refinement runs inside the operator
     "q112_funnel_steps": 9,  # 3 conditional-min aggs + 2 step joins + 4 stage-count scalar aggs, one action
     "q121_epoch_shuffle": 0,  # TakeOrderedAndProject: first-k of the epoch permutation, NO shuffle
-    "q122_segment_dedup": 3,  # 2-phase distinct df agg + reassembly groupBy; hot set broadcasts
+    "q122_segment_dedup": 3,  # 2-phase distinct df agg + reassembly groupBy; cap assumes AQE converts the hot-set join to broadcast at this SF (a SortMergeJoin outcome on template-heavy corpora is correct and would add its exchanges — revisit the cap, not the operator, if that shows up here)
     "q123_weighted_sample": 0,  # TakeOrderedAndProject: k smallest priorities, NO shuffle
     "q124_scd2_versions": 1,  # both window passes share one (key x order) exchange
     "q125_lsh_eval": 5,  # post-checkpoint tails: 3 scalar count aggs + semi-join; signature pipelines materialize once at operator level
     "q126_knn_label_eval": 3,  # probe slice broadcasts; rank window + label agg + order
     "q127_normalize_text": 0,  # pure map: translate+regexp chain, no exchange at all
     "q128_canary_hits": 2,  # canaries broadcast onto the corpus scan; hit agg + output order
-    "q129_vocab_coverage": 4,  # token agg + vocab-sized rank window (SinglePartition) + order
+    "q129_vocab_coverage": 2,  # post-checkpoint: vocab-sized rank window (SinglePartition) + order; the corpus token agg materializes at the checkpoint
     "q130_novel_ngrams": 3,  # shingle-df agg + per-doc regroup + output order
     "q131_crosslang_tokens": 3,  # Expand two-distinct agg (2-phase) + output order
     "q132_source_divergence": 6,  # post-checkpoint vocab-sized derivations only; the one corpus shuffle is materialized at the checkpoint
