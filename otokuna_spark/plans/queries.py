@@ -6004,3 +6004,97 @@ def q136_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+@register(
+    "q137_waterfill_budget",
+    r"""
+    WITH d AS (
+        SELECT source, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    src AS (SELECT source, SUM(n_tok) AS n FROM d GROUP BY source),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS s, SUM(n) // 2 AS b FROM src),
+    ord AS (
+        SELECT source, n,
+               ROW_NUMBER() OVER (ORDER BY n ASC, source ASC) AS k,
+               SUM(n) OVER (ORDER BY n ASC, source ASC ROWS UNBOUNDED PRECEDING) AS pk
+        FROM src
+    ),
+    cand AS (SELECT o.*, t.s, t.b, (o.pk - o.n) + (t.s - o.k + 1) * o.n AS lhs
+             FROM ord o, tot t),
+    kstar AS (SELECT MIN(k) AS k1 FROM cand WHERE lhs >= b),
+    capv AS (
+        SELECT ks.k1,
+               (t.b - (SELECT pk - n FROM cand WHERE k = ks.k1)) // (t.s - ks.k1 + 1) AS cap,
+               (t.b - (SELECT pk - n FROM cand WHERE k = ks.k1)) % (t.s - ks.k1 + 1) AS leftover
+        FROM kstar ks, tot t
+    )
+    SELECT o.source,
+           CAST(o.n AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN o.k < v.k1 THEN o.n
+                     ELSE LEAST(o.n, v.cap)
+                          + (CASE WHEN o.k - v.k1 < v.leftover THEN 1 ELSE 0 END)
+                END AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN o.k >= v.k1 THEN 1 ELSE 0 END AS BIGINT) AS capped
+    FROM cand o, capv v
+    ORDER BY o.source
+    """,
+    "Water-filling token-budget allocation across sources (the data-"
+    "mixing solver): given a global budget (half the corpus here), every "
+    "source keeps its own tokens up to a common cap c*, chosen in CLOSED "
+    "FORM so allocations sum exactly to the budget — small sources are "
+    "never starved, large sources share the remainder equally, and the "
+    "division leftover goes deterministically to the first capped "
+    "sources in (size, name) order. One corpus-sized token aggregation "
+    "(localCheckpointed), then every relation is #sources-sized: rank "
+    "window, threshold scan, and a broadcast 1-row cap — no iteration, "
+    "no driver loop, integer-exact in both engines",
+)
+def q137_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok")
+    )
+    # the ONE corpus-sized agg; everything after is #sources-sized
+    src = d.groupBy("source").agg(F.sum("n_tok").alias("n")).localCheckpoint()
+    tot = (
+        src.agg(F.sum("n").alias("total"), F.count("*").alias("s"))
+        .withColumn("b", F.expr("total div 2"))
+    )
+    w = Window.orderBy(F.asc("n"), F.asc("source"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord_ = src.withColumn("k", F.row_number().over(w).cast("long")).withColumn(
+        "pk", F.sum("n").over(wsum)
+    )
+    cand = ord_.crossJoin(F.broadcast(tot)).withColumn(
+        "lhs", (F.col("pk") - F.col("n")) + (F.col("s") - F.col("k") + 1) * F.col("n")
+    )
+    k1 = cand.where(F.col("lhs") >= F.col("b")).agg(F.min("k").alias("k1"))
+    p_before = (
+        cand.join(F.broadcast(k1), F.col("k") == F.col("k1"))
+        .select((F.col("pk") - F.col("n")).alias("p_before"), "k1")
+    )
+    capv = p_before.crossJoin(F.broadcast(tot)).select(
+        "k1",
+        F.expr("(b - p_before) div (s - k1 + 1)").alias("cap"),
+        F.expr("(b - p_before) % (s - k1 + 1)").alias("leftover"),
+    )
+    return (
+        cand.crossJoin(F.broadcast(capv))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.when(F.col("k") < F.col("k1"), F.col("n"))
+            .otherwise(
+                F.least(F.col("n"), F.col("cap"))
+                + F.when(F.col("k") - F.col("k1") < F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+            (F.col("k") >= F.col("k1")).cast("long").alias("capped"),
+        )
+        .orderBy("source")
+    )

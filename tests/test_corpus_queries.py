@@ -101,3 +101,29 @@ def test_unpivot_totals_match_direct_sums(spark, tmp_path):
     assert out["extendedprice_cents"] == (2, exp_price)
     assert out["discount_bps"] == (2, math.floor(0.05 * 10000) + math.floor(0.10 * 10000))
     assert out["tax_bps"] == (2, math.floor(0.08 * 10000) + math.floor(0.02 * 10000))
+
+
+def test_waterfill_budget_invariants(spark, tmp_path):
+    """Water-filling: allocations sum EXACTLY to the budget (total//2),
+    uncapped sources keep everything, capped sources land within 1 token
+    of a common cap, and no source exceeds its own supply."""
+    rows = [
+        (1, " ".join(["w"] * 10), "en", "tiny", 10),     # 10 tokens
+        (2, " ".join(["w"] * 100), "en", "mid", 100),    # 100 tokens
+        (3, " ".join(["w"] * 1000), "en", "bigA", 1000),
+        (4, " ".join(["w"] * 901), "en", "bigB", 901),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in REGISTRY["q137_waterfill_budget"].fn(spark, str(tmp_path)).collect()}
+    total = 10 + 100 + 1000 + 901
+    budget = total // 2  # 1005
+    assert sum(r["alloc_tokens"] for r in out.values()) == budget
+    for r in out.values():
+        assert r["alloc_tokens"] <= r["n_tokens"]
+    assert out["tiny"]["alloc_tokens"] == 10 and out["tiny"]["capped"] == 0
+    assert out["mid"]["alloc_tokens"] == 100 and out["mid"]["capped"] == 0
+    # the two big sources split the remaining 895 as 447/448, both capped
+    big = sorted(out[s]["alloc_tokens"] for s in ("bigA", "bigB"))
+    assert big == [447, 448]
+    assert out["bigA"]["capped"] == 1 and out["bigB"]["capped"] == 1
