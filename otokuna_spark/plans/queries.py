@@ -6098,3 +6098,85 @@ def q137_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q138_hard_negatives",
+    """
+    WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 200),
+    ex AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM sub, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS d
+        FROM ex q JOIN ex c USING (i)
+        WHERE c.vec_id <> q.vec_id AND c.label <> q.label
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT d.query_id, d.neighbor_id,
+               d.d / (nq.nrm * nc.nrm) AS cosv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.d / (nq.nrm * nc.nrm) DESC, d.neighbor_id ASC
+               ) AS rnk
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id AS hard_negative_id,
+           CAST(FLOOR(cosv * 1000000) AS BIGINT) AS cosine_micro
+    FROM ranked WHERE rnk = 1
+    ORDER BY query_id
+    """,
+    "Hard-negative mining for contrastive training: for each probe "
+    "vector, the single most-similar vector with a DIFFERENT label — "
+    "the negatives that actually move a contrastive loss, vs the "
+    "uniform strides of q118. Fixed 200-vector probe slice broadcast "
+    "against itself (constant cost at corpus scale; swap the corpus "
+    "side for the full table + IVF shortlist in production); exact "
+    "cosine, id tiebreak, emitted floor-scaled to micro-units so the "
+    "hash comparison is integer-exact",
+)
+def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sub = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding", "label")
+    q = sub.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    c = sub.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("__cl"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id")) & (F.col("__cl") != F.col("__ql")),
+        )
+        .withColumn(
+            "__cos",
+            V.dot(F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>"))
+            / (V.norm(F.col("__qv").cast("array<double>")) * V.norm(F.col("__cv").cast("array<double>"))),
+        )
+        .select("query_id", "neighbor_id", "__cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("hard_negative_id"),
+            F.floor(F.col("__cos") * 1_000_000).cast("long").alias("cosine_micro"),
+        )
+        .orderBy("query_id")
+    )
