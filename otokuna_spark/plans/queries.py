@@ -6180,3 +6180,42 @@ def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "q139_join_fanout",
+    """
+    WITH per_key AS (
+        SELECT o.o_orderkey, COUNT(l.l_orderkey) AS fanout
+        FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+    )
+    SELECT CAST(fanout AS BIGINT) AS fanout,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(fanout) AS BIGINT) AS n_rows_produced
+    FROM per_key
+    GROUP BY fanout
+    ORDER BY fanout
+    """,
+    "Join fan-out profile (the pre-join cardinality diagnostic, sibling "
+    "of q119's skew report): per-key match-count distribution of the "
+    "orders->lineitem join, including zero-match keys via LEFT JOIN — "
+    "the histogram that predicts a join's output size and flags "
+    "explosion risk (a heavy tail here means the join multiplies rows "
+    "and its downstream shuffles). Two keyed aggs; the per-key relation "
+    "never materializes the joined rows themselves",
+)
+def q139_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = (
+        orders.select("o_orderkey")
+        .join(li.select("l_orderkey"), orders["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("fanout"))
+    )
+    return (
+        per_key.groupBy("fanout")
+        .agg(F.count("*").alias("n_keys"), F.sum("fanout").alias("n_rows_produced"))
+        .orderBy("fanout")
+    )

@@ -261,6 +261,7 @@ MAX_SHUFFLES = {
     "q136_unpivot_charges": 2,  # map-only Expand melt + 3-group agg; output order
     "q137_waterfill_budget": 6,  # post-checkpoint tails over #sources-sized relations (rank window, threshold scans, output order); the corpus token agg materializes at the checkpoint
     "q138_hard_negatives": 2,  # probe slice broadcast (BNLJ on the label-mismatch predicate); per-query rank window + output order
+    "q139_join_fanout": 3,  # key join + per-key agg share the key exchange; fanout agg + output order
 }
 
 
