@@ -178,3 +178,34 @@ def test_segment_dedup_identity_when_nothing_hot(spark):
     out = {r["doc_id"]: r["kept_text"] for r in segment_dedup(docs, "doc_id", "text", 8, 10**6).collect()}
     for i, t in rows:
         assert out[i] == t
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=8),
+)
+def test_waterfill_allocation_invariants(spark, tmp_path_factory, sizes):
+    """Water-filling (q137) on random source supplies: allocations sum
+    EXACTLY to total//2, never exceed a source's own supply, uncapped
+    sources keep everything, and capped allocations differ by at most 1
+    token (the deterministic leftover)."""
+    from otokuna_spark.plans.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("wf")
+    rows = [
+        (i, " ".join(["w"] * n), "en", f"s{i:02d}", n) for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    out = REGISTRY["q137_waterfill_budget"].fn(spark, str(tmp)).collect()
+    total = sum(sizes)
+    assert sum(r["alloc_tokens"] for r in out) == total // 2
+    capped_allocs = []
+    for r in out:
+        assert 0 <= r["alloc_tokens"] <= r["n_tokens"]
+        if r["capped"]:
+            capped_allocs.append(r["alloc_tokens"])
+        else:
+            assert r["alloc_tokens"] == r["n_tokens"]
+    if capped_allocs:
+        assert max(capped_allocs) - min(capped_allocs) <= 1
