@@ -6108,19 +6108,26 @@ def q137_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
         FROM sub, UNNEST(generate_series(1, len(embedding))) AS u(i)
     ),
-    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(v * v * 1000000) AS BIGINT)) AS n2
+        FROM ex GROUP BY vec_id
+    ),
     dots AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS d
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(FLOOR(q.v * c.v * 1000000) AS BIGINT)) AS d
         FROM ex q JOIN ex c USING (i)
         WHERE c.vec_id <> q.vec_id AND c.label <> q.label
         GROUP BY q.vec_id, c.vec_id
     ),
     ranked AS (
         SELECT d.query_id, d.neighbor_id,
-               d.d / (nq.nrm * nc.nrm) AS cosv,
+               CAST(d.d AS DOUBLE)
+                   / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosv,
                ROW_NUMBER() OVER (
                    PARTITION BY d.query_id
-                   ORDER BY d.d / (nq.nrm * nc.nrm) DESC, d.neighbor_id ASC
+                   ORDER BY CAST(d.d AS DOUBLE)
+                       / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) DESC,
+                       d.neighbor_id ASC
                ) AS rnk
         FROM dots d
         JOIN norms nq ON d.query_id = nq.vec_id
@@ -6136,9 +6143,11 @@ def q137_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the negatives that actually move a contrastive loss, vs the "
     "uniform strides of q118. Fixed 200-vector probe slice broadcast "
     "against itself (constant cost at corpus scale; swap the corpus "
-    "side for the full table + IVF shortlist in production); exact "
-    "cosine, id tiebreak, emitted floor-scaled to micro-units so the "
-    "hash comparison is integer-exact",
+    "side for the full table + IVF shortlist in production). Scoring "
+    "uses the scaled-integer dot/norm device (order-free BIGINT sums) "
+    "with one deterministic float sqrt+division, so BOTH the ranking "
+    "and the emitted micro-cosine are bit-identical across engines — "
+    "a plain float dot's summation order is not",
 )
 def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -6157,15 +6166,24 @@ def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__cv"),
         F.col("label").alias("__cl"),
     )
+    # scaled-integer dot/norms (order-free BIGINTs), then ONE deterministic
+    # float division+sqrt for the ranking score — bit-identical across
+    # engines, unlike a float dot whose summation order differs (q24's
+    # exact-cosine device)
     scored = (
         c.join(
             F.broadcast(q),
             (F.col("neighbor_id") != F.col("query_id")) & (F.col("__cl") != F.col("__ql")),
         )
         .withColumn(
+            "__d", V.dot_scaled_int(F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>"))
+        )
+        .withColumn("__n2q", V.norm2_scaled_int(F.col("__qv").cast("array<double>")))
+        .withColumn("__n2c", V.norm2_scaled_int(F.col("__cv").cast("array<double>")))
+        .withColumn(
             "__cos",
-            V.dot(F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>"))
-            / (V.norm(F.col("__qv").cast("array<double>")) * V.norm(F.col("__cv").cast("array<double>"))),
+            F.col("__d").cast("double")
+            / F.sqrt(F.col("__n2q").cast("double") * F.col("__n2c").cast("double")),
         )
         .select("query_id", "neighbor_id", "__cos")
     )
