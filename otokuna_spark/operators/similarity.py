@@ -57,27 +57,55 @@ def brute_force_topk(
     vec_col: str,
     k: int = 10,
     query_id_col: str | None = None,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine, rank). Excludes self-matches
     when ids share a domain. Ties broken by neighbor id for determinism.
+
+    ``exact_scores=False`` (production): plain float dot — fastest, but
+    the summation order of a float dot differs across engines/plans, so
+    near-tied ranks can flip in the last ulp. ``exact_scores=True``
+    (oracle-portable): the scaled-integer dot/norm device (order-free
+    BIGINT sums, one deterministic sqrt+division) — ranking and score
+    are bit-identical across engines; used by the oracle-paired queries
+    (same production-vs-portable split as the minhash hash families).
     """
     qid = query_id_col or id_col
-    q = _with_norm(queries, vec_col).select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"), F.col("__norm").alias("__qnorm")
-    )
-    c = _with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), F.col("__norm").alias("__cnorm")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            vectors.dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
+    if exact_scores:
+        q = queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+        ).withColumn("__qn2", vectors.norm2_scaled_int(F.col("__qvec")))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+        ).withColumn("__cn2", vectors.norm2_scaled_int(F.col("__cvec")))
+        scored = (
+            c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                vectors.dot_scaled_int(F.col("__qvec"), F.col("__cvec")).cast("double")
+                / F.sqrt(F.col("__qn2").cast("double") * F.col("__cn2").cast("double")),
+            )
+            .select("query_id", "neighbor_id", "cosine")
         )
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    else:
+        q = _with_norm(queries, vec_col).select(
+            F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"), F.col("__norm").alias("__qnorm")
+        )
+        c = _with_norm(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), F.col("__norm").alias("__cnorm")
+        )
+        scored = (
+            c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                vectors.dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm")),
+            )
+            .select("query_id", "neighbor_id", "cosine")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

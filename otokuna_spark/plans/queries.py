@@ -602,15 +602,20 @@ def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
     ),
-    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(v * v * 1000000) AS BIGINT)) AS n2
+        FROM ex GROUP BY vec_id
+    ),
     dots AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS d
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(FLOOR(q.v * c.v * 1000000) AS BIGINT)) AS d
         FROM ex q JOIN ex c USING (i)
         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
         GROUP BY q.vec_id, c.vec_id
     ),
     scored AS (
-        SELECT query_id, neighbor_id, d / (nq.nrm * nc.nrm) AS cosine
+        SELECT query_id, neighbor_id,
+               CAST(d AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosine
         FROM dots JOIN norms nq ON query_id = nq.vec_id JOIN norms nc ON neighbor_id = nc.vec_id
     ),
     ranked AS (
@@ -623,12 +628,13 @@ def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rank
     """,
     "Brute-force cosine top-k ANN baseline: broadcast query set, one corpus scan, JVM-side "
-    "higher-order-function dot products, per-group heap ranking",
+    "higher-order-function dot products, per-group heap ranking; scored with the order-free "
+    "scaled-integer device so ranking and emitted micro-cosine are bit-identical across engines",
 )
 def q23_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    out = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5, exact_scores=True)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -5450,9 +5456,13 @@ def q125_lsh_eval(
         SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
         FROM sub, UNNEST(generate_series(1, len(embedding))) AS u(i)
     ),
-    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(v * v * 1000000) AS BIGINT)) AS n2
+        FROM ex GROUP BY vec_id
+    ),
     dots AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS d
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(FLOOR(q.v * c.v * 1000000) AS BIGINT)) AS d
         FROM ex q JOIN ex c USING (i)
         WHERE c.vec_id <> q.vec_id
         GROUP BY q.vec_id, c.vec_id
@@ -5463,7 +5473,9 @@ def q125_lsh_eval(
             SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY query_id
-                       ORDER BY d / (nq.nrm * nc.nrm) DESC, neighbor_id ASC
+                       ORDER BY CAST(d AS DOUBLE)
+                           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) DESC,
+                           neighbor_id ASC
                    ) AS rnk
             FROM dots
             JOIN norms nq ON query_id = nq.vec_id
@@ -5488,7 +5500,7 @@ def q125_lsh_eval(
 def q126_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     sub = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding", "label")
-    top1 = similarity.brute_force_topk(sub, sub, "vec_id", "embedding", k=1)
+    top1 = similarity.brute_force_topk(sub, sub, "vec_id", "embedding", k=1, exact_scores=True)
     q_lab = sub.select(F.col("vec_id").alias("query_id"), F.col("label").alias("label"))
     n_lab = sub.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nlabel"))
     return (
