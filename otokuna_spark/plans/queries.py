@@ -3697,7 +3697,12 @@ def _q84_oracle() -> str:
     "those buckets — candidate volume ~ n_probe/n_centroids of the "
     "corpus, candidate join a plain equi-join on centroid_id with the "
     "query side broadcast. Deterministic centroid seed (lowest ids) "
-    "makes the whole index SQL-reproducible",
+    "makes the whole index SQL-reproducible. Scoring floats are "
+    "mirrored expression-for-expression (both engines fold dims "
+    "sequentially at oracle scale); the exact-scoring path for "
+    "gate-critical rankings is brute_force_topk(exact_scores=True) — "
+    "the ANN paths accept last-ulp rank sensitivity as part of being "
+    "approximate",
 )
 def q84_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
