@@ -735,3 +735,109 @@ def running_aggregates(
     from ..operators import incremental
 
     return incremental.fold_states(spark.read.parquet(store_path), keys, measures)
+
+
+def stream_lateness_monitor(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+) -> None:
+    """Live twin of the q134 watermark-lateness audit: each micro-batch
+    measures every event's lateness against the per-user event-time
+    high-watermark (persisted store + within-batch running max in arrival
+    order) and appends a per-user delta partition. ``lateness_report``
+    over the store reproduces the batch audit EXACTLY when the batches
+    partition the stream in arrival order (batch-equivalence-tested) —
+    so watermark bounds can be tuned from live traffic instead of a
+    nightly batch scan.
+
+    Store rows are per (user, batch): (hwm_us, n_events, n_late,
+    max_late_us) — fixed-width, user-count-sized per batch; replays
+    overwrite their own ``batch=<id>`` partition and EXCLUDE it from the
+    high-watermark read, the same idempotence device as the dedup
+    ingests."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_lateness_batch(batch_df, batch_id, store_path, user_col, order_col)
+
+    q = (
+        events_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_lateness_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+) -> None:
+    """One idempotent micro-batch of ``stream_lateness_monitor`` (the
+    foreachBatch body, callable directly for replay testing)."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    sp = batch_df.sparkSession
+    ev = to_event_time(batch_df).select(
+        F.col(user_col).alias("__user"),
+        F.col(order_col).alias("__ord"),
+        (F.unix_micros(F.col("ts"))).alias("__us"),
+    )
+    if _os.path.exists(store_path):
+        store = sp.read.parquet(store_path)
+        if "batch" in store.columns:
+            store = store.where(F.col("batch") != batch_id)
+        hwm = store.groupBy("__user").agg(F.max("hwm_us").alias("__prev_hwm"))
+    else:
+        hwm = sp.createDataFrame([], "__user long, __prev_hwm long")
+    w = (
+        Window.partitionBy("__user")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = (
+        ev.withColumn("__runmax", F.max("__us").over(w))
+        .join(hwm, on="__user", how="left")
+        .withColumn("__eff", F.greatest(F.col("__runmax"), F.coalesce("__prev_hwm", F.col("__runmax"))))
+        .withColumn("__late", F.col("__eff") - F.col("__us"))
+    )
+    delta = marked.groupBy(F.col("__user")).agg(
+        F.max("__us").alias("hwm_us"),
+        F.count("*").alias("n_events"),
+        F.sum((F.col("__late") > 0).cast("long")).alias("n_late"),
+        F.max("__late").alias("max_late_us"),
+    )
+    delta.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+
+def lateness_report(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the lateness store into the q134 report shape
+    (late_bucket_log2, n_users, n_late_events, n_events): per-user
+    deltas merge by sum/max — decomposable aggregates, so the report
+    costs one user-count-sized scan regardless of stream history."""
+    store = spark.read.parquet(store_path)
+    per_user = store.groupBy("__user").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_late").alias("n_late"),
+        F.max("max_late_us").alias("max_late_us"),
+    )
+    bucket = F.when(F.col("max_late_us") == 0, F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("max_late_us"))) - 1
+    )
+    return (
+        per_user.groupBy(bucket.cast("long").alias("late_bucket_log2"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_late").alias("n_late_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("late_bucket_log2")
+    )

@@ -640,3 +640,57 @@ def test_ingest_segment_batch_replay_idempotent(spark, tmp_path):
     assert again == first
     cum = spark.read.parquet(store).groupBy("__h").sum("n_docs").collect()
     assert all(r["sum(n_docs)"] <= 2 for r in cum)
+
+
+def test_stream_lateness_monitor_matches_batch_audit(spark, tmp_path):
+    """Ingesting disordered events as ordered micro-batches, then folding
+    the lateness store, reproduces q134's batch audit exactly — including
+    cross-batch lateness (an event later than a PREVIOUS batch's
+    high-watermark) — and replays are idempotent."""
+    import datetime as dt
+
+    from otokuna_spark.plans.queries import REGISTRY
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, ts(10), 1, "a", 0.0, "{}"),
+        (2, ts(4), 1, "a", 0.0, "{}"),   # 6s late within batch 0
+        (3, ts(12), 1, "a", 0.0, "{}"),
+        (4, ts(1), 2, "a", 0.0, "{}"),
+        # batch 1: user 2's event is 1s late vs batch 0's hwm (cross-batch)
+        (5, ts(0), 2, "a", 0.0, "{}"),
+        (6, ts(5), 3, "a", 0.0, "{}"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    store = str(tmp_path / "late_store")
+    b0 = spark.createDataFrame(rows[:4], schema)
+    b1 = spark.createDataFrame(rows[4:], schema)
+    jobs.ingest_lateness_batch(b0, 0, store)
+    jobs.ingest_lateness_batch(b1, 1, store)
+
+    got = {
+        r["late_bucket_log2"]: (r["n_users"], r["n_late_events"], r["n_events"])
+        for r in jobs.lateness_report(spark, store).collect()
+    }
+    # batch twin over the union
+    union = spark.createDataFrame(rows, schema)
+    union.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    want = {
+        r["late_bucket_log2"]: (r["n_users"], r["n_late_events"], r["n_events"])
+        for r in REGISTRY["q134_watermark_lateness"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # cross-batch lateness was actually exercised: user 2 max lateness 1s
+    assert 19 in got  # 2^19 us <= 1s < 2^20 us bucket present
+
+    # replay of batch 1 must not change the report
+    jobs.ingest_lateness_batch(b1, 1, store)
+    again = {
+        r["late_bucket_log2"]: (r["n_users"], r["n_late_events"], r["n_events"])
+        for r in jobs.lateness_report(spark, store).collect()
+    }
+    assert again == got
