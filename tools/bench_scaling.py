@@ -36,6 +36,8 @@ CASES = {
     "embedding_topk": "q23_embedding_topk",      # HOF dot products + topk
     "segment_dedup": "q122_segment_dedup",       # df agg + scrub + reassembly
     "text_map": "q127_normalize_text",           # pure codegen map
+    "df_join_back": "q130_novel_ngrams",         # inverted index + df join + regroup
+    "closed_form_solver": "q137_waterfill_budget",  # corpus agg + sources-sized tail
 }
 
 
