@@ -6173,16 +6173,19 @@ def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     sub = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding", "label")
+    # norms are per-VECTOR — compute them on each side BEFORE the join so
+    # the O(dim) fold runs once per vector, not once per pair; only the
+    # dot itself is per-pair work
     q = sub.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("__qv"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
         F.col("label").alias("__ql"),
-    )
+    ).withColumn("__n2q", V.norm2_scaled_int(F.col("__qv")))
     c = sub.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("__cv"),
+        F.col("embedding").cast("array<double>").alias("__cv"),
         F.col("label").alias("__cl"),
-    )
+    ).withColumn("__n2c", V.norm2_scaled_int(F.col("__cv")))
     # scaled-integer dot/norms (order-free BIGINTs), then ONE deterministic
     # float division+sqrt for the ranking score — bit-identical across
     # engines, unlike a float dot whose summation order differs (q24's
@@ -6192,11 +6195,7 @@ def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(q),
             (F.col("neighbor_id") != F.col("query_id")) & (F.col("__cl") != F.col("__ql")),
         )
-        .withColumn(
-            "__d", V.dot_scaled_int(F.col("__qv").cast("array<double>"), F.col("__cv").cast("array<double>"))
-        )
-        .withColumn("__n2q", V.norm2_scaled_int(F.col("__qv").cast("array<double>")))
-        .withColumn("__n2c", V.norm2_scaled_int(F.col("__cv").cast("array<double>")))
+        .withColumn("__d", V.dot_scaled_int(F.col("__qv"), F.col("__cv")))
         .withColumn(
             "__cos",
             F.col("__d").cast("double")
@@ -6237,17 +6236,22 @@ def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders->lineitem join, including zero-match keys via LEFT JOIN — "
     "the histogram that predicts a join's output size and flags "
     "explosion risk (a heavy tail here means the join multiplies rows "
-    "and its downstream shuffles). Two keyed aggs; the per-key relation "
-    "never materializes the joined rows themselves",
+    "and its downstream shuffles). The match side is aggregated to "
+    "(key, count) BEFORE the join, so the fan-out being measured is "
+    "never incurred to measure it; zero-match keys enter via LEFT + "
+    "coalesce",
 )
 def q139_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
+    # aggregate lineitem BEFORE the join: the join input shrinks to
+    # distinct keys and the fan-out the diagnostic measures is never
+    # incurred to compute it; zero-match keys enter via LEFT + coalesce
+    per_match = li.groupBy("l_orderkey").agg(F.count("*").alias("__n"))
     per_key = (
         orders.select("o_orderkey")
-        .join(li.select("l_orderkey"), orders["o_orderkey"] == li["l_orderkey"], "left")
-        .groupBy("o_orderkey")
-        .agg(F.count("l_orderkey").alias("fanout"))
+        .join(per_match, orders["o_orderkey"] == per_match["l_orderkey"], "left")
+        .select(F.coalesce("__n", F.lit(0)).alias("fanout"))
     )
     return (
         per_key.groupBy("fanout")

@@ -747,18 +747,32 @@ def stream_lateness_monitor(
 ) -> None:
     """Live twin of the q134 watermark-lateness audit: each micro-batch
     measures every event's lateness against the per-user event-time
-    high-watermark (persisted store + within-batch running max in arrival
-    order) and appends a per-user delta partition. ``lateness_report``
-    over the store reproduces the batch audit EXACTLY when the batches
-    partition the stream in arrival order (batch-equivalence-tested) —
-    so watermark bounds can be tuned from live traffic instead of a
-    nightly batch scan.
+    high-watermark as of the END OF THE PRIOR BATCH (persisted snapshot
+    chain + within-batch running max in arrival order) and appends a
+    per-user delta partition. ``lateness_report`` over the store
+    reproduces the batch audit EXACTLY when the batches partition the
+    stream in arrival order (batch-equivalence-tested) — so watermark
+    bounds can be tuned from live traffic instead of a nightly batch
+    scan.
 
-    Store rows are per (user, batch): (hwm_us, n_events, n_late,
-    max_late_us) — fixed-width, user-count-sized per batch; replays
-    overwrite their own ``batch=<id>`` partition and EXCLUDE it from the
-    high-watermark read, the same idempotence device as the dedup
-    ingests."""
+    Store layout under ``store_path``:
+
+    - ``deltas/batch=<id>``: per-user (n_events, n_late, max_late_us)
+      for that batch — the report's decomposable inputs;
+    - ``hwm/batch=<id>``: the RUNNING per-user high-watermark after the
+      batch (carry-forward merge of the prior snapshot). Each ingest
+      reads ONLY the latest prior snapshot partition, so per-batch cost
+      is user-count-sized regardless of stream age (old snapshots are
+      compactable garbage, never read again).
+
+    Replays overwrite their own partitions and read the snapshot chain
+    strictly BEFORE them — lateness depends on strictly-prior state, so
+    (unlike the order-insensitive dedup stores) a plain exclude-current
+    device would poison a replay with later batches' watermarks.
+    foreachBatch replays always re-run a batch before any later batch
+    (checkpointed order), which this layout makes exactly idempotent.
+    Event times are measured in UTC microseconds (session tz pinned,
+    same as the q134 oracle path)."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         ingest_lateness_batch(batch_df, batch_id, store_path, user_col, order_col)
@@ -772,6 +786,21 @@ def stream_lateness_monitor(
     q.awaitTermination()
 
 
+def _latest_prior_snapshot(store_path: str, batch_id: int) -> str | None:
+    import os as _os
+    import re as _re
+
+    root = _os.path.join(store_path, "hwm")
+    if not _os.path.isdir(root):
+        return None
+    best = None
+    for name in _os.listdir(root):
+        m = _re.fullmatch(r"batch=(\d+)", name)
+        if m and int(m.group(1)) < batch_id:
+            best = int(m.group(1)) if best is None else max(best, int(m.group(1)))
+    return None if best is None else _os.path.join(root, f"batch={best}")
+
+
 def ingest_lateness_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -780,24 +809,22 @@ def ingest_lateness_batch(
     order_col: str = "event_id",
 ) -> None:
     """One idempotent micro-batch of ``stream_lateness_monitor`` (the
-    foreachBatch body, callable directly for replay testing)."""
-    import os as _os
-
-    from pyspark.sql import Window
-
+    foreachBatch body, callable directly for replay testing). Reads only
+    the latest hwm snapshot with a STRICTLY SMALLER batch id."""
     sp = batch_df.sparkSession
+    sp.conf.set("spark.sql.session.timeZone", "UTC")
     ev = to_event_time(batch_df).select(
         F.col(user_col).alias("__user"),
         F.col(order_col).alias("__ord"),
         (F.unix_micros(F.col("ts"))).alias("__us"),
     )
-    if _os.path.exists(store_path):
-        store = sp.read.parquet(store_path)
-        if "batch" in store.columns:
-            store = store.where(F.col("batch") != batch_id)
-        hwm = store.groupBy("__user").agg(F.max("hwm_us").alias("__prev_hwm"))
+    prior = _latest_prior_snapshot(store_path, batch_id)
+    if prior is not None:
+        hwm = sp.read.parquet(prior).select("__user", F.col("hwm_us").alias("__prev_hwm"))
     else:
         hwm = sp.createDataFrame([], "__user long, __prev_hwm long")
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("__user")
         .orderBy("__ord")
@@ -810,20 +837,35 @@ def ingest_lateness_batch(
         .withColumn("__late", F.col("__eff") - F.col("__us"))
     )
     delta = marked.groupBy(F.col("__user")).agg(
-        F.max("__us").alias("hwm_us"),
+        F.max("__us").alias("batch_max_us"),
         F.count("*").alias("n_events"),
         F.sum((F.col("__late") > 0).cast("long")).alias("n_late"),
         F.max("__late").alias("max_late_us"),
+    ).localCheckpoint()
+    delta.select("__user", "n_events", "n_late", "max_late_us").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/deltas/batch={batch_id}")
+    # carry-forward snapshot: users absent from this batch keep their hwm
+    snapshot = (
+        hwm.join(delta.select("__user", "batch_max_us"), on="__user", how="full")
+        .select(
+            "__user",
+            F.greatest(
+                F.coalesce("__prev_hwm", F.lit(-(1 << 62))),
+                F.coalesce("batch_max_us", F.lit(-(1 << 62))),
+            ).alias("hwm_us"),
+        )
     )
-    delta.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+    snapshot.write.mode("overwrite").parquet(f"{store_path}/hwm/batch={batch_id}")
 
 
 def lateness_report(spark: SparkSession, store_path: str) -> DataFrame:
-    """Fold the lateness store into the q134 report shape
+    """Fold the lateness delta store into the q134 report shape
     (late_bucket_log2, n_users, n_late_events, n_events): per-user
     deltas merge by sum/max — decomposable aggregates, so the report
     costs one user-count-sized scan regardless of stream history."""
-    store = spark.read.parquet(store_path)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    store = spark.read.parquet(f"{store_path}/deltas")
     per_user = store.groupBy("__user").agg(
         F.sum("n_events").alias("n_events"),
         F.sum("n_late").alias("n_late"),

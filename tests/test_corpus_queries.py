@@ -107,15 +107,13 @@ def test_waterfill_budget_invariants(spark, tmp_path):
     """Water-filling: allocations sum EXACTLY to the budget (total//2),
     uncapped sources keep everything, capped sources land within 1 token
     of a common cap, and no source exceeds its own supply."""
-    rows = [
+    sf = _write_docs(spark, tmp_path, [
         (1, " ".join(["w"] * 10), "en", "tiny", 10),     # 10 tokens
         (2, " ".join(["w"] * 100), "en", "mid", 100),    # 100 tokens
         (3, " ".join(["w"] * 1000), "en", "bigA", 1000),
         (4, " ".join(["w"] * 901), "en", "bigB", 901),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
-    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    out = {r["source"]: r for r in REGISTRY["q137_waterfill_budget"].fn(spark, str(tmp_path)).collect()}
+    ])
+    out = {r["source"]: r for r in REGISTRY["q137_waterfill_budget"].fn(spark, sf).collect()}
     total = 10 + 100 + 1000 + 901
     budget = total // 2  # 1005
     assert sum(r["alloc_tokens"] for r in out.values()) == budget

@@ -694,3 +694,33 @@ def test_stream_lateness_monitor_matches_batch_audit(spark, tmp_path):
         for r in jobs.lateness_report(spark, store).collect()
     }
     assert again == got
+
+
+def test_lateness_replay_of_old_batch_ignores_later_watermarks(spark, tmp_path):
+    """Re-running an EARLIER batch (backfill) must measure lateness
+    against strictly-prior watermarks only — a later batch's hwm in the
+    store must not inflate the replayed batch's lateness."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    store = str(tmp_path / "late_store2")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    b0 = mk([(1, base + dt.timedelta(seconds=10), 1, "a", 0.0, "{}")])
+    b1 = mk([(2, base + dt.timedelta(seconds=11), 1, "a", 0.0, "{}")])  # on time
+    b2 = mk([(3, base + dt.timedelta(seconds=100), 1, "a", 0.0, "{}")])  # future hwm
+    jobs.ingest_lateness_batch(b0, 0, store)
+    jobs.ingest_lateness_batch(b1, 1, store)
+    jobs.ingest_lateness_batch(b2, 2, store)
+    before = {r["late_bucket_log2"]: (r["n_users"], r["n_late_events"], r["n_events"])
+              for r in jobs.lateness_report(spark, store).collect()}
+    assert before == {-1: (1, 0, 3)}  # everything on time
+    # replay batch 1: with a naive exclude-current hwm read, batch 2's
+    # t=100s watermark would mark the t=11s event 89s late
+    jobs.ingest_lateness_batch(b1, 1, store)
+    after = {r["late_bucket_log2"]: (r["n_users"], r["n_late_events"], r["n_events"])
+             for r in jobs.lateness_report(spark, store).collect()}
+    assert after == before
