@@ -82,3 +82,22 @@ def test_oracle_output_columns_are_aliased():
         if ugly:
             bad[name] = ugly
     assert not bad, f"oracles with unaliased output columns: {bad}"
+
+
+def test_cli_list_and_unknown_query():
+    """python -m otokuna_spark: list filters by substring; unknown names
+    exit 2 with a did-you-mean hint; unambiguous prefixes resolve."""
+    import contextlib
+    import io
+
+    from otokuna_spark.__main__ import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["list", "pricing"]) == 0
+    assert "q01_pricing_summary" in buf.getvalue()
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        assert main(["run", "q_does_not_exist"]) == 2
+    assert "unknown query" in err.getvalue()
