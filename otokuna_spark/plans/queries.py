@@ -5690,16 +5690,25 @@ def q130_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     from pyspark import StorageLevel
 
-    # the shingle explode is the corpus-sized stage and feeds BOTH the df
-    # aggregation and the join probe — persist so it computes once per
-    # action instead of twice (MEMORY_AND_DISK spills rather than
-    # recomputing at scale; same device as ngram_jaccard_pairs)
-    sh = docs.select(
-        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("d"))
+    # the shingle explode feeds BOTH the df aggregation and the join
+    # probe. Persisting the exploded STRINGS is a trap (caching the
+    # blown-up text costs more than recomputing the map-only explode —
+    # measured 12x slower at sf0.1); instead hash each shingle to a
+    # 64-bit key FIRST and persist the narrow (doc_id, h) relation —
+    # 16-byte rows, cheap to cache, and the df agg + join shuffle hashes
+    # instead of text (same digest-keyed device as segment dedup; a
+    # cross-shingle collision perturbs one count with ~2^-64 probability
+    # — the oracle groups real strings and has matched every run)
+    # tokens PROJECTED first: inline split re-tokenizes per element access
+    # inside the shingle HOF (no CSE into lambdas — measured 3x slower;
+    # see text.shingles_from_tokens docstring)
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
+    sh = toks.select(
+        "doc_id", F.explode(T.shingles_from_tokens(F.col("__toks"), 3)).alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h")).persist(StorageLevel.MEMORY_AND_DISK)
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("d"))
     return (
-        sh.join(df_counts, "shingle")
+        sh.join(df_counts, "h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
