@@ -30,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("run", "explain"):
         sp = sub.add_parser(name)
         sp.add_argument("query", help="registry query name (see `list`)")
-        sp.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+        sp.add_argument("--sf", default=DEFAULT_SF_DIR)
         if name == "run":
             sp.add_argument("--limit", type=int, default=20)
 
@@ -58,8 +58,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "explain":
         df.explain("formatted")
     else:
+        # one job, not two: show() already bounds the scan to `limit` rows
         df.show(args.limit, truncate=24)
-        print(f"({df.count()} rows total)")
     return 0
 
 

@@ -786,19 +786,41 @@ def stream_lateness_monitor(
     q.awaitTermination()
 
 
-def _latest_prior_snapshot(store_path: str, batch_id: int) -> str | None:
-    import os as _os
+def _list_batch_ids(spark: SparkSession, root: str) -> list[int]:
+    """batch=<id> partition ids under ``root`` via the Hadoop FS layer —
+    works for s3a://, hdfs://, and local paths alike (os.listdir would
+    silently see nothing on remote stores)."""
     import re as _re
 
-    root = _os.path.join(store_path, "hwm")
-    if not _os.path.isdir(root):
-        return None
-    best = None
-    for name in _os.listdir(root):
-        m = _re.fullmatch(r"batch=(\d+)", name)
-        if m and int(m.group(1)) < batch_id:
-            best = int(m.group(1)) if best is None else max(best, int(m.group(1)))
-    return None if best is None else _os.path.join(root, f"batch={best}")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    ids = []
+    for st in fs.listStatus(jpath):
+        m = _re.fullmatch(r"batch=(\d+)", st.getPath().getName())
+        if m:
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+def _latest_prior_snapshot(spark: SparkSession, store_path: str, batch_id: int) -> str | None:
+    """Latest hwm snapshot with a STRICTLY smaller batch id. Raises if the
+    delta store holds a prior batch with no snapshot at or after it — a
+    partially-failed direct-call ingest would otherwise silently drop
+    that batch's watermarks from the chain forever."""
+    hwm_ids = [i for i in _list_batch_ids(spark, f"{store_path}/hwm") if i < batch_id]
+    delta_ids = [i for i in _list_batch_ids(spark, f"{store_path}/deltas") if i < batch_id]
+    best = max(hwm_ids) if hwm_ids else None
+    orphaned = [i for i in delta_ids if best is None or i > best]
+    if orphaned:
+        raise ValueError(
+            f"lateness store {store_path} has delta partitions {orphaned} with no "
+            f"hwm snapshot at or after them (a prior ingest failed between its two "
+            f"writes) — re-run ingest_lateness_batch for those batch ids first"
+        )
+    return None if best is None else f"{store_path}/hwm/batch={best}"
 
 
 def ingest_lateness_batch(
@@ -812,13 +834,34 @@ def ingest_lateness_batch(
     foreachBatch body, callable directly for replay testing). Reads only
     the latest hwm snapshot with a STRICTLY SMALLER batch id."""
     sp = batch_df.sparkSession
+    # UTC interpretation for the ntz->timestamp cast, restored after the
+    # writes: a permanent session-tz mutation would leak into every other
+    # job sharing the session
+    prev_tz = sp.conf.get("spark.sql.session.timeZone", None)
     sp.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        _ingest_lateness_batch_utc(batch_df, batch_id, store_path, user_col, order_col)
+    finally:
+        if prev_tz is None:
+            sp.conf.unset("spark.sql.session.timeZone")
+        else:
+            sp.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _ingest_lateness_batch_utc(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    user_col: str,
+    order_col: str,
+) -> None:
+    sp = batch_df.sparkSession
     ev = to_event_time(batch_df).select(
         F.col(user_col).alias("__user"),
         F.col(order_col).alias("__ord"),
         (F.unix_micros(F.col("ts"))).alias("__us"),
     )
-    prior = _latest_prior_snapshot(store_path, batch_id)
+    prior = _latest_prior_snapshot(sp, store_path, batch_id)
     if prior is not None:
         hwm = sp.read.parquet(prior).select("__user", F.col("hwm_us").alias("__prev_hwm"))
     else:
@@ -864,7 +907,14 @@ def lateness_report(spark: SparkSession, store_path: str) -> DataFrame:
     (late_bucket_log2, n_users, n_late_events, n_events): per-user
     deltas merge by sum/max — decomposable aggregates, so the report
     costs one user-count-sized scan regardless of stream history."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # no tz sensitivity here: deltas hold epoch-micros BIGINTs already
+    ids = _list_batch_ids(spark, f"{store_path}/deltas")
+    if not ids and _list_batch_ids(spark, store_path):
+        raise ValueError(
+            f"{store_path} looks like a pre-snapshot-chain lateness store "
+            f"(batch=<id> at the root); that layout measured replayed batches "
+            f"against later watermarks — re-ingest the stream into a fresh store"
+        )
     store = spark.read.parquet(f"{store_path}/deltas")
     per_user = store.groupBy("__user").agg(
         F.sum("n_events").alias("n_events"),
