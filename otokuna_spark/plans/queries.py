@@ -6267,3 +6267,147 @@ def q139_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_keys"), F.sum("fanout").alias("n_rows_produced"))
         .orderBy("fanout")
     )
+
+
+@register(
+    "q140_last_touch_attribution",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    attrib AS (
+        SELECT user_id, event_id, us,
+               MAX(CASE WHEN event_type = 'click' THEN us END) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_us
+        FROM ev
+        QUALIFY event_type = 'purchase'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                          AND us - last_click_us <= 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN last_click_us IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_click_ever,
+           CAST(COALESCE(SUM(us - last_click_us)
+                    FILTER (last_click_us IS NOT NULL
+                            AND us - last_click_us <= 3600000000), 0)
+                AS BIGINT) AS sum_latency_us
+    FROM attrib
+    """,
+    "Last-touch attribution (the in-table as-of pattern, complementing "
+    "the two-table as-of join): each purchase looks back to the SAME "
+    "user's most recent prior click via a conditional running-max window "
+    "— one keyed exchange, no self-join, no per-purchase subquery — and "
+    "is attributed when the click is within the 1h window. Emits the "
+    "conversion counts and total click-to-purchase latency; integer "
+    "microsecond math end to end",
+)
+def q140_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts_us"))
+    ).over(w)
+    attrib = (
+        ev.withColumn("last_click_us", last_click)
+        .where(F.col("event_type") == "purchase")
+    )
+    within = F.col("last_click_us").isNotNull() & (
+        F.col("ts_us") - F.col("last_click_us") <= 3_600_000_000
+    )
+    return attrib.agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(within.cast("long")).alias("n_attributed"),
+        F.sum(F.col("last_click_us").isNull().cast("long")).alias("n_no_click_ever"),
+        F.coalesce(
+            F.sum(F.when(within, F.col("ts_us") - F.col("last_click_us"))), F.lit(0)
+        ).alias("sum_latency_us"),
+    )
+
+
+@register(
+    "q141_balance_with_resets",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, event_id, event_type, us, v_micro,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS epoch
+        FROM ev
+    ),
+    bal AS (
+        SELECT user_id, epoch,
+               SUM(v_micro) AS seg_sum,
+               COUNT(*) AS n_events,
+               MAX(us) AS last_us
+        FROM seg GROUP BY user_id, epoch
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_epochs,
+           CAST(MAX(n_events) AS BIGINT) AS max_epoch_events,
+           CAST(SUM(seg_sum) AS BIGINT) AS total_micro,
+           CAST(MAX(CASE WHEN last_us = m THEN seg_sum END) AS BIGINT) AS current_epoch_micro
+    FROM bal JOIN (SELECT user_id AS u2, MAX(last_us) AS m FROM bal GROUP BY user_id) x
+      ON user_id = u2
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "Running balance with conditional resets (the hard-SQL segmented "
+    "cumulative pattern): each user's value stream is cut into epochs at "
+    "every 'signup' event via a cumulative conditional count — no "
+    "iteration, no self-join — then per-epoch sums roll up to per-user "
+    "epoch counts, lifetime total, and the CURRENT (latest) epoch's "
+    "balance. The segment-id window and the epoch aggregation share one "
+    "(user x order) exchange; values floor-scaled to exact micro-units",
+)
+def q141_balance_with_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = ev.withColumn(
+        "epoch", F.sum((F.col("event_type") == "signup").cast("long")).over(w)
+    )
+    bal = seg.groupBy("user_id", "epoch").agg(
+        F.sum("v_micro").alias("seg_sum"),
+        F.count("*").alias("n_events"),
+        F.max("ts_us").alias("last_us"),
+    )
+    wlast = Window.partitionBy("user_id")
+    return (
+        bal.withColumn("__m", F.max("last_us").over(wlast))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_epochs"),
+            F.max("n_events").alias("max_epoch_events"),
+            F.sum("seg_sum").alias("total_micro"),
+            F.max(F.when(F.col("last_us") == F.col("__m"), F.col("seg_sum"))).alias(
+                "current_epoch_micro"
+            ),
+        )
+        .orderBy("user_id")
+    )

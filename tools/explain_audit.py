@@ -262,6 +262,8 @@ MAX_SHUFFLES = {
     "q137_waterfill_budget": 6,  # post-checkpoint tails over #sources-sized relations (rank window, threshold scans, output order); the corpus token agg materializes at the checkpoint
     "q138_hard_negatives": 2,  # probe slice broadcast (BNLJ on the label-mismatch predicate); per-query rank window + output order
     "q139_join_fanout": 3,  # key join + per-key agg share the key exchange; fanout agg + output order
+    "q140_last_touch_attribution": 2,  # conditional running-max window on the keyed exchange; 1-row final agg
+    "q141_balance_with_resets": 2,  # segment window + epoch agg + per-user rollup share the user exchange; output order
 }
 
 
