@@ -6411,3 +6411,75 @@ def q141_balance_with_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q142_mutual_nn_pairs",
+    """
+    WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 200),
+    ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM sub, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    norms AS (
+        SELECT vec_id, SUM(CAST(FLOOR(v * v * 1000000) AS BIGINT)) AS n2
+        FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(FLOOR(q.v * c.v * 1000000) AS BIGINT)) AS d
+        FROM ex q JOIN ex c USING (i)
+        WHERE c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    top1 AS (
+        SELECT query_id, neighbor_id, cosv FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   CAST(d.d AS DOUBLE)
+                       / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cosv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.query_id
+                       ORDER BY CAST(d.d AS DOUBLE)
+                           / sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) DESC,
+                           d.neighbor_id ASC
+                   ) AS rnk
+            FROM dots d
+            JOIN norms nq ON d.query_id = nq.vec_id
+            JOIN norms nc ON d.neighbor_id = nc.vec_id
+        ) WHERE rnk = 1
+    )
+    SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+           CAST(FLOOR(a.cosv * 1000000) AS BIGINT) AS cosine_micro
+    FROM top1 a JOIN top1 b
+      ON a.neighbor_id = b.query_id AND b.neighbor_id = a.query_id
+    WHERE a.query_id < a.neighbor_id
+    ORDER BY id_a
+    """,
+    "Reciprocal nearest-neighbor pairs (mutual 1-NN): vectors that are "
+    "each other's top-1 — the highest-precision merge seeds for "
+    "agglomerative / SemDeDup-style clustering, far stronger evidence "
+    "than one-directional candidacy. Reuses the exact-scored top-1 "
+    "relation (probe slice broadcast, order-free integer scoring) and "
+    "closes with a self-equi-join on the reciprocity condition over the "
+    "probe-sized top-1 relation — constant cost at corpus scale",
+)
+def q142_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    sub = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding")
+    top1 = similarity.brute_force_topk(
+        sub, sub, "vec_id", "embedding", k=1, exact_scores=True
+    ).localCheckpoint()
+    a = top1.select("query_id", "neighbor_id", "cosine")
+    b = top1.select(
+        F.col("query_id").alias("__bq"), F.col("neighbor_id").alias("__bn")
+    )
+    return (
+        a.join(b, (F.col("neighbor_id") == F.col("__bq")) & (F.col("__bn") == F.col("query_id")))
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cosine_micro"),
+        )
+        .orderBy("id_a")
+    )

@@ -264,6 +264,7 @@ MAX_SHUFFLES = {
     "q139_join_fanout": 3,  # key join + per-key agg share the key exchange; fanout agg + output order
     "q140_last_touch_attribution": 2,  # conditional running-max window on the keyed exchange; 1-row final agg
     "q141_balance_with_resets": 2,  # segment window + epoch agg + per-user rollup share the user exchange; output order
+    "q142_mutual_nn_pairs": 3,  # post-checkpoint: reciprocity self-join over the probe-sized top-1 relation + output order
 }
 
 
