@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_WS = r"\s+"
+# ONE whitespace class, shared constant-for-constant with every DuckDB
+# oracle (plans/queries.py rewrites any bare \s in oracle SQL to this
+# class at registration). Explicit because bare \s is engine drift:
+# Java regex \s = [ \t\n\x0B\f\r] while RE2/DuckDB \s = [\t\n\f\r ]
+# (no vertical tab), and \s semantics can move across engine versions.
+# The class below is byte-identical in both engines' regex dialects.
+WS_CLASS = "[ \\t\\n\\r\\f]"
+_WS = WS_CLASS + "+"
 
 
 def tokens(col: Column) -> Column:

@@ -44,7 +44,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, description: str):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        # Harden every oracle against regex-engine drift: bare \s differs
+        # between Java regex (includes \x0B) and RE2/DuckDB (does not),
+        # and can move across DuckDB versions. Rewrite it to the ONE
+        # explicit class the Spark side uses (functions/text.py WS_CLASS)
+        # so both engines run byte-identical character classes.
+        hardened = oracle.replace("\\s", T.WS_CLASS) if oracle else oracle
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=hardened, description=description)
         return fn
 
     return deco
@@ -5148,7 +5154,8 @@ def q118_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item
         FROM documents WHERE trim(text) <> ''
     ),
-    c AS (SELECT item AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    c AS (SELECT item AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok WHERE item <> '' GROUP BY 1),
     t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c)
     SELECT key_value, cnt,
            cnt * 1000000 // total AS share_ppm,
@@ -5164,8 +5171,13 @@ def q119_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import skew
 
     docs = read_table(spark, sf_dir, "documents")
-    tok = docs.where(F.trim(F.col("text")) != "").select(
-        F.explode(T.tokens(F.col("text"))).alias("item")
+    tok = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select(F.explode(T.tokens(F.col("text"))).alias("item"))
+        # boundary-empty tokens (split semantics around leading
+        # separators differ across engine versions) — exclude explicitly
+        # on BOTH sides so the pair is drift-proof.
+        .where(F.col("item") != "")
     )
     return skew.skew_report(tok, "item", top_k=5)
 
@@ -5797,8 +5809,10 @@ def q131_crosslang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts, localCheckpoint-materialized; the corpus-wide counts, "
     "per-source totals, and grand total all derive from that vocab-sized "
     "relation, and the dense source x corpus-vocab grid is never built. "
-    "Products stay exact BIGINTs below ~10^9-token shards; "
-    "shard-and-merge beyond",
+    "The ppm scaling runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): "
+    "exact and overflow-free to ~10^15 corpus tokens, far past a 100 TB "
+    "text corpus (BIGINT would wrap silently at ~10^6 tokens for a "
+    "dominant source)",
 )
 def q132_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -5821,8 +5835,16 @@ def q132_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("ns").alias("n_tokens"),
+            # DECIMAL(38,0) arithmetic: the BIGINT form overflows once
+            # ns*nc*1e6 passes ~9e18 (a few million tokens for a dominant
+            # source) and Spark's non-ANSI long math would wrap SILENTLY.
+            # 38 digits hold 2*ns*nc*1e6 up to ~10^15-token corpora; the
+            # quotient (<= 1e6, scale 6 after decimal division) floors
+            # exactly. DuckDB needs no change: SUM(BIGINT) is HUGEINT.
             F.expr(
-                "(__present + (nc - __covered) * ns) * 1000000 div (2 * ns * nc)"
+                "cast(floor((cast(__present as decimal(38,0))"
+                " + (cast(nc as decimal(38,0)) - __covered) * ns) * 1000000"
+                " / (2 * cast(ns as decimal(38,0)) * nc)) as bigint)"
             ).alias("tv_ppm"),
         )
         .orderBy("source")
@@ -6352,16 +6374,15 @@ def q140_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal AS (
         SELECT user_id, epoch,
                SUM(v_micro) AS seg_sum,
-               COUNT(*) AS n_events,
-               MAX(us) AS last_us
+               COUNT(*) AS n_events
         FROM seg GROUP BY user_id, epoch
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_epochs,
            CAST(MAX(n_events) AS BIGINT) AS max_epoch_events,
            CAST(SUM(seg_sum) AS BIGINT) AS total_micro,
-           CAST(MAX(CASE WHEN last_us = m THEN seg_sum END) AS BIGINT) AS current_epoch_micro
-    FROM bal JOIN (SELECT user_id AS u2, MAX(last_us) AS m FROM bal GROUP BY user_id) x
+           CAST(MAX(CASE WHEN epoch = m THEN seg_sum END) AS BIGINT) AS current_epoch_micro
+    FROM bal JOIN (SELECT user_id AS u2, MAX(epoch) AS m FROM bal GROUP BY user_id) x
       ON user_id = u2
     GROUP BY user_id
     ORDER BY user_id
@@ -6395,17 +6416,20 @@ def q141_balance_with_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal = seg.groupBy("user_id", "epoch").agg(
         F.sum("v_micro").alias("seg_sum"),
         F.count("*").alias("n_events"),
-        F.max("ts_us").alias("last_us"),
     )
     wlast = Window.partitionBy("user_id")
+    # "current" epoch = MAX(epoch), which is unambiguous (epoch strictly
+    # increases per user). MAX(last_us) would tie across two epochs when
+    # simultaneous events (equal us, tiebroken by event_id) straddle a
+    # signup, silently returning the larger balance instead of the latest.
     return (
-        bal.withColumn("__m", F.max("last_us").over(wlast))
+        bal.withColumn("__m", F.max("epoch").over(wlast))
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_epochs"),
             F.max("n_events").alias("max_epoch_events"),
             F.sum("seg_sum").alias("total_micro"),
-            F.max(F.when(F.col("last_us") == F.col("__m"), F.col("seg_sum"))).alias(
+            F.max(F.when(F.col("epoch") == F.col("__m"), F.col("seg_sum"))).alias(
                 "current_epoch_micro"
             ),
         )

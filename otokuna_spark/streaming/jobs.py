@@ -397,9 +397,8 @@ def ingest_dedup_batch(
     from ..operators.dedup import incremental_near_dup_filter
 
     sp = batch_df.sparkSession
-    import os as _os
-
-    if _os.path.exists(store_path):
+    _check_store_orphans(sp, output_path, store_path, batch_id, "signature")
+    if _fs_nonempty(sp, store_path):
         store = sp.read.parquet(store_path)
         if "hash_fn" in store.columns:
             families = [r[0] for r in store.select("hash_fn").distinct().collect()]
@@ -499,11 +498,10 @@ def ingest_segment_batch(
     overwrite this batch's own ``batch=<id>`` partitions in both the
     output and the store; the store read EXCLUDES the current batch's
     partition so a crash replay never double-counts its own segments."""
-    import os as _os
-
     from ..operators.dedup import scrub_hot_segments, segment_explode
 
     sp = batch_df.sparkSession
+    _check_store_orphans(sp, output_path, store_path, batch_id, "segment-df")
     # the store and the marker join key on xxhash64(seg): 8-byte store
     # rows and a text-free shuffle, same contract as batch segment_dedup
     exploded = (
@@ -514,7 +512,7 @@ def ingest_segment_batch(
     batch_counts = (
         exploded.groupBy("__h").agg(F.count_distinct("__id").alias("n_docs")).localCheckpoint()
     )
-    if _os.path.exists(store_path):
+    if _fs_nonempty(sp, store_path):
         store = sp.read.parquet(store_path)
         if "batch" in store.columns:
             store = store.where(F.col("batch") != batch_id)
@@ -548,6 +546,10 @@ def rescrub_segments(
     corpus-sized."""
     from ..operators.dedup import scrub_hot_segments, segment_explode
 
+    # finalization must see every ingested batch's counts: an orphaned
+    # output partition (ingest died between its two writes) would make
+    # the "final" hot set silently undercounted — refuse instead.
+    _check_store_orphans(spark, output_path, store_path, -1, "segment-df")
     docs = spark.read.parquet(output_path).select(id_col, text_col)
     cum = (
         spark.read.parquet(store_path)
@@ -784,6 +786,62 @@ def stream_lateness_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence via the Hadoop FS layer — works for s3a://, hdfs://,
+    and local paths alike (os.path.exists is always False on remote
+    stores, which would silently reset every cross-batch store each
+    micro-batch)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _fs_nonempty(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists AND has at least one child entry. An
+    empty directory (e.g. a store root whose only partition was lost
+    mid-crash) must read as "no store": parquet-reading it throws, and
+    the orphan exemption for pre-seeded stores must not match it."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    return len(fs.listStatus(jpath)) > 0
+
+
+def _check_store_orphans(
+    spark: SparkSession,
+    output_path: str,
+    store_path: str,
+    batch_id: int,
+    what: str,
+) -> None:
+    """Crash detection for the two-write ingest contract (output partition
+    first, store partition second): an output ``batch=<id>`` with no
+    matching store partition means a prior ingest died between its writes,
+    so the cumulative store is silently undercounted from that batch on.
+    Raise loudly (same device as ``_latest_prior_snapshot``) — re-running
+    the ingest for the orphaned batch ids repairs both sides idempotently.
+    A pre-seeded NON-partitioned store carries no per-batch provenance and
+    is exempt. The current batch id is excluded: its own partitions are
+    legitimately half-written during a replay."""
+    out_ids = set(_list_batch_ids(spark, output_path)) - {batch_id}
+    if not out_ids:
+        return
+    store_ids = set(_list_batch_ids(spark, store_path))
+    if not store_ids and _fs_nonempty(spark, store_path):
+        return
+    orphans = sorted(out_ids - store_ids)
+    if orphans:
+        raise ValueError(
+            f"{what} store {store_path} is missing batch partitions {orphans} "
+            f"that exist under {output_path} (a prior ingest failed between "
+            "its output and store writes) — re-run the ingest for those "
+            "batch ids before continuing"
+        )
 
 
 def _list_batch_ids(spark: SparkSession, root: str) -> list[int]:

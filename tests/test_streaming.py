@@ -642,6 +642,63 @@ def test_ingest_segment_batch_replay_idempotent(spark, tmp_path):
     assert all(r["sum(n_docs)"] <= 2 for r in cum)
 
 
+def test_ingest_segment_batch_orphan_detection(spark, tmp_path):
+    """An output ``batch=<id>`` whose store partition is missing (crash
+    between the two writes) must fail LOUDLY on the next direct-call
+    ingest and on finalization — silently proceeding would undercount the
+    cumulative segment df forever. Re-running the orphaned batch repairs
+    both sides."""
+    import shutil
+
+    import pytest
+
+    out = str(tmp_path / "seg_out")
+    store = str(tmp_path / "seg_store")
+    boiler = "all rights reserved contact us terms of service"
+    b0 = spark.createDataFrame(
+        [(1, boiler + " alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, boiler + " red orange yellow green blue indigo violet black")],
+        "doc_id long, text string",
+    )
+    jobs.ingest_segment_batch(b0, 0, out, store, max_docs=1)
+    # simulate a crash between the output write and the store write
+    shutil.rmtree(f"{store}/batch=0")
+    with pytest.raises(ValueError, match="batch partitions \\[0\\]"):
+        jobs.ingest_segment_batch(b1, 1, out, store, max_docs=1)
+    with pytest.raises(ValueError, match="batch partitions \\[0\\]"):
+        jobs.rescrub_segments(spark, out, store, max_docs=1)
+    # replaying the orphaned batch id itself is the repair path
+    jobs.ingest_segment_batch(b0, 0, out, store, max_docs=1)
+    jobs.ingest_segment_batch(b1, 1, out, store, max_docs=1)
+    assert jobs.rescrub_segments(spark, out, store, max_docs=1).count() == 2
+
+
+def test_ingest_dedup_batch_orphan_detection(spark, tmp_path):
+    """Same two-write contract for the signature store: an orphaned output
+    batch means later batches would never be filtered against its
+    signatures — refuse instead of silently readmitting duplicates."""
+    import shutil
+
+    import pytest
+
+    out = str(tmp_path / "dd_out")
+    store = str(tmp_path / "dd_store")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, text)], "doc_id long, text string")
+    jobs.ingest_dedup_batch(b0, 0, out, store)
+    shutil.rmtree(f"{store}/batch=0")
+    with pytest.raises(ValueError, match="batch partitions \\[0\\]"):
+        jobs.ingest_dedup_batch(b1, 1, out, store)
+    jobs.ingest_dedup_batch(b0, 0, out, store)
+    jobs.ingest_dedup_batch(b1, 1, out, store)
+    # with the store repaired, the near-identical doc in b1 is deduped
+    assert spark.read.parquet(f"{out}/batch=1").count() == 0
+
+
 def test_stream_lateness_monitor_matches_batch_audit(spark, tmp_path):
     """Ingesting disordered events as ordered micro-batches, then folding
     the lateness store, reproduces q134's batch audit exactly — including

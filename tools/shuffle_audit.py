@@ -34,7 +34,52 @@ CASES = [
     "q122_segment_dedup",       # segment df agg + reassembly
     "q127_normalize_text",      # pure map: expect ~0 shuffle
     "q132_source_divergence",   # one corpus agg; vocab-sized tails
+    # round-7 extension (judge ask): the most expensive registry queries,
+    # whose scale claims previously rested on plan-audit ceilings alone
+    "q55_near_dup_clusters",    # LSH band join -> pointer-doubling CC
+    "q72_embedding_dup_clusters",  # embedding-LSH band join -> CC
+    "q91_substring_spans",      # positional-gram inverted index islands
+    "q105_pagerank_dupgraph",   # iterative join+agg message passing
+    "q115_cluster_canonicals",  # CC + one quality-collapse window
+    "q125_lsh_eval",            # LSH pipeline + exact-truth comparison
+    "q21_ngram_jaccard_pairs",  # shingle explode + max_df-capped verify
+    "q52_tfidf_top_terms",      # two corpus aggs + vocab join-back
+    "q134_lateness_audit",      # per-user windows + shared exchange agg
+    "q135_grouping_sets",       # single Expand pass
+    "q137_waterfill_budget",    # ONE corpus agg + #sources relations
+    "q138_hard_negatives",      # probe broadcast + rank window
+    "q142_mutual_nn_pairs",     # probe-slice top-1 self-join
 ]
+
+
+def _run_segment_dedup_streaming_twin(spark) -> None:
+    """q122's streaming twin (stream_segment_dedup's foreachBatch body,
+    called directly): two micro-batches over the sf0.1 documents table,
+    text-free store merges only — the claim the measurement backs is that
+    the PER-BATCH shuffle tracks the batch, not the cumulative corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.io import read_table
+    from otokuna_spark.streaming.jobs import ingest_segment_batch
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="shuffle_audit_seg_")
+    try:
+        for bid, half in enumerate((0, 1)):
+            batch = docs.where(F.col("doc_id") % 2 == half)
+            ingest_segment_batch(
+                batch, bid, f"{root}/out", f"{root}/store", max_docs=2
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SPECIAL_CASES = {
+    "q122_streaming_twin_2batches": _run_segment_dedup_streaming_twin,
+}
 
 _UNIT = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
 
@@ -86,10 +131,14 @@ def main() -> None:
     spark = get_spark("shuffle-audit")
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
-    for name in CASES:
+    runners = {name: None for name in CASES} | SPECIAL_CASES
+    for name, special in runners.items():
         before = last_execution_id(spark)
         spark.catalog.clearCache()
-        REGISTRY[name].fn(spark, SF_DIR).collect()
+        if special is None:
+            REGISTRY[name].fn(spark, SF_DIR).collect()
+        else:
+            special(spark)
         s = collect_metrics(spark, before)
         ratio = (
             round(s["shuffle_bytes_written"] / s["input_bytes"], 4)
