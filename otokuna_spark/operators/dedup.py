@@ -1154,3 +1154,83 @@ def scrub_hot_segments(
         )
         .select(F.col("__id").alias(id_col), "kept_text", "n_segs", "n_dropped")
     )
+
+
+def exact_char_dup_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+) -> DataFrame:
+    """Corpus-wide EXACT duplicated-substring spans at CHARACTER level —
+    the ExactSubstr criterion from Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): every maximal span of
+    positions whose ``window``-char substring occurs >= 2 times in the
+    corpus (multiplicity, INCLUDING twice within one document — self-
+    repetition is scrubbed there too). ``substring_span_pairs`` answers
+    "which PAIRS share a run" at token level; this answers "which CHAR
+    RANGES to remove", the actual scrub input. The reference has no
+    analog; pipeline-extension surface (SURVEY.md §2.13).
+
+    Suffix-array equivalence: Lee et al. find these positions with a
+    single-node suffix array (position p is covered iff its suffix has
+    LCP >= window with its SA neighbor). A position's window substring
+    occurs twice in the corpus iff that LCP condition holds, so the
+    position sets are IDENTICAL (property-tested against a literal
+    build-all-suffixes/sort/adjacent-LCP reference in
+    tests/test_dedup.py). The SA is how one machine gets O(n) memory;
+    on Spark the same set falls out of one keyed aggregation over
+    positional windows — the idiomatic distributed realization.
+
+    Exactness at shuffle-friendly cost (hash-then-verify):
+
+    1. positional windows: (doc, p, xxhash64(substr(text, p, window)))
+       — 8-byte keys move, not w-char strings;
+    2. hash-count >= 2 -> CANDIDATE positions (superset: collisions);
+    3. candidates only re-group on the TRUE substring and re-count —
+       multiplicity >= 2 on the real gram is exact, collisions die here;
+    4. maximal spans per doc via the islands trick (p - row_number is
+       constant over a consecutive covered run); span covers
+       [span_start, span_start + span_len).
+
+    Returns (id, span_start, span_len): 1-based char offset, span_len =
+    max(p) - min(p) + window.
+
+    Scale shape: one explode scan; the full corpus shuffles only 8-byte
+    hashes + positions; full ``window``-char grams shuffle ONLY for
+    candidate positions (the duplicated fraction). Never a self-join on
+    position pairs, never O(docs^2).
+    """
+    n_pos = F.length(F.col(text_col)) - F.lit(window - 1)
+    pos = docs.where(n_pos >= 1).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("p"),
+    )
+    gram = F.expr(f"substring(__t, p, {window})")
+    hashed = pos.select("__id", "p", F.xxhash64(gram).alias("__h"))
+    hot_h = (
+        hashed.groupBy("__h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("__h")
+    )
+    cand = (
+        hashed.join(hot_h, "__h")
+        .join(docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")), "__id")
+        .select("__id", "p", gram.alias("__g"))
+    )
+    dup_g = (
+        cand.groupBy("__g").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2).select("__g")
+    )
+    covered = cand.join(dup_g, "__g").select("__id", "p")
+    w_doc = Window.partitionBy("__id").orderBy("p")
+    runs = covered.withColumn("__grp", F.col("p") - F.row_number().over(w_doc))
+    return (
+        runs.groupBy("__id", "__grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") - F.min("p") + window).cast("long").alias("span_len"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_len")
+    )

@@ -26,6 +26,37 @@ def _content_hash(cols: list[str]):
     return F.xxhash64(*parts)
 
 
+def hashed_snapshot(df: DataFrame, key: str, compare_cols: list[str]) -> DataFrame:
+    """(k, __h) content-hash projection of a keyed snapshot — the only
+    state a diff needs, and the only state the streaming twin persists
+    (two longs + key per row, never the payload)."""
+    return df.select(F.col(key).alias("k"), _content_hash(compare_cols).alias("__h"))
+
+
+def diff_hashed(
+    old_h: DataFrame,
+    new_h: DataFrame,
+    key: str,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Classify hashed snapshots (``hashed_snapshot`` outputs). Shared by
+    the batch operator and streaming.jobs.ingest_snapshot_batch so the
+    two paths cannot drift."""
+    o = old_h.select(F.col("k"), F.col("__h").alias("__h_old"))
+    n = new_h.select(F.col("k"), F.col("__h").alias("__h_new"))
+    joined = o.join(n, "k", "full_outer")
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(F.col("k").alias(key), change.alias("change_type"))
+    if not include_unchanged:
+        out = out.where(F.col("change_type") != "unchanged")
+    return out
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -38,16 +69,9 @@ def snapshot_diff(
     compare column differs), plus ``unchanged`` when requested. Keys must
     be unique per snapshot (enforce upstream; duplicate keys make "the
     row for key k" ill-defined)."""
-    o = old.select(F.col(key).alias("k"), _content_hash(compare_cols).alias("__h_old"))
-    n = new.select(F.col(key).alias("k"), _content_hash(compare_cols).alias("__h_new"))
-    joined = o.join(n, "k", "full_outer")
-    change = (
-        F.when(F.col("__h_old").isNull(), F.lit("added"))
-        .when(F.col("__h_new").isNull(), F.lit("removed"))
-        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
+    return diff_hashed(
+        hashed_snapshot(old, key, compare_cols),
+        hashed_snapshot(new, key, compare_cols),
+        key,
+        include_unchanged,
     )
-    out = joined.select(F.col("k").alias(key), change.alias("change_type"))
-    if not include_unchanged:
-        out = out.where(F.col("change_type") != "unchanged")
-    return out

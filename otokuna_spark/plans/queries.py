@@ -6507,3 +6507,47 @@ def q142_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a")
     )
+
+
+@register(
+    "q143_exact_dup_spans",
+    """
+    WITH pos AS (
+        SELECT doc_id, p, substr(text, p, 32) AS gram
+        FROM documents,
+             UNNEST(CASE WHEN length(text) >= 32
+                         THEN generate_series(1, length(text) - 31)
+                         ELSE [] END) AS u(p)
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+    cov AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+    r AS (
+        SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov
+    ),
+    spans AS (
+        SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + 32 AS span_len
+        FROM r GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM spans ORDER BY doc_id, span_start
+    """,
+    "Corpus-wide EXACT duplicated-substring spans at character level "
+    "(Lee et al. 2022 ExactSubstr — the scrub-input complement of q91's "
+    "pairwise token runs): every maximal char range whose 32-char windows "
+    "all occur >=2 times in the corpus, multiplicity-counted so self-"
+    "repetition is caught too. Position set is IDENTICAL to the paper's "
+    "suffix-array LCP>=w criterion (property-tested against a literal "
+    "suffix-sort reference); Spark-side it is one keyed agg over 8-byte "
+    "positional window hashes with a verify re-count on the true gram for "
+    "candidates only — hash-then-verify exactness at shuffle-friendly "
+    "cost, never a position self-join",
+)
+def q143_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_char_dup_spans(docs, "doc_id", "text", window=32).orderBy(
+        "doc_id", "span_start"
+    )

@@ -788,6 +788,90 @@ def stream_lateness_monitor(
     q.awaitTermination()
 
 
+def ingest_snapshot_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    store_path: str,
+    key: str,
+    compare_cols: list[str],
+) -> None:
+    """One idempotent micro-batch of ``stream_snapshot_diff``: diff this
+    batch's FULL keyed snapshot against the latest strictly-prior
+    persisted snapshot, write the row-diff to ``output/batch=<id>`` and
+    the content-hash snapshot to ``store/snap/batch=<id>``.
+
+    The classification is ``operators.diff.diff_hashed`` — the same code
+    path as the batch ``snapshot_diff`` operator, so output/batch=N is
+    EXACTLY ``snapshot_diff(S_{N-1}, S_N)`` (batch-equivalence-tested);
+    the first snapshot diffs against empty, i.e. every row ``added``.
+
+    Same strictly-prior-state discipline as the lateness store: a replay
+    reads only snapshots with a SMALLER batch id (its own crashed
+    attempt's partitions are ignored and overwritten), and a prior
+    ingest that died between its two writes (output written, snapshot
+    missing) is detected and refused loudly — diffing batch N+1 against
+    snapshot N-1 would silently merge two generations of changes.
+
+    Scale shape: the store holds (key, xxhash64) per row — the payload
+    is hashed in the scan projection and never persisted; per-batch cost
+    is one full-outer equi-join of two hash relations. Old snapshots are
+    compactable garbage: only the latest prior is ever read."""
+    from ..operators.diff import diff_hashed, hashed_snapshot
+
+    sp = batch_df.sparkSession
+    snap_root = f"{store_path}/snap"
+    snap_ids = [i for i in _list_batch_ids(sp, snap_root) if i < batch_id]
+    out_ids = [i for i in _list_batch_ids(sp, output_path) if i < batch_id]
+    best = max(snap_ids) if snap_ids else None
+    orphaned = [i for i in out_ids if best is None or i > best]
+    if orphaned:
+        raise ValueError(
+            f"snapshot store {store_path} has diff outputs for batches "
+            f"{orphaned} but no snapshot at or after them (a prior ingest "
+            "failed between its two writes) — re-run ingest_snapshot_batch "
+            "for those batch ids first"
+        )
+    cur = hashed_snapshot(batch_df, key, compare_cols).localCheckpoint()
+    if best is None:
+        prior = sp.createDataFrame([], cur.schema)
+    else:
+        prior = sp.read.parquet(f"{snap_root}/batch={best}").select("k", "__h")
+    diff = diff_hashed(prior, cur, key)
+    diff.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+    cur.write.mode("overwrite").parquet(f"{snap_root}/batch={batch_id}")
+
+
+def stream_snapshot_diff(
+    snapshots_stream: DataFrame,
+    output_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    key: str,
+    compare_cols: list[str],
+) -> None:
+    """Streaming twin of ``operators.diff.snapshot_diff`` (q117): each
+    micro-batch is a complete keyed snapshot version; the job emits the
+    row-level diff vs the previous version under ``output/batch=<id>``
+    and maintains the hash-only snapshot chain under ``store/snap``.
+    The incremental-family completion item: dedup, aggregates, segments,
+    drift, and lateness already have streaming twins; this adds the
+    versioned-table CDC diff."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_snapshot_batch(
+            batch_df, batch_id, output_path, store_path, key, compare_cols
+        )
+
+    q = (
+        snapshots_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Path existence via the Hadoop FS layer — works for s3a://, hdfs://,
     and local paths alike (os.path.exists is always False on remote

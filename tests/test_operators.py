@@ -1600,3 +1600,76 @@ def test_watermark_lateness_buckets_on_disordered_events(spark, tmp_path):
     assert out[-1] == (1, 0, 2)
     assert out[19] == (1, 1, 2)   # 2^19 <= 1_000_000 us < 2^20
     assert out[22] == (1, 1, 3)   # 2^22 <= 6_000_000 us < 2^23
+
+
+def _sa_reference_spans(texts: dict[int, str], w: int) -> set[tuple[int, int, int]]:
+    """Literal Lee-et-al. reference: build every suffix, sort, mark a
+    position covered iff its adjacent-in-SA LCP >= w (equivalently: its
+    w-char window occurs >= 2 times in the corpus), then merge covered
+    positions into maximal per-doc spans. Quadratic and tiny-corpus-only
+    — exists to pin the operator's semantics to the suffix-array
+    formulation, not to be fast."""
+    sufs = sorted(
+        (t[p:], d, p) for d, t in texts.items() for p in range(len(t) - w + 1)
+    )
+    covered: set[tuple[int, int]] = set()
+    for (s1, d1, p1), (s2, d2, p2) in zip(sufs, sufs[1:]):
+        lcp = 0
+        m = min(len(s1), len(s2))
+        while lcp < m and s1[lcp] == s2[lcp]:
+            lcp += 1
+        if lcp >= w:
+            covered.add((d1, p1))
+            covered.add((d2, p2))
+    spans = set()
+    for d in texts:
+        ps = sorted(p for dd, p in covered if dd == d)
+        i = 0
+        while i < len(ps):
+            j = i
+            while j + 1 < len(ps) and ps[j + 1] == ps[j] + 1:
+                j += 1
+            spans.add((d, ps[i] + 1, ps[j] - ps[i] + w))  # 1-based start
+            i = j + 1
+    return spans
+
+
+def test_exact_char_dup_spans_matches_suffix_array_reference(spark):
+    """The operator's position set is IDENTICAL to the suffix-array
+    LCP >= w criterion — checked on a planted-duplicate corpus and on a
+    seeded small-alphabet random corpus (which forces heavy incidental
+    duplication, the worst case for the islands merge)."""
+    import random
+
+    w = 8
+    quote = "the quick brown fox jumps"
+    planted = {
+        1: "aaa " + quote + " bbb",
+        2: "ccc ddd " + quote,
+        3: "zz yy xx ww vv uu tt ss",          # no dup window
+        4: "repeat repeat repeat repeat",       # SELF-repetition: covered too
+    }
+    rng = random.Random(7)
+    randoms = {
+        10 + i: "".join(rng.choice("ab ") for _ in range(rng.randint(20, 60)))
+        for i in range(8)
+    }
+    for texts in (planted, randoms):
+        docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_len"])
+            for r in dedup.exact_char_dup_spans(docs, "doc_id", "text", window=w).collect()
+        }
+        assert got == _sa_reference_spans(texts, w), f"corpus={sorted(texts)}"
+    # the planted corpus specifics: docs 1/2 share the quote, doc 4
+    # self-repeats, doc 3 is clean
+    docs = spark.createDataFrame(list(planted.items()), "doc_id long, text string")
+    by_doc = {}
+    for r in dedup.exact_char_dup_spans(docs, "doc_id", "text", window=w).collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_len"]))
+    assert 3 not in by_doc
+    assert 4 in by_doc  # multiplicity counting caught self-repetition
+    # doc 1's span covers the quote INCLUDING the preceding space (both
+    # docs have " the quick..."): 1-based start 4, len = quote + 1
+    (s1, l1), = by_doc[1]
+    assert s1 == 4 and l1 == len(quote) + 1

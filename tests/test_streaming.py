@@ -699,6 +699,69 @@ def test_ingest_dedup_batch_orphan_detection(spark, tmp_path):
     assert spark.read.parquet(f"{out}/batch=1").count() == 0
 
 
+def test_stream_snapshot_diff_matches_batch_operator(spark, tmp_path):
+    """Ingesting snapshot versions S0, S1, S2 through the streaming twin
+    yields, per batch, exactly the batch operator's
+    ``snapshot_diff(S_{N-1}, S_N)`` (S_{-1} = empty -> all 'added');
+    replays are idempotent; a crash between the diff write and the
+    snapshot write is detected loudly."""
+    import shutil
+
+    import pytest
+
+    from otokuna_spark.operators.diff import snapshot_diff
+
+    out = str(tmp_path / "diff_out")
+    store = str(tmp_path / "diff_store")
+    schema = "id long, price double, status string"
+    s0 = spark.createDataFrame([(1, 10.0, "O"), (2, 20.0, "O"), (3, 30.0, "F")], schema)
+    s1 = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, 25.0, "O"), (4, 40.0, "O")], schema  # 3 removed, 2 changed, 4 added
+    )
+    s2 = spark.createDataFrame(
+        [(1, 10.0, "F"), (2, 25.0, "O"), (4, 40.0, "O"), (5, 5.0, "O")], schema
+    )
+    snaps = [s0, s1, s2]
+    for i, s in enumerate(snaps):
+        jobs.ingest_snapshot_batch(s, i, out, store, "id", ["price", "status"])
+
+    empty = spark.createDataFrame([], schema)
+    for i, s in enumerate(snaps):
+        prev = snaps[i - 1] if i else empty
+        want = {
+            (r["id"], r["change_type"])
+            for r in snapshot_diff(prev, s, "id", ["price", "status"]).collect()
+        }
+        got = {
+            (r["id"], r["change_type"])
+            for r in spark.read.parquet(f"{out}/batch={i}").collect()
+        }
+        assert got == want, f"batch {i}"
+    assert {
+        (r["id"], r["change_type"]) for r in spark.read.parquet(f"{out}/batch=1").collect()
+    } == {(3, "removed"), (2, "changed"), (4, "added")}
+
+    # replay of batch 2 diffs against snapshot 1, not its own crashed snap
+    jobs.ingest_snapshot_batch(s2, 2, out, store, "id", ["price", "status"])
+    again = {
+        (r["id"], r["change_type"]) for r in spark.read.parquet(f"{out}/batch=2").collect()
+    }
+    assert again == {(1, "changed"), (5, "added")}
+
+    # crash between the two writes: output 2 exists, snapshot 2 missing
+    shutil.rmtree(f"{store}/snap/batch=2")
+    s3 = spark.createDataFrame([(1, 10.0, "F")], schema)
+    with pytest.raises(ValueError, match="\\[2\\]"):
+        jobs.ingest_snapshot_batch(s3, 3, out, store, "id", ["price", "status"])
+    # re-running the orphaned batch repairs the chain
+    jobs.ingest_snapshot_batch(s2, 2, out, store, "id", ["price", "status"])
+    jobs.ingest_snapshot_batch(s3, 3, out, store, "id", ["price", "status"])
+    got3 = {
+        (r["id"], r["change_type"]) for r in spark.read.parquet(f"{out}/batch=3").collect()
+    }
+    assert got3 == {(2, "removed"), (4, "removed"), (5, "removed")}
+
+
 def test_stream_lateness_monitor_matches_batch_audit(spark, tmp_path):
     """Ingesting disordered events as ordered micro-batches, then folding
     the lateness store, reproduces q134's batch audit exactly — including

@@ -39,9 +39,10 @@ CASES = {
     "df_join_back": "q130_novel_ngrams",         # inverted index + df join + regroup
     "closed_form_solver": "q137_waterfill_budget",  # corpus agg + sources-sized tail
     # round-7 extension (judge ask): the round-6 physical classes
-    "events_window": "q134_lateness_audit",      # per-key window + shared exchange agg
+    "events_window": "q134_watermark_lateness",      # per-key window + shared exchange agg
     "expand_reshape": "q135_grouping_sets",      # single Expand pass (GROUPING SETS)
     "probe_self_join": "q142_mutual_nn_pairs",   # probe-slice top-1 reciprocity join
+    "char_window_verify": "q143_exact_dup_spans",  # hash-then-verify positional windows
 }
 
 

@@ -44,11 +44,12 @@ CASES = [
     "q125_lsh_eval",            # LSH pipeline + exact-truth comparison
     "q21_ngram_jaccard_pairs",  # shingle explode + max_df-capped verify
     "q52_tfidf_top_terms",      # two corpus aggs + vocab join-back
-    "q134_lateness_audit",      # per-user windows + shared exchange agg
+    "q134_watermark_lateness",      # per-user windows + shared exchange agg
     "q135_grouping_sets",       # single Expand pass
     "q137_waterfill_budget",    # ONE corpus agg + #sources relations
     "q138_hard_negatives",      # probe broadcast + rank window
     "q142_mutual_nn_pairs",     # probe-slice top-1 self-join
+    "q143_exact_dup_spans",     # hash-then-verify positional char windows
 ]
 
 
@@ -79,6 +80,22 @@ def _run_segment_dedup_streaming_twin(spark) -> None:
 
 SPECIAL_CASES = {
     "q122_streaming_twin_2batches": _run_segment_dedup_streaming_twin,
+}
+
+# context the raw numbers need (merged into the per-query rows)
+NOTES = {
+    "q91_substring_spans": (
+        "ratio is the matched position-pair volume (sum of df^2 over "
+        "duplicated grams) — intrinsic to exact pairwise span output on "
+        "this deliberately repetitive small-vocab synthetic corpus; in "
+        "production the max_df boilerplate cap bounds it "
+        "(substring_span_pairs(max_df=...), spans under- never over-reported)"
+    ),
+    "q105_pagerank_dupgraph": "sums the exchanges of ALL iterative rounds",
+    "q122_streaming_twin_2batches": (
+        "two foreachBatch ingests over disjoint halves; per-batch shuffle "
+        "tracks the batch + the segment-hash store, never re-reads prior text"
+    ),
 }
 
 _UNIT = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
@@ -145,7 +162,10 @@ def main() -> None:
             if s["input_bytes"]
             else None
         )
-        out[name] = {**s, "shuffle_to_input_ratio": ratio}
+        row = {**s, "shuffle_to_input_ratio": ratio}
+        if name in NOTES:
+            row["note"] = NOTES[name]
+        out[name] = row
     doc = {"metric": "shuffle_bytes_vs_input", "sf_dir": SF_DIR, "queries": out}
     with open("SHUFFLE.json", "w") as f:
         json.dump(doc, f, indent=1)
