@@ -1234,3 +1234,83 @@ def exact_char_dup_spans(
         )
         .select(F.col("__id").alias(id_col), "span_start", "span_len")
     )
+
+
+def exact_substring_scrub(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+) -> DataFrame:
+    """Apply the ExactSubstr criterion (``exact_char_dup_spans``) as a
+    SCRUB: remove every character covered by a duplicated-window span
+    and reassemble the remaining text — the C4-style "delete duplicated
+    text wherever it appears" finisher over char-exact spans.
+
+    Position islands with a gap smaller than ``window`` produce
+    OVERLAPPING char ranges (an island extends ``window - 1`` chars past
+    its last covered position), so ranges are first merged per doc
+    (classic running-max interval union: a new group starts only when
+    ``span_start`` exceeds every previous range end — adjacency merges
+    too, so no empty inter-segment pieces). Kept text is the ordered
+    concatenation of inter-range segments plus the tail.
+
+    Returns (id, kept_text, n_ranges, n_dropped_chars), one row per
+    input document; docs with no duplicated span keep their full text
+    with zeros.
+
+    Scale shape: spans are a tiny relation (one row per duplicated
+    RANGE, not per char); the merge is one per-doc window over it;
+    reassembly joins the span-bearing docs back to their text once —
+    untouched documents take the left join's null branch and never
+    carry segment arrays.
+    """
+    spans = exact_char_dup_spans(docs, id_col, text_col, window)
+    rng = spans.select(
+        F.col(id_col).alias("__id"),
+        F.col("span_start").alias("rs"),
+        (F.col("span_start") + F.col("span_len")).alias("re"),  # exclusive end
+    )
+    w_ord = Window.partitionBy("__id").orderBy("rs")
+    prev_max = F.max("re").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = rng.withColumn(
+        "__grp",
+        F.sum((prev_max.isNull() | (F.col("rs") > prev_max)).cast("long")).over(w_ord),
+    )
+    merged = grouped.groupBy("__id", "__grp").agg(
+        F.min("rs").alias("rs"), F.max("re").alias("re")
+    )
+    # inter-range segment BEFORE each merged range: [prev_end, rs)
+    w_m = Window.partitionBy("__id").orderBy("rs")
+    pieces = merged.withColumn("__ps", F.lag("re", 1, 1).over(w_m))
+    per_doc = pieces.groupBy("__id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__ps").alias("ps"), (F.col("rs") - F.col("__ps")).alias("pl")))
+        ).alias("__segs"),
+        F.max("re").alias("__tail_from"),
+        F.count("*").cast("long").alias("n_ranges"),
+        F.sum(F.col("re") - F.col("rs")).cast("long").alias("n_dropped_chars"),
+    )
+    txt = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    return (
+        txt.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__segs").isNull(), F.col("__t"))
+            .otherwise(
+                F.concat(
+                    F.array_join(
+                        F.transform(
+                            F.col("__segs"),
+                            lambda seg: F.substring(F.col("__t"), seg["ps"], seg["pl"]),
+                        ),
+                        "",
+                    ),
+                    F.substring(F.col("__t"), F.col("__tail_from"), F.length("__t")),
+                )
+            )
+            .alias("kept_text"),
+            F.coalesce("n_ranges", F.lit(0)).alias("n_ranges"),
+            F.coalesce("n_dropped_chars", F.lit(0)).alias("n_dropped_chars"),
+        )
+    )

@@ -6551,3 +6551,76 @@ def q143_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_char_dup_spans(docs, "doc_id", "text", window=32).orderBy(
         "doc_id", "span_start"
     )
+
+
+@register(
+    "q144_exact_scrub",
+    """
+    WITH pos AS (
+        SELECT doc_id, p, substr(text, p, 32) AS gram
+        FROM documents,
+             UNNEST(CASE WHEN length(text) >= 32
+                         THEN generate_series(1, length(text) - 31)
+                         ELSE [] END) AS u(p)
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+    cov AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+    r AS (
+        SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov
+    ),
+    spans AS (
+        SELECT doc_id, MIN(p) AS rs, MAX(p) + 32 AS re
+        FROM r GROUP BY doc_id, grp
+    ),
+    g AS (
+        SELECT doc_id, rs, re,
+               SUM(CASE WHEN prev_max IS NULL OR rs > prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY rs
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp2
+        FROM (
+            SELECT doc_id, rs, re,
+                   MAX(re) OVER (PARTITION BY doc_id ORDER BY rs
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM spans
+        )
+    ),
+    m AS (SELECT doc_id, grp2, MIN(rs) AS rs, MAX(re) AS re FROM g GROUP BY doc_id, grp2),
+    pieces AS (
+        SELECT doc_id, rs, re,
+               COALESCE(LAG(re) OVER (PARTITION BY doc_id ORDER BY rs), 1) AS ps
+        FROM m
+    ),
+    agg AS (
+        SELECT p.doc_id,
+               string_agg(substr(d.text, CAST(p.ps AS INT), CAST(p.rs - p.ps AS INT)),
+                          '' ORDER BY p.rs) AS head,
+               MAX(p.re) AS tail_from,
+               COUNT(*) AS n_ranges,
+               SUM(p.re - p.rs) AS n_dropped
+        FROM pieces p JOIN documents d USING (doc_id)
+        GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN a.doc_id IS NULL THEN d.text
+                ELSE COALESCE(a.head, '') || substr(d.text, CAST(a.tail_from AS INT)) END
+               AS kept_text,
+           CAST(COALESCE(a.n_ranges, 0) AS BIGINT) AS n_ranges,
+           CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+    "ExactSubstr applied as a scrub (the consumer of q143's spans): "
+    "duplicated char ranges are interval-union-merged per doc (islands "
+    "closer than the window overlap as char ranges) and cut out, kept "
+    "text reassembled from the inter-range segments + tail — the "
+    "char-exact counterpart of the C4 segment scrub. One per-doc window "
+    "over the RANGE relation (rows per duplicated range, not per char); "
+    "untouched docs ride the left join's null branch",
+)
+def q144_exact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_scrub(docs, "doc_id", "text", window=32).orderBy(
+        "doc_id"
+    )

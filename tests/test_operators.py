@@ -1673,3 +1673,92 @@ def test_exact_char_dup_spans_matches_suffix_array_reference(spark):
     # docs have " the quick..."): 1-based start 4, len = quote + 1
     (s1, l1), = by_doc[1]
     assert s1 == 4 and l1 == len(quote) + 1
+
+
+def test_exact_substring_scrub_matches_covered_complement(spark):
+    """kept_text must be exactly the document minus the UNION of covered
+    chars from the suffix-array reference (merged ranges, including the
+    overlapping-island case where two position islands sit closer than
+    the window), and n_dropped_chars the size of that union."""
+    import random
+
+    w = 8
+    quote = "the quick brown fox jumps"
+    texts = {
+        1: "aaa " + quote + " bbb",
+        2: "ccc ddd " + quote,
+        3: "zz yy xx ww vv uu tt ss",
+        4: "repeat repeat repeat repeat",
+    }
+    rng = random.Random(11)
+    for i in range(8):
+        texts[10 + i] = "".join(rng.choice("ab ") for _ in range(rng.randint(20, 60)))
+
+    # char-level reference: covered position p blankets chars [p, p+w)
+    ref = {}
+    spans = _sa_reference_spans(texts, w)
+    for d, t in texts.items():
+        dead = set()
+        for dd, start, ln in spans:
+            if dd == d:
+                dead.update(range(start - 1, start - 1 + ln))  # 0-based chars
+        kept = "".join(c for i, c in enumerate(t) if i not in dead)
+        ref[d] = (kept, len(dead))
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["kept_text"], r["n_dropped_chars"])
+        for r in dedup.exact_substring_scrub(docs, "doc_id", "text", window=w).collect()
+    }
+    assert out == ref
+    # clean doc untouched; heavy self-repeat mostly gone
+    assert out[3][0] == texts[3]
+    assert out[4][1] > 0
+
+
+def test_suffix_ranks_match_naive_sort(spark):
+    """Prefix-doubling corpus suffix ranks == dense rank of the suffix
+    string in a literal build-all/sort reference, including equal
+    suffixes ACROSS documents (they must share a rank) and a doc that is
+    a suffix of another."""
+    import random
+
+    from otokuna_spark.operators import suffixarray as sa
+
+    texts = {
+        1: "banana",
+        2: "anana",     # proper suffix of doc 1 -> many cross-doc equal suffixes
+        3: "bandana",
+        4: "a",
+    }
+    rng = random.Random(3)
+    for i in range(6):
+        texts[10 + i] = "".join(rng.choice("ab") for _ in range(rng.randint(1, 40)))
+
+    sufs = sorted({t[p:] for t in texts.values() for p in range(len(t))})
+    want_rank = {s: i for i, s in enumerate(sufs)}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = sa.suffix_ranks(docs, "doc_id", "text").collect()
+    assert len(got) == sum(len(t) for t in texts.values())
+    for r in got:
+        suf = texts[r["doc_id"]][r["pos"] - 1:]
+        assert r["rank"] == want_rank[suf], (r["doc_id"], r["pos"], suf)
+
+
+def test_suffix_array_total_order(spark):
+    """suffix_array's sa_index is a 0..n-1 permutation ordered by
+    (rank, doc, pos); adjacent equal-rank entries are truly equal
+    suffixes."""
+    from otokuna_spark.operators import suffixarray as sa
+
+    texts = {1: "abab", 2: "bab"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = sorted(
+        sa.suffix_array(docs, "doc_id", "text").collect(), key=lambda r: r["sa_index"]
+    )
+    assert [r["sa_index"] for r in rows] == list(range(7))
+    sufs = [texts[r["doc_id"]][r["pos"] - 1:] for r in rows]
+    assert sufs == sorted(sufs)
+    for a, b in zip(rows, rows[1:]):
+        if a["rank"] == b["rank"]:
+            assert texts[a["doc_id"]][a["pos"] - 1:] == texts[b["doc_id"]][b["pos"] - 1:]

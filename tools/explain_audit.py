@@ -266,6 +266,7 @@ MAX_SHUFFLES = {
     "q141_balance_with_resets": 2,  # segment window + epoch agg + per-user rollup share the user exchange; output order
     "q142_mutual_nn_pairs": 3,  # post-checkpoint: reciprocity self-join over the probe-sized top-1 relation + output order
     "q143_exact_dup_spans": 6,  # window-hash agg + candidate join-back + verify regroup + covered join; islands window shares the __id exchange with the span agg; output order
+    "q144_exact_scrub": 7,  # q143's span shuffles + range-merge/reassembly windows sharing the doc exchange; text join-back + output order
 }
 
 
