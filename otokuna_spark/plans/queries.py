@@ -2888,11 +2888,11 @@ _Q77_ORACLE = """
     "TPC-H Q8 shape: per-year market share of one supplier nation within a "
     "part-type market — conditional (CASE) numerator and total denominator "
     "in ONE grouped aggregation over the same five-way star join as Q9. "
-    "The share is emitted as integer ppm via BIGINT floor-division on the "
-    "scaled sums (num*1e6 div den): double division of two large sums is "
-    "not bit-portable across engines, integer division of identical "
-    "integers is. Both positive, so Spark's div (trunc) == DuckDB's // "
-    "(floor)",
+    "The share is emitted as integer ppm via exact floor-division on the "
+    "scaled sums in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): double "
+    "division of two large sums is not bit-portable across engines, and "
+    "BIGINT num*1e6 would wrap at ~1e13 cents of yearly revenue. Both "
+    "positive, so floor == trunc on both sides",
 )
 def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -2911,7 +2911,13 @@ def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0).cast("long"))).alias("num_c"),
             F.sum(vol).alias("den_c"),
         )
-        .withColumn("share_ppm", F.expr("num_c * 1000000 div den_c"))
+        # DECIMAL(38,0): num_c is a yearly revenue sum in cents — ~1e17
+        # at the 100 TB design point, so BIGINT num_c*1e6 wraps; DuckDB
+        # SUM is HUGEINT so only the Spark side needs widening
+        .withColumn(
+            "share_ppm",
+            F.expr("cast(floor(cast(num_c as decimal(38,0)) * 1000000 / den_c) as bigint)"),
+        )
         .orderBy("o_year")
     )
 
@@ -3391,8 +3397,12 @@ def q90_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "sum_freq",
-            # integer `div` keeps this exact on both engines (no double round)
-            F.expr("sum_freq * 1000000 div n_tokens").alias("mean_freq_ppm"),
+            # DECIMAL(38,0): sum_freq sums corpus-wide token frequencies
+            # per doc and can pass ~9e12 on a 100 TB corpus, where BIGINT
+            # *1e6 wraps silently; DuckDB side is already HUGEINT-exact
+            F.expr(
+                "cast(floor(cast(sum_freq as decimal(38,0)) * 1000000 / n_tokens) as bigint)"
+            ).alias("mean_freq_ppm"),
         )
         .orderBy("doc_id")
     )
@@ -5456,11 +5466,15 @@ def q125_lsh_eval(
         "n_candidates",
         "n_true_pairs",
         "n_tp",
+        # DECIMAL(38,0): pair counts can pass ~9e12 at corpus scale,
+        # where BIGINT n_tp*1e6 wraps silently (DuckDB: HUGEINT-exact)
         F.when(
-            F.col("n_candidates") > 0, F.expr("n_tp * 1000000 div n_candidates")
+            F.col("n_candidates") > 0,
+            F.expr("cast(floor(cast(n_tp as decimal(38,0)) * 1000000 / n_candidates) as bigint)"),
         ).otherwise(F.lit(0)).cast("long").alias("precision_ppm"),
         F.when(
-            F.col("n_true_pairs") > 0, F.expr("n_tp * 1000000 div n_true_pairs")
+            F.col("n_true_pairs") > 0,
+            F.expr("cast(floor(cast(n_tp as decimal(38,0)) * 1000000 / n_true_pairs) as bigint)"),
         ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
     )
 
@@ -5669,7 +5683,13 @@ def q129_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "tok",
             F.col("f").alias("freq"),
-            F.expr("cum_f * 1000000 div __total").alias("coverage_ppm"),
+            # DECIMAL(38,0): cum_f approaches the corpus token count, so
+            # BIGINT cum_f*1e6 would wrap silently past ~9e12 tokens
+            # (~60 TB of text); same device as q132, oracle already
+            # exact via DuckDB HUGEINT window sums
+            F.expr(
+                "cast(floor(cast(cum_f as decimal(38,0)) * 1000000 / __total) as bigint)"
+            ).alias("coverage_ppm"),
         )
         .orderBy("rank")
     )

@@ -1762,3 +1762,96 @@ def test_suffix_array_total_order(spark):
     for a, b in zip(rows, rows[1:]):
         if a["rank"] == b["rank"]:
             assert texts[a["doc_id"]][a["pos"] - 1:] == texts[b["doc_id"]][b["pos"] - 1:]
+
+
+def test_lcp_adjacent_and_lrs_match_reference(spark):
+    """LCP-by-doubling over SA-adjacent pairs == literal common-prefix of
+    the sorted suffix list (same (suffix, doc, pos) order), incl. equal
+    suffixes across docs (LCP = full shared length, the truncated-table
+    guard case); longest_repeated_substring = the max."""
+    import random
+
+    from otokuna_spark.operators import suffixarray as sa
+
+    def ref_pairs(texts):
+        sufs = sorted(
+            (t[p - 1:], d, p) for d, t in texts.items() for p in range(1, len(t) + 1)
+        )
+        out = []
+        for (s1, d1, p1), (s2, d2, p2) in zip(sufs, sufs[1:]):
+            lcp = 0
+            m = min(len(s1), len(s2))
+            while lcp < m and s1[lcp] == s2[lcp]:
+                lcp += 1
+            out.append((d1, p1, d2, p2, lcp))
+        return out
+
+    corpora = [
+        {1: "banana"},
+        {1: "banana", 2: "anas", 3: "ana"},  # doc 3 equals a suffix of both
+    ]
+    rng = random.Random(5)
+    corpora.append(
+        {i: "".join(rng.choice("ab") for _ in range(rng.randint(1, 24))) for i in range(4)}
+    )
+    for texts in corpora:
+        docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = [
+            (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"], r["lcp"])
+            for r in sa.lcp_adjacent(docs, "doc_id", "text")
+            .orderBy("id_a", "pos_a", "id_b", "pos_b")
+            .collect()
+        ]
+        assert sorted(got) == sorted(ref_pairs(texts)), texts
+
+    # banana's classic LRS: "ana" (len 3); the reported locus is the
+    # max pair's FIRST element in SA order: suffix "ana" at 1-based pos 4
+    docs = spark.createDataFrame([(1, "banana")], "doc_id long, text string")
+    row = sa.longest_repeated_substring(docs, "doc_id", "text").collect()[0]
+    assert (row["lrs_len"], row["doc_id"], row["pos"]) == (3, 1, 4)
+    assert "banana"[row["pos"] - 1 : row["pos"] - 1 + row["lrs_len"]] == "ana"
+
+
+def test_longest_repeated_substring_matches_duckdb_oracle(spark):
+    """Cross-engine check for the SA module's headline derivation: LRS =
+    max adjacent-sorted-suffix common prefix, computed independently in
+    DuckDB SQL (suffix sort via window LEAD + per-pair mismatch scan)
+    and by the distributed prefix-doubling path. Same deterministic
+    tie-break (lcp DESC, doc, pos)."""
+    import duckdb
+
+    from otokuna_spark.operators import suffixarray as sa
+
+    texts = [
+        (1, "the quick brown fox saw the quick brown bear"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox again"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    want = con.execute("""
+        WITH sufs AS (
+            SELECT doc_id, p, substr(text, p) AS s
+            FROM documents, UNNEST(generate_series(1, length(text))) AS u(p)
+        ),
+        ord AS (
+            SELECT doc_id, p, s,
+                   LEAD(s) OVER w AS s2
+            FROM sufs WINDOW w AS (ORDER BY s, doc_id, p)
+        ),
+        lcp AS (
+            SELECT doc_id, p,
+                   COALESCE(
+                       (SELECT MIN(i) - 1
+                        FROM UNNEST(generate_series(1, LEAST(length(s), length(s2)))) AS g(i)
+                        WHERE substr(s, i, 1) <> substr(s2, i, 1)),
+                       LEAST(length(s), length(s2))) AS l
+            FROM ord WHERE s2 IS NOT NULL
+        )
+        SELECT l, doc_id, p FROM lcp ORDER BY l DESC, doc_id, p LIMIT 1
+    """).fetchone()
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=4).collect()[0]
+    assert (row["lrs_len"], row["doc_id"], row["pos"]) == want
+    assert row["lrs_len"] == len("the quick brown fox ")  # docs 1 & 3

@@ -209,3 +209,62 @@ def test_waterfill_allocation_invariants(spark, tmp_path_factory, sizes):
             assert r["alloc_tokens"] == r["n_tokens"]
     if capped_allocs:
         assert max(capped_allocs) - min(capped_allocs) <= 1
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_exact_char_dup_spans_equals_suffix_reference(spark, texts, w):
+    """ExactSubstr position spans == literal suffix-sort/adjacent-LCP
+    reference on adversarial small-alphabet corpora (heavy incidental
+    duplication, empty docs, docs shorter than the window)."""
+    from otokuna_spark.operators import dedup
+    from tests.test_operators import _sa_reference_spans
+
+    docs_py = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs_py.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in dedup.exact_char_dup_spans(df, "doc_id", "text", window=w).collect()
+    }
+    assert got == _sa_reference_spans(
+        {d: t for d, t in docs_py.items() if len(t) >= w}, w
+    )
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_exact_substring_scrub_complement_property(spark, texts, w):
+    """Scrubbed text == document minus the union of reference-covered
+    chars; dropped counts add up; scrub is a no-op exactly on docs with
+    no covered position."""
+    from otokuna_spark.operators import dedup
+    from tests.test_operators import _sa_reference_spans
+
+    docs_py = {i: t for i, t in enumerate(texts)}
+    spans = _sa_reference_spans({d: t for d, t in docs_py.items() if len(t) >= w}, w)
+    df = spark.createDataFrame(list(docs_py.items()), "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["kept_text"], r["n_dropped_chars"])
+        for r in dedup.exact_substring_scrub(df, "doc_id", "text", window=w).collect()
+    }
+    assert set(out) == set(docs_py)
+    for d, t in docs_py.items():
+        dead = set()
+        for dd, start, ln in spans:
+            if dd == d:
+                dead.update(range(start - 1, start - 1 + ln))
+        assert out[d] == ("".join(c for i, c in enumerate(t) if i not in dead), len(dead))

@@ -50,6 +50,7 @@ CASES = [
     "q138_hard_negatives",      # probe broadcast + rank window
     "q142_mutual_nn_pairs",     # probe-slice top-1 self-join
     "q143_exact_dup_spans",     # hash-then-verify positional char windows
+    "q144_exact_scrub",         # span ranges merge + kept-text reassembly
 ]
 
 
@@ -92,6 +93,12 @@ NOTES = {
         "(substring_span_pairs(max_df=...), spans under- never over-reported)"
     ),
     "q105_pagerank_dupgraph": "sums the exchanges of ALL iterative rounds",
+    "q143_exact_dup_spans": (
+        "ratio reflects the verify pass moving 32-char grams for CANDIDATE positions; on this deliberately repetitive synthetic corpus nearly every position is a candidate, so the bound degenerates to ~window x duplicated-fraction — on natural corpora the duplicated fraction is the tail, and the corpus-wide pass ships only 8-byte hashes"
+    ),
+    "q144_exact_scrub": (
+        "inherits q143's span detection; the merge/reassembly tail adds one range-relation window + a single text join-back"
+    ),
     "q122_streaming_twin_2batches": (
         "two foreachBatch ingests over disjoint halves; per-batch shuffle "
         "tracks the batch + the segment-hash store, never re-reads prior text"
