@@ -65,8 +65,11 @@ def triangle_stats(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
             F.when(
                 F.col("degree") >= 2,
+                # DECIMAL(38,0): hot nodes past ~2e6 degree push
+                # triangles*2e6 over BIGINT; widened like the other ppm sites
                 F.expr(
-                    "coalesce(n_triangles, 0) * 2 * 1000000 div (degree * (degree - 1))"
+                    "cast(floor(cast(coalesce(n_triangles, 0) as decimal(38,0)) * 2 * 1000000"
+                    " / (cast(degree as decimal(38,0)) * (degree - 1))) as bigint)"
                 ),
             )
             .otherwise(F.lit(0))

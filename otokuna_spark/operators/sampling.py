@@ -110,8 +110,13 @@ def hashed_importance_scores(
         hist.crossJoin(F.broadcast(totals))
         .select(
             "__bucket",
+            # DECIMAL(38,0): the three-factor numerator wraps BIGINT
+            # once bucket_count x corpus_tokens x 1e6 passes ~9e18 —
+            # a few million tokens against a large corpus. Oracle twin
+            # widens identically via HUGEINT.
             F.expr(
-                f"(__t + 1) * (__rtot + {n_buckets}) * 1000000 div ((__r + 1) * (__ttot + {n_buckets}))"
+                f"cast(floor((cast(__t + 1 as decimal(38,0)) * (__rtot + {n_buckets}) * 1000000)"
+                f" / (cast(__r + 1 as decimal(38,0)) * (__ttot + {n_buckets}))) as bigint)"
             ).alias("__w_ppm"),
         )
     )

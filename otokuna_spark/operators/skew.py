@@ -84,8 +84,16 @@ def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
         .select(
             F.col("key_value").cast("string").alias("key_value"),
             "cnt",
-            F.expr("cnt * 1000000 div __total").alias("share_ppm"),
-            F.expr("cnt * __n_keys * 1000000 div __total").alias("vs_mean_ppm"),
+            # DECIMAL(38,0): cnt approaches the table's row count, so
+            # BIGINT cnt*1e6 (worse: cnt*n_keys*1e6) wraps silently past
+            # ~9e12 rows — exactly the scale this diagnostic exists for.
+            # The oracle twin widens identically via HUGEINT.
+            F.expr(
+                "cast(floor(cast(cnt as decimal(38,0)) * 1000000 / __total) as bigint)"
+            ).alias("share_ppm"),
+            F.expr(
+                "cast(floor(cast(cnt as decimal(38,0)) * __n_keys * 1000000 / __total) as bigint)"
+            ).alias("vs_mean_ppm"),
         )
         .orderBy(F.desc("cnt"), "key_value")
         .limit(top_k)

@@ -3957,7 +3957,8 @@ def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(r) AS rtot, SUM(t) AS ttot FROM hist),
     w AS (
         SELECT bucket,
-               CAST((t + 1) * (rtot + 256) * 1000000 // ((r + 1) * (ttot + 256)) AS BIGINT) AS w_ppm
+               CAST(CAST(t + 1 AS HUGEINT) * (rtot + 256) * 1000000
+                    // (CAST(r + 1 AS HUGEINT) * (ttot + 256)) AS BIGINT) AS w_ppm
         FROM hist, tot
     ),
     scores AS (
@@ -5168,8 +5169,8 @@ def q118_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM tok WHERE item <> '' GROUP BY 1),
     t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c)
     SELECT key_value, cnt,
-           cnt * 1000000 // total AS share_ppm,
-           cnt * n_keys * 1000000 // total AS vs_mean_ppm
+           CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(CAST(cnt AS HUGEINT) * n_keys * 1000000 // total AS BIGINT) AS vs_mean_ppm
     FROM c, t ORDER BY cnt DESC, key_value LIMIT 5
     """,
     "Join/agg pre-flight skew diagnostic: top-5 hottest keys with table "
