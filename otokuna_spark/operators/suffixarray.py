@@ -75,7 +75,12 @@ def _dense_rank_distributed(
         .join(F.broadcast(off), "__pid", "left")
         .withColumn(out, F.col("__local") + F.coalesce("__off", F.lit(0)))
         .drop("__pid", "__local", "__off")
+        # materialize the result, then free the pre-rank partition cache:
+        # the doubling loop calls this O(log maxlen) times, and keeping
+        # every round's intermediate would leak O(rounds x n) cache
+        .localCheckpoint()
     )
+    part.unpersist()
     return ranked, acc
 
 
@@ -105,7 +110,7 @@ def suffix_ranks(
     ).select("__id", "pos", F.expr("substring(__t, pos, 1)").alias("__c"))
 
     ranked, _ = _dense_rank_distributed(chars, "__c", "rank", n_parts)
-    cur = ranked.select("__id", "pos", "rank").localCheckpoint()
+    cur = ranked.select("__id", "pos", "rank")
     n = cur.count()
 
     max_len = base.agg(F.max("__len")).collect()[0][0] or 1
@@ -121,12 +126,12 @@ def suffix_ranks(
             "__key",
             F.col("rank") * (n + 1) + F.coalesce(F.col("__r2"), F.lit(-1)) + 1,
         )
+        prev = ranked
         ranked, n_distinct = _dense_rank_distributed(
             paired.select("__id", "pos", "__key"), "__key", "rank", n_parts
         )
-        prev = cur
-        cur = ranked.select("__id", "pos", "rank").localCheckpoint()
-        prev.unpersist()
+        cur = ranked.select("__id", "pos", "rank")
+        prev.unpersist()  # new round is materialized; previous cache freed
         rounds += 1
         k *= 2
         if n_distinct == n:
@@ -173,7 +178,7 @@ def suffix_ranks_with_tables(
     ).select("__id", "pos", F.expr("substring(__t, pos, 1)").alias("__c"))
 
     ranked, _ = _dense_rank_distributed(chars, "__c", "rank", n_parts)
-    cur = ranked.select("__id", "pos", "rank").localCheckpoint()
+    cur = ranked.select("__id", "pos", "rank")
     n = cur.count()
     tables: list[tuple[int, DataFrame]] = [(0, cur)]
 
@@ -190,7 +195,7 @@ def suffix_ranks_with_tables(
         ranked, n_distinct = _dense_rank_distributed(
             paired.select("__id", "pos", "__key"), "__key", "rank", n_parts
         )
-        cur = ranked.select("__id", "pos", "rank").localCheckpoint()
+        cur = ranked.select("__id", "pos", "rank")
         tables.append((j, cur))
         k *= 2
         j += 1
