@@ -12,11 +12,17 @@ built from shuffle order. Running the identical oracle sweep with a
 deliberately odd partition count (default 7, vs the session's 32)
 flushes all of those out.
 
-Usage:
-    python tools/invariance_check.py [n_partitions] [sf_dir]
+A second axis: session TIMEZONE. Every event-time query pins UTC
+internally (plans.queries._events), but a query that touched ``ts``
+outside that device would silently shift under a non-UTC session. Pass
+``--tz <zone>`` to run the sweep under an adversarial session zone.
 
-Round-7 result: 134/134 oracle-paired queries PASS at 7 partitions
-(sf0.01), i.e. the registry is partitioning-invariant end to end.
+Usage:
+    python tools/invariance_check.py [n_partitions] [sf_dir] [--tz ZONE]
+
+Round-7 results at sf0.01: 134/134 oracle-paired queries PASS at 7
+partitions, and 134/134 PASS under session timezone Asia/Tokyo — the
+registry is partitioning- and timezone-invariant end to end.
 """
 
 from __future__ import annotations
@@ -31,11 +37,19 @@ _ORIG = session.get_spark
 
 
 def main(argv: list[str]) -> int:
+    tz = None
+    if "--tz" in argv:
+        i = argv.index("--tz")
+        tz = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     n_parts = int(argv[0]) if argv else 7
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
 
     def patched(app_name: str = "otokuna-spark", shuffle_partitions: int | None = None):
-        return _ORIG(app_name, shuffle_partitions=n_parts)
+        sp = _ORIG(app_name, shuffle_partitions=n_parts)
+        if tz:
+            sp.conf.set("spark.sql.session.timeZone", tz)
+        return sp
 
     session.get_spark = patched
     import tools.check_oracle as co
@@ -43,7 +57,10 @@ def main(argv: list[str]) -> int:
     co.get_spark = patched
     from otokuna_spark.plans.queries import REGISTRY
 
-    print(f"invariance sweep: {len(REGISTRY)} queries @ {n_parts} shuffle partitions")
+    print(
+        f"invariance sweep: {len(REGISTRY)} queries @ {n_parts} shuffle partitions"
+        + (f", session tz {tz}" if tz else "")
+    )
     return co.run(sf_dir, sorted(REGISTRY))
 
 
