@@ -22,13 +22,19 @@ strategy swaps, partition coalescing, skew splits); results must not
 depend on which physical plan won. ``--no-aqe`` runs the sweep with
 ``spark.sql.adaptive.enabled=false``.
 
+Fourth axis: WHOLE-STAGE CODEGEN. ``--no-codegen`` forces the
+interpreted expression path — generated and interpreted evaluators have
+historically diverged on edge semantics, so the gate must not care
+which one ran.
+
 Usage:
     python tools/invariance_check.py [n_partitions] [sf_dir]
-                                     [--tz ZONE] [--no-aqe]
+                                     [--tz ZONE] [--no-aqe] [--no-codegen]
 
 Round-7 results at sf0.01, 134/134 oracle-paired queries PASS on every
-axis: 7 shuffle partitions; session timezone Asia/Tokyo; AQE disabled —
-the registry is partitioning-, timezone-, and planner-invariant.
+axis: 7 shuffle partitions; session timezone Asia/Tokyo; AQE disabled;
+whole-stage codegen disabled — the registry is partitioning-,
+timezone-, planner-, and evaluator-invariant.
 """
 
 from __future__ import annotations
@@ -45,8 +51,8 @@ _ORIG = session.get_spark
 def main(argv: list[str]) -> int:
     tz = None
     no_aqe = "--no-aqe" in argv
-    if no_aqe:
-        argv = [a for a in argv if a != "--no-aqe"]
+    no_codegen = "--no-codegen" in argv
+    argv = [a for a in argv if a not in ("--no-aqe", "--no-codegen")]
     if "--tz" in argv:
         i = argv.index("--tz")
         tz = argv[i + 1]
@@ -60,6 +66,8 @@ def main(argv: list[str]) -> int:
             sp.conf.set("spark.sql.session.timeZone", tz)
         if no_aqe:
             sp.conf.set("spark.sql.adaptive.enabled", "false")
+        if no_codegen:
+            sp.conf.set("spark.sql.codegen.wholeStage", "false")
         return sp
 
     session.get_spark = patched
@@ -72,6 +80,7 @@ def main(argv: list[str]) -> int:
         f"invariance sweep: {len(REGISTRY)} queries @ {n_parts} shuffle partitions"
         + (f", session tz {tz}" if tz else "")
         + (", AQE off" if no_aqe else "")
+        + (", codegen off" if no_codegen else "")
     )
     return co.run(sf_dir, sorted(REGISTRY))
 
