@@ -311,10 +311,27 @@ def upsert_by_key(
     Crash-safety: a run that died between the renames leaves
     ``path`` missing and ``path__upsert_old`` present; the next call
     restores the backup before merging, so no committed state is ever lost.
+
+    LOCAL filesystem only, enforced loudly: the swap is os.rename-based,
+    and on a remote store (s3a://, hdfs://) os.path.exists is always
+    False — an EXISTING remote table would silently be treated as absent
+    (merging nothing) before the rename finally failed. Same policy as
+    the streaming stores' Hadoop-FS discovery: refuse early rather than
+    degrade silently; at real scale this job belongs to a transactional
+    table format.
     """
     import os as _os
+    import re as _re
     import shutil as _shutil
 
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"upsert_by_key is rename-based and local-only; got scheme "
+            f"{m.group(1)!r} ({path}) — use a transactional table format "
+            "(Delta/Iceberg) or serving.materialize_serving_table's "
+            "dynamic partition overwrite for remote stores"
+        )
     base = path.rstrip("/")
     tmp = base + "__upsert_tmp"
     old = base + "__upsert_old"

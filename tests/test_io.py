@@ -293,3 +293,16 @@ def test_write_zordered_tightens_per_file_ranges(spark, tmp_path):
     # contents identical
     a = sorted(r["payload"] for r in spark.read.parquet(z_path).collect())
     assert a == list(range(n))
+
+
+def test_upsert_by_key_refuses_remote_schemes(spark):
+    """The rename-based upsert must fail LOUDLY on remote stores:
+    os.path.exists is always False there, so an existing remote table
+    would silently be treated as absent before the swap failed late."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="local-only"):
+        oio.upsert_by_key(spark, "s3a://bucket/tbl", df, "k")
+    with pytest.raises(ValueError, match="local-only"):
+        oio.upsert_by_key(spark, "hdfs://nn/tbl", df, "k")
