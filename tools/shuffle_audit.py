@@ -94,10 +94,10 @@ NOTES = {
     ),
     "q105_pagerank_dupgraph": "sums the exchanges of ALL iterative rounds",
     "q143_exact_dup_spans": (
-        "ratio reflects the verify pass moving 32-char grams for CANDIDATE positions; on this deliberately repetitive synthetic corpus nearly every position is a candidate, so the bound degenerates to ~window x duplicated-fraction — on natural corpora the duplicated fraction is the tail, and the corpus-wide pass ships only 8-byte hashes"
+        "ratio reflects the verify pass moving 32-char grams for CANDIDATE positions; on this deliberately repetitive synthetic corpus nearly every position is a candidate, so the bound degenerates to ~window x duplicated-fraction — on natural corpora the duplicated fraction is the tail, and the corpus-wide pass ships only 8-byte hashes. NOTE the denominator: after the round-7 localCheckpoint materializations the parquet scan runs ONCE, and checkpoint reads are cache traffic, not file reads — so shuffle:input rises mechanically versus the earlier double-scan plan even though total bytes moved went DOWN (6.8 -> 4.9 s measured)"
     ),
     "q144_exact_scrub": (
-        "inherits q143's span detection; the merge/reassembly tail adds one range-relation window + a single text join-back"
+        "inherits q143's span detection; the merge/reassembly tail adds one range-relation window + a single text join-back; same checkpoint-denominator effect as q143"
     ),
     "q122_streaming_twin_2batches": (
         "two foreachBatch ingests over disjoint halves; per-batch shuffle "
