@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line (<=2 KB): {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {10 slowest}, "n_queries": N, "queries_full":
+"BENCH_LOCAL.json", "sf": ...}. The full per-query dict is written to
+BENCH_LOCAL.json (the driver's stdout tail capture truncates long lines).
 
 Each query is executed to completion (collect) but results are discarded.
 Timings are the per-entry MIN over $SPARK_GRAFT_BENCH_RUNS passes
@@ -118,23 +120,40 @@ def main() -> None:
         shutil.rmtree(crawl_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    print(json.dumps(payload))
-    # the driver captures only the stdout TAIL, which has truncated
-    # mid-JSON before (BENCH_r04 lost the scrape + q01-q08 entries) — also
-    # write the full record to a committable file
+    # The full per-query record goes to a committable file: with 137
+    # entries the one-line JSON is longer than the driver's stdout tail
+    # capture, which truncated its HEAD and left every round's driver
+    # artifact with "parsed": null (BENCH_r04..r07).
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     try:
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=2)
     except OSError as e:  # bench result still on stdout; don't fail the run
         print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    # stdout gets ONE compact line (<=2 KB, tail-capture-safe): same
+    # metric/value/unit/sf shape, "queries" limited to the 10 slowest,
+    # plus the total count and a pointer to the full record.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_full": "BENCH_LOCAL.json",
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 2048, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

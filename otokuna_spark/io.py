@@ -324,7 +324,7 @@ def upsert_by_key(
     import re as _re
     import shutil as _shutil
 
-    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(.*)$", path)
     if m and m.group(1) != "file":
         raise ValueError(
             f"upsert_by_key is rename-based and local-only; got scheme "
@@ -332,6 +332,20 @@ def upsert_by_key(
             "(Delta/Iceberg) or serving.materialize_serving_table's "
             "dynamic partition overwrite for remote stores"
         )
+    if m:
+        # Normalize a file: URI to the bare OS path BEFORE any os.path
+        # logic — os.path.exists("file:///p") is always False, which would
+        # silently treat an existing table as absent (keeping only
+        # ``updates``) and then fail the final rename.
+        rest = m.group(2)
+        if rest.startswith("//"):
+            rest = rest[2:]  # empty authority: file:///p -> /p
+        if not rest.startswith("/"):
+            raise ValueError(
+                f"upsert_by_key needs a local absolute file: URI; got {path!r} "
+                "(a non-empty authority or relative file: path is not local)"
+            )
+        path = rest
     base = path.rstrip("/")
     tmp = base + "__upsert_tmp"
     old = base + "__upsert_old"

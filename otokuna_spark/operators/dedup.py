@@ -1156,6 +1156,69 @@ def scrub_hot_segments(
     )
 
 
+def _rolling_window_hashes(
+    docs: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, p, __h): a 64-bit polynomial rolling hash of the ``window``-
+    char substring at every 1-based position — ONE O(n) vectorized pass
+    per document (Arrow-batched mapInPandas), replacing per-position
+    ``xxhash64(substring(t, p, w))`` whose scan re-reads w chars per
+    position (w x the CPU at the 100 TB design point). MAP-ONLY: no
+    shuffle; each task hashes its own documents.
+
+    Math (all mod 2^64 via uint64 wraparound): with odd base B and
+    prefix sums S[k] = sum_{j<=k} c_j * Binv^j, the window hash is
+    H(p) = (S[p+w-1] - S[p-1]) * B^(p-1) = sum_{i=1..w} c_{p+i-1} Binv^i,
+    a function of the substring alone. Polynomial hashes are weaker than
+    xxhash64 against ADVERSARIAL inputs (collisions are constructible),
+    which costs only performance, never correctness: the consumer
+    (``exact_char_dup_spans``) re-verifies candidates on the true gram
+    bytes, so collisions die at the verify stage by construction.
+    """
+    b = 0x9E3779B97F4A7C15  # odd 64-bit (golden-ratio) -> invertible
+    binv = pow(b, -1, 1 << 64)
+    bu, binvu = np.uint64(b), np.uint64(binv)
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ps, hs = [], [], []
+            for did, t in zip(pdf["__id"], pdf["__t"]):
+                n = len(t)
+                m = n - window + 1
+                if m < 1:
+                    continue
+                with np.errstate(over="ignore"):
+                    c = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.uint64)
+                    invpow = np.cumprod(np.full(n, binvu, dtype=np.uint64))
+                    s = np.concatenate(
+                        ([np.uint64(0)], np.cumsum(c * invpow, dtype=np.uint64))
+                    )
+                    powb = np.concatenate(
+                        (
+                            [np.uint64(1)],
+                            np.cumprod(np.full(m - 1, bu, dtype=np.uint64)),
+                        )
+                    )
+                    h = ((s[window : window + m] - s[0:m]) & mask) * powb
+                ids.append(np.full(m, did, dtype=np.int64))
+                ps.append(np.arange(1, m + 1, dtype=np.int32))
+                hs.append(h.view(np.int64))  # bit-reinterpret, not cast
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "__id": np.concatenate(ids),
+                        "p": np.concatenate(ps),
+                        "__h": np.concatenate(hs),
+                    }
+                )
+
+    src = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    return src.mapInPandas(gen, schema="__id long, p int, __h long")
+
+
 def exact_char_dup_spans(
     docs: DataFrame,
     id_col: str,
@@ -1196,23 +1259,21 @@ def exact_char_dup_spans(
     Returns (id, span_start, span_len): 1-based char offset, span_len =
     max(p) - min(p) + window.
 
-    Scale shape: one explode scan; the full corpus shuffles only 8-byte
-    hashes + positions; full ``window``-char grams shuffle ONLY for
-    candidate positions (the duplicated fraction). Never a self-join on
-    position pairs, never O(docs^2).
+    Scale shape: one MAP-ONLY rolling-hash scan (O(n) per document —
+    ``_rolling_window_hashes``, replacing the earlier per-position
+    ``xxhash64(substring(...))`` whose scan re-read ``window`` chars per
+    position); the full corpus shuffles only 8-byte hashes + positions;
+    full ``window``-char grams shuffle ONLY for candidate positions (the
+    duplicated fraction). Never a self-join on position pairs, never
+    O(docs^2).
     """
-    n_pos = F.length(F.col(text_col)) - F.lit(window - 1)
-    pos = docs.where(n_pos >= 1).select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("p"),
-    )
     gram = F.expr(f"substring(__t, p, {window})")
     # materialize the corpus-sized hash relation: it feeds BOTH the
     # hot-hash count and the candidate join-back, and Spark has no
-    # cross-branch subtree sharing — without this the explode+hash scan
-    # runs twice (measured 6.8 -> 4.9 s at sf0.1)
-    hashed = pos.select("__id", "p", F.xxhash64(gram).alias("__h")).localCheckpoint()
+    # cross-branch subtree sharing — without this the rolling-hash scan
+    # runs twice (measured 6.8 -> 4.9 s at sf0.1 for the xxhash64
+    # predecessor; same discipline here)
+    hashed = _rolling_window_hashes(docs, id_col, text_col, window).localCheckpoint()
     hot_h = (
         hashed.groupBy("__h")
         .agg(F.count("*").alias("__c"))

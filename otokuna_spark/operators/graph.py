@@ -67,9 +67,10 @@ def triangle_stats(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
                 F.col("degree") >= 2,
                 # DECIMAL(38,0): hot nodes past ~2e6 degree push
                 # triangles*2e6 over BIGINT; widened like the other ppm sites
+                # `div` not floor(/): decimal divide rounds before floor.
                 F.expr(
-                    "cast(floor(cast(coalesce(n_triangles, 0) as decimal(38,0)) * 2 * 1000000"
-                    " / (cast(degree as decimal(38,0)) * (degree - 1))) as bigint)"
+                    "cast(cast(coalesce(n_triangles, 0) as decimal(38,0)) * 2 * 1000000"
+                    " div (cast(degree as decimal(38,0)) * (degree - 1)) as bigint)"
                 ),
             )
             .otherwise(F.lit(0))

@@ -114,9 +114,10 @@ def hashed_importance_scores(
             # once bucket_count x corpus_tokens x 1e6 passes ~9e18 —
             # a few million tokens against a large corpus. Oracle twin
             # widens identically via HUGEINT.
+            # `div` not floor(/): decimal divide rounds before floor.
             F.expr(
-                f"cast(floor((cast(__t + 1 as decimal(38,0)) * (__rtot + {n_buckets}) * 1000000)"
-                f" / (cast(__r + 1 as decimal(38,0)) * (__ttot + {n_buckets}))) as bigint)"
+                f"cast((cast(__t + 1 as decimal(38,0)) * (__rtot + {n_buckets}) * 1000000)"
+                f" div (cast(__r + 1 as decimal(38,0)) * (__ttot + {n_buckets})) as bigint)"
             ).alias("__w_ppm"),
         )
     )

@@ -88,11 +88,14 @@ def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
             # BIGINT cnt*1e6 (worse: cnt*n_keys*1e6) wraps silently past
             # ~9e12 rows — exactly the scale this diagnostic exists for.
             # The oracle twin widens identically via HUGEINT.
+            # `div` (IntegralDivide) keeps the quotient exact: decimal `/`
+            # rounds HALF_UP to scale 6 before floor, overshooting by one
+            # whenever the true fraction is >= 0.9999995.
             F.expr(
-                "cast(floor(cast(cnt as decimal(38,0)) * 1000000 / __total) as bigint)"
+                "cast(cast(cnt as decimal(38,0)) * 1000000 div __total as bigint)"
             ).alias("share_ppm"),
             F.expr(
-                "cast(floor(cast(cnt as decimal(38,0)) * __n_keys * 1000000 / __total) as bigint)"
+                "cast(cast(cnt as decimal(38,0)) * __n_keys * 1000000 div __total as bigint)"
             ).alias("vs_mean_ppm"),
         )
         .orderBy(F.desc("cnt"), "key_value")

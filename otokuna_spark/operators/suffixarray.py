@@ -9,11 +9,17 @@ actual suffix RANKS for the workloads that need the full ordering —
 longest-repeated-substring mining, ordered suffix statistics, o(n)
 sorted-suffix sampling — as a composition of DataFrame primitives:
 
-- **prefix doubling** (Manber–Myers): after round r every suffix knows
-  the dense rank of its first 2^r chars; the next round's key is the
-  pair (rank[p], rank[p + 2^r]), fetched with ONE keyed equi-join (no
-  gather/scatter, no per-row loops). O(log maxlen) rounds.
-- **distributed dense rank**: each round's pair keys are densified with
+- **wide base**: round 0 dense-ranks the length-``BASE_LEN`` (16) gram
+  at every position instead of single chars — truncated-substring
+  string order IS the lexicographic prefix order ("abc" < "abcx"), so
+  the doubling invariant holds and log2(BASE_LEN) whole corpus-shuffle
+  rounds disappear (a 100 TB build saves 4 full-data rounds; the price
+  is range-shuffling 16-byte keys once in round 0).
+- **prefix doubling** (Manber–Myers): after a round every suffix knows
+  the dense rank of its first k chars; the next round's key is the pair
+  (rank[p], rank[p + k]), fetched with ONE keyed equi-join (no
+  gather/scatter, no per-row loops). O(log(maxlen/BASE_LEN)) rounds.
+- **distributed dense rank**: each round's keys are densified with
   repartitionByRange + a per-partition dense_rank window + per-partition
   distinct-count offsets (a bounded driver collect of one long per
   shuffle partition). Equal keys land in one range partition, so ranks
@@ -36,30 +42,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Base gram width for round 0 (must be a power of two; level index
+# BASE_J = log2(BASE_LEN)). LCP consumers resolve the sub-BASE_LEN
+# remainder by direct gram comparison (see ``lcp_adjacent``).
+BASE_LEN = 16
+BASE_J = 4
+
 
 def _dense_rank_distributed(
     df: DataFrame, key: str, out: str, n_parts: int | None = None
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Attach the 0-based DENSE rank of ``key`` (any orderable type) as
-    ``out``; returns (ranked df, number of distinct keys).
+    ``out``; returns (ranked df, number of distinct keys, cache handle).
 
     Range-repartition on the key (equal keys cannot straddle a range
     boundary), dense_rank within each partition, then add per-partition
     offsets = running sum of upstream partitions' distinct counts. The
     only driver materialization is one count per shuffle partition.
+    ONE localCheckpoint per call: the per-partition rank relation is
+    materialized once and BOTH the distinct counts and the final offset
+    join read it, so partition ids cannot drift between the two passes
+    and the doubling loop pays a single job per round for lineage
+    truncation. The caller unpersists the returned cache handle once the
+    next round is materialized.
     ``n_parts`` sizes the range shuffle: the doubling loop launches
-    O(log maxlen) rounds of fixed job overhead, so bounded-sample
-    builds (registry query, tests) should use a handful of partitions
-    while corpus-shard builds take the session default."""
+    O(log maxlen) rounds of fixed job overhead, so bounded-sample builds
+    (registry query, tests) should use a handful of partitions while
+    corpus-shard builds take the session default."""
     if n_parts:
         part = df.repartitionByRange(n_parts, F.col(key))
     else:
         part = df.repartitionByRange(F.col(key))
-    part = part.withColumn("__pid", F.spark_partition_id())
-    part = part.localCheckpoint()  # the window + the counts share one pass
+    local = F.dense_rank().over(Window.partitionBy("__pid").orderBy(key)) - 1
+    ranked_local = (
+        part.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local", local.cast("long"))
+        .localCheckpoint()
+    )
     counts = {
         r["__pid"]: r["__n"]
-        for r in part.groupBy("__pid").agg(F.count_distinct(key).alias("__n")).collect()
+        for r in ranked_local.groupBy("__pid")
+        .agg((F.max("__local") + 1).alias("__n"))
+        .collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -69,19 +93,84 @@ def _dense_rank_distributed(
     off = sp.createDataFrame(
         [(pid, o) for pid, o in offsets.items()] or [(0, 0)], "__pid int, __off long"
     )
-    local = F.dense_rank().over(Window.partitionBy("__pid").orderBy(key)) - 1
     ranked = (
-        part.withColumn("__local", local.cast("long"))
-        .join(F.broadcast(off), "__pid", "left")
+        ranked_local.join(F.broadcast(off), "__pid", "left")
         .withColumn(out, F.col("__local") + F.coalesce("__off", F.lit(0)))
         .drop("__pid", "__local", "__off")
-        # materialize the result, then free the pre-rank partition cache:
-        # the doubling loop calls this O(log maxlen) times, and keeping
-        # every round's intermediate would leak O(rounds x n) cache
-        .localCheckpoint()
     )
-    part.unpersist()
-    return ranked, acc
+    return ranked, acc, ranked_local
+
+
+def _base_grams(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """(grams, lens): one row per (doc, pos) with the length-BASE_LEN
+    gram ``substring(text, pos, BASE_LEN)`` (truncated at the doc end),
+    plus the per-doc length relation. Truncated-gram STRING order equals
+    lexicographic prefix order, so dense-ranking the gram is a valid
+    doubling base at level BASE_J."""
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    ).where(F.col("__len") >= 1)
+    lens = base.select("__id", "__len")
+    grams = base.select(
+        "__id", "__t", F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("pos")
+    ).select("__id", "pos", F.expr(f"substring(__t, pos, {BASE_LEN})").alias("__g"))
+    return grams, lens
+
+
+def _doubling_rounds(
+    grams: DataFrame,
+    n_parts: int | None,
+    max_len: int,
+    max_rounds: int | None = None,
+    keep_tables: bool = False,
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """Shared doubling engine: dense-rank the base grams, then double
+    until ranks are fully distinct or the prefix covers ``max_len``.
+    Returns (final (__id, pos, rank), [(level j, table)] — the tables
+    list only retains intermediates when ``keep_tables``)."""
+    ranked, n_distinct, cache = _dense_rank_distributed(grams, "__g", "rank", n_parts)
+    cur = ranked.select("__id", "pos", "rank")
+    n = cur.count()
+    tables: list[tuple[int, DataFrame]] = [(BASE_J, cur)]
+    caches = [cache]
+
+    rounds = 0
+    k, j = BASE_LEN, BASE_J + 1
+    while k < max_len and n_distinct < n:
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        nxt = cur.select(
+            "__id", (F.col("pos") - k).alias("pos"), F.col("rank").alias("__r2")
+        )
+        paired = cur.join(nxt, ["__id", "pos"], "left").withColumn(
+            "__key",
+            F.col("rank") * (n + 1) + F.coalesce(F.col("__r2"), F.lit(-1)) + 1,
+        )
+        prev_distinct = n_distinct
+        ranked, n_distinct, cache = _dense_rank_distributed(
+            paired.select("__id", "pos", "__key"), "__key", "rank", n_parts
+        )
+        cur = ranked.select("__id", "pos", "rank")
+        tables.append((j, cur))
+        caches.append(cache)
+        if not keep_tables:
+            # new round is materialized; previous round's cache freed
+            caches.pop(0).unpersist()
+            tables.pop(0)
+        rounds += 1
+        k *= 2
+        j += 1
+        if n_distinct == n or n_distinct == prev_distinct:
+            # FIXED POINT: the rank partition refines monotonically, and a
+            # round that refines nothing proves the partition already IS
+            # the full-suffix equality partition (identical doc tails tie
+            # forever under dense ranks — "all distinct" alone would never
+            # fire on any corpus with two equal suffixes). No further
+            # round can change anything; stop.
+            break
+    return cur, tables
 
 
 def suffix_ranks(
@@ -95,63 +184,66 @@ def suffix_ranks(
     suffix ``text[pos:]`` (1-based ``pos``), for every position of every
     document. Equal suffixes (across or within documents) share a rank.
 
-    Prefix doubling: O(log maxlen) rounds, each one keyed self-join +
-    one distributed dense rank; stops early once all ranks are distinct
-    (every further round would be a no-op). ``max_rounds`` caps the loop
-    for adversarial inputs (default: doubles past the longest document).
-    """
-    base = docs.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.length(text_col).alias("__len"),
-    ).where(F.col("__len") >= 1)
-    chars = base.select(
-        "__id", "__t", F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("pos")
-    ).select("__id", "pos", F.expr("substring(__t, pos, 1)").alias("__c"))
-
-    ranked, _ = _dense_rank_distributed(chars, "__c", "rank", n_parts)
-    cur = ranked.select("__id", "pos", "rank")
-    n = cur.count()
-
-    max_len = base.agg(F.max("__len")).collect()[0][0] or 1
-    rounds = 0
-    k = 1
-    while k < max_len:
-        if max_rounds is not None and rounds >= max_rounds:
-            break
-        nxt = cur.select(
-            "__id", (F.col("pos") - k).alias("pos"), F.col("rank").alias("__r2")
-        )
-        paired = cur.join(nxt, ["__id", "pos"], "left").withColumn(
-            "__key",
-            F.col("rank") * (n + 1) + F.coalesce(F.col("__r2"), F.lit(-1)) + 1,
-        )
-        prev = ranked
-        ranked, n_distinct = _dense_rank_distributed(
-            paired.select("__id", "pos", "__key"), "__key", "rank", n_parts
-        )
-        cur = ranked.select("__id", "pos", "rank")
-        prev.unpersist()  # new round is materialized; previous cache freed
-        rounds += 1
-        k *= 2
-        if n_distinct == n:
-            break
+    Wide-base prefix doubling: round 0 ranks the 16-char gram at every
+    position, then O(log(maxlen/16)) doubling rounds, each one keyed
+    self-join + one distributed dense rank; stops early once all ranks
+    are distinct (every further round would be a no-op). ``max_rounds``
+    caps the doubling loop for adversarial inputs."""
+    grams, lens = _base_grams(docs, id_col, text_col)
+    max_len = lens.agg(F.max("__len")).collect()[0][0] or 1
+    cur, _ = _doubling_rounds(grams, n_parts, max_len, max_rounds=max_rounds)
     return cur.select(F.col("__id").alias(id_col), "pos", "rank")
 
 
-def suffix_array(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _range_ordered(df: DataFrame, cols: list[str], n_parts: int | None) -> DataFrame:
+    """Range-repartition on ``cols`` and tag each row with its partition
+    id. RangePartitioning assigns partition 0 the lowest key range, so
+    ``__pid`` increases with the sort order and per-partition windows on
+    ``__pid`` + tiny cross-partition stitching reproduce any global-order
+    computation WITHOUT a single-partition stage. localCheckpointed: the
+    callers read it twice (window pass + bounded per-partition summary)."""
+    key_cols = [F.col(c) for c in cols]
+    part = (
+        df.repartitionByRange(n_parts, *key_cols)
+        if n_parts
+        else df.repartitionByRange(*key_cols)
+    )
+    return part.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+
+
+def suffix_array(
+    docs: DataFrame, id_col: str, text_col: str, n_parts: int | None = None
+) -> DataFrame:
     """The suffix array proper: (sa_index, id, pos, rank) ordered by
     (rank, id, pos) — dense-rank ties broken deterministically by
-    document id then position, so sa_index is a total order."""
-    ranks = suffix_ranks(docs, id_col, text_col)
-    w = Window.orderBy("rank", id_col, "pos")
-    # row_number over a global order: used for WRITING the array at the
-    # end, where a total output order is the requested artifact (the
-    # same SinglePartition tail any global ORDER BY has); rank itself
-    # never needs it.
-    return ranks.withColumn(
-        "sa_index", (F.row_number().over(w) - 1).cast("long")
-    ).select("sa_index", id_col, "pos", "rank")
+    document id then position, so sa_index is a total order.
+
+    The total order is computed WITHOUT a single-partition window:
+    range-partition on (rank, id, pos), row_number per partition, then
+    add per-partition row-count offsets (ONE long per shuffle partition
+    collected to the driver — the same bounded-collect device as
+    ``_dense_rank_distributed``)."""
+    ranks = suffix_ranks(docs, id_col, text_col, n_parts=n_parts)
+    part = _range_ordered(ranks, ["rank", id_col, "pos"], n_parts)
+    counts = {
+        r["__pid"]: r["__n"]
+        for r in part.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = part.sparkSession.createDataFrame(
+        [(pid, o) for pid, o in offsets.items()] or [(0, 0)], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy("rank", id_col, "pos")
+    out = (
+        part.withColumn("__local", (F.row_number().over(w) - 1).cast("long"))
+        .join(F.broadcast(off), "__pid", "left")
+        .withColumn("sa_index", F.col("__local") + F.coalesce("__off", F.lit(0)))
+        .select("sa_index", id_col, "pos", "rank")
+    )
+    return out
 
 
 def suffix_ranks_with_tables(
@@ -159,49 +251,23 @@ def suffix_ranks_with_tables(
     id_col: str,
     text_col: str,
     n_parts: int | None = None,
-) -> tuple[DataFrame, list[tuple[int, DataFrame]], DataFrame]:
+) -> tuple[DataFrame, list[tuple[int, DataFrame]], DataFrame, DataFrame]:
     """``suffix_ranks`` that also RETAINS each doubling round's rank
     table — the inputs LCP queries need (LCP-by-doubling walks the
-    tables high-to-low). Returns (final_ranks, [(j, R_j)], doc_lens)
-    where ``R_j[(id,pos)]`` is the dense rank of the length-``2^j``
-    prefix of the suffix at ``pos`` (truncated at the doc end — LCP
-    consumers must length-guard, see ``lcp_adjacent``); all tables are
-    localCheckpoint-materialized."""
-    base = docs.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.length(text_col).alias("__len"),
-    ).where(F.col("__len") >= 1)
-    lens = base.select("__id", "__len").localCheckpoint()
-    chars = base.select(
-        "__id", "__t", F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("pos")
-    ).select("__id", "pos", F.expr("substring(__t, pos, 1)").alias("__c"))
-
-    ranked, _ = _dense_rank_distributed(chars, "__c", "rank", n_parts)
-    cur = ranked.select("__id", "pos", "rank")
-    n = cur.count()
-    tables: list[tuple[int, DataFrame]] = [(0, cur)]
-
-    max_len = base.agg(F.max("__len")).collect()[0][0] or 1
-    k, j = 1, 1
-    while k < max_len:
-        nxt = cur.select(
-            "__id", (F.col("pos") - k).alias("pos"), F.col("rank").alias("__r2")
-        )
-        paired = cur.join(nxt, ["__id", "pos"], "left").withColumn(
-            "__key",
-            F.col("rank") * (n + 1) + F.coalesce(F.col("__r2"), F.lit(-1)) + 1,
-        )
-        ranked, n_distinct = _dense_rank_distributed(
-            paired.select("__id", "pos", "__key"), "__key", "rank", n_parts
-        )
-        cur = ranked.select("__id", "pos", "rank")
-        tables.append((j, cur))
-        k *= 2
-        j += 1
-        if n_distinct == n:
-            break
-    return cur, tables, lens
+    tables high-to-low). Returns (final_ranks, [(j, R_j)], doc_lens,
+    grams) where ``R_j[(id,pos)]`` is the dense rank of the length-
+    ``2^j`` prefix of the suffix at ``pos`` (truncated at the doc end —
+    LCP consumers must length-guard, see ``lcp_adjacent``) and ``grams``
+    is the materialized (id, pos, 16-char gram) base relation for
+    sub-BASE_LEN remainder resolution."""
+    grams, lens = _base_grams(docs, id_col, text_col)
+    lens = lens.localCheckpoint()
+    max_len = lens.agg(F.max("__len")).collect()[0][0] or 1
+    grams = grams.localCheckpoint()  # re-read by the LCP remainder joins
+    cur, tables = _doubling_rounds(
+        grams, n_parts, max_len, keep_tables=True
+    )
+    return cur, tables, lens, grams
 
 
 def lcp_adjacent(
@@ -218,24 +284,68 @@ def lcp_adjacent(
     entries (suffix shorter than 2^j) safe: a truncated string's rank is
     the rank of the SHORT string, equal only to equally-short equal
     strings, so unguarded equality would overcount exactly there.
-    O(log maxlen) levels x 2 keyed equi-joins each; adjacency itself
-    comes from one global-ordered window over the n-row rank relation
-    (the same SinglePartition tail as any total-order output; the rank
-    COMPUTATION never needs it).
+    After the lowest table (level BASE_J) the residual LCP is < BASE_LEN
+    and is resolved EXACTLY by joining the 16-char base grams at the
+    walked offsets and taking their common prefix length (a JVM-side HOF
+    over two 16-char strings — the grams are truncated at doc ends, so
+    doc-length capping is inherent). O(log(maxlen/16)) levels x 2 keyed
+    equi-joins each, plus the 2 gram joins.
+
+    Adjacency needs no total order: range-partition on (rank, id, pos),
+    ``lead`` within each partition, then stitch partition boundaries by
+    broadcasting each partition's FIRST row back as the successor of the
+    previous non-empty partition's last row (ONE row per shuffle
+    partition crosses the driver — the module's standard bounded
+    collect). No SinglePartition stage anywhere in the plan.
 
     Returns (id_a, pos_a, id_b, pos_b, lcp) for the n-1 adjacent pairs.
     """
-    final, tables, lens = suffix_ranks_with_tables(docs, id_col, text_col, n_parts)
+    final, tables, lens, grams = suffix_ranks_with_tables(
+        docs, id_col, text_col, n_parts
+    )
     with_len = final.join(lens, "__id")
-    w = Window.orderBy("rank", "__id", "pos")
+    part = _range_ordered(with_len, ["rank", "__id", "pos"], n_parts)
+    w = Window.partitionBy("__pid").orderBy("rank", "__id", "pos")
+    led = part.select(
+        "__pid",
+        F.col("__id").alias("id_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("__len").alias("__len_a"),
+        F.col("rank").alias("__fr_a"),
+        F.lead("__id").over(w).alias("id_b"),
+        F.lead("pos").over(w).alias("pos_b"),
+        F.lead("__len").over(w).alias("__len_b"),
+        F.lead("rank").over(w).alias("__fr_b"),
+    )
+    # boundary exchange: the first row of each non-empty partition (range
+    # order) is the successor of the PREVIOUS non-empty partition's last
+    # row — <= one row per shuffle partition crosses the driver.
+    firsts = sorted(
+        part.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__pid", "__id", "pos", "__len", "rank")
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    succ_rows = [
+        (firsts[i]["__pid"], nxt["__id"], nxt["pos"], nxt["__len"], nxt["rank"])
+        for i, nxt in enumerate(firsts[1:])
+    ]
+    succ = docs.sparkSession.createDataFrame(
+        succ_rows or [(-1, None, None, None, None)],
+        "__pid int, __sid long, __spos int, __slen int, __sfr long",
+    )
     pairs = (
-        with_len.select(
-            F.col("__id").alias("id_a"),
-            F.col("pos").alias("pos_a"),
-            F.col("__len").alias("__len_a"),
-            F.lead("__id").over(w).alias("id_b"),
-            F.lead("pos").over(w).alias("pos_b"),
-            F.lead("__len").over(w).alias("__len_b"),
+        led.join(F.broadcast(succ), "__pid", "left")
+        .select(
+            "id_a",
+            "pos_a",
+            "__len_a",
+            "__fr_a",
+            F.coalesce("id_b", "__sid").alias("id_b"),
+            F.coalesce("pos_b", "__spos").alias("pos_b"),
+            F.coalesce("__len_b", "__slen").alias("__len_b"),
+            F.coalesce("__fr_b", "__sfr").alias("__fr_b"),
         )
         .where(F.col("id_b").isNotNull())
         .withColumn("lcp", F.lit(0).cast("long"))
@@ -264,6 +374,50 @@ def lcp_adjacent(
         pairs = pairs.withColumn(
             "lcp", F.col("lcp") + F.when(match, F.lit(step)).otherwise(F.lit(0))
         ).drop("__pa", "__pb", "__ra", "__rb")
+    # sub-BASE_LEN remainder: the walk leaves residual LCP < BASE_LEN;
+    # join the truncated base grams at the walked offsets and add their
+    # exact common prefix length (null gram = suffix fully consumed).
+    ga = grams.select(
+        F.col("__id").alias("id_a"), F.col("pos").alias("__pa"), F.col("__g").alias("__ga")
+    )
+    gb = grams.select(
+        F.col("__id").alias("id_b"), F.col("pos").alias("__pb"), F.col("__g").alias("__gb")
+    )
+    pairs = (
+        pairs.withColumn("__pa", F.col("pos_a") + F.col("lcp"))
+        .withColumn("__pb", F.col("pos_b") + F.col("lcp"))
+        .join(ga, ["id_a", "__pa"], "left")
+        .join(gb, ["id_b", "__pb"], "left")
+    )
+    common = F.expr(
+        "coalesce("
+        " get(filter(sequence(1, least(length(__ga), length(__gb))),"
+        "            i -> substring(__ga, i, 1) != substring(__gb, i, 1)), 0) - 1,"
+        " least(length(__ga), length(__gb)))"
+    ).cast("long")
+    pairs = pairs.withColumn(
+        "lcp",
+        F.col("lcp")
+        + F.when(
+            F.col("__ga").isNotNull() & F.col("__gb").isNotNull(), common
+        ).otherwise(F.lit(0)),
+    )
+    # FULLY-EQUAL suffixes (equal FINAL ranks): every loop exit leaves the
+    # final rank table at either all-distinct, prefix length >= maxlen, or
+    # the fixed-point partition — in all three, equal final ranks mean the
+    # suffixes are literally identical strings, so their LCP is the whole
+    # remaining length. The walk cannot measure those (each level is used
+    # once, capping it at 2^(top+1)-1); override them in closed form.
+    pairs = pairs.withColumn(
+        "lcp",
+        F.when(
+            F.col("__fr_a") == F.col("__fr_b"),
+            F.least(
+                F.col("__len_a") - F.col("pos_a"), F.col("__len_b") - F.col("pos_b")
+            ).cast("long")
+            + 1,
+        ).otherwise(F.col("lcp")),
+    )
     return pairs.select("id_a", "pos_a", "id_b", "pos_b", "lcp")
 
 

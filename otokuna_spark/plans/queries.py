@@ -20,6 +20,7 @@ Conventions that make Spark results hash-identical to the DuckDB oracle:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -42,14 +43,34 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _harden_ws(name: str, oracle: str) -> str:
+    """Rewrite every ``\\s`` in the oracle SQL to the explicit WS_CLASS.
+
+    Bare ``\\s`` differs between Java regex (includes \\x0B) and
+    RE2/DuckDB (does not), and can move across DuckDB versions; both
+    engines must run byte-identical character classes. The rewrite is a
+    textual replace, so it is only safe when ``\\s`` appears as the
+    standalone token ``\\s+`` OUTSIDE any bracketed character class —
+    inside ``[...]`` the substituted ``[ \\t...]`` brackets would nest and
+    silently change the regex. Registration fails LOUDLY on any other
+    occurrence instead of producing a silently altered oracle.
+    """
+    for m in re.finditer(r"\\s", oracle):
+        i = m.start()
+        if not (oracle[i - 1 : i] == "'" and oracle[i + 2 : i + 4] == "+'"):
+            raise ValueError(
+                f"oracle for {name!r} uses \\s outside the supported form "
+                f"'\\s+' (a complete single-quoted regex literal) at offset "
+                f"{i}: ...{oracle[max(0, i - 20) : i + 20]!r}... — the "
+                "WS_CLASS textual rewrite would corrupt it; spell the "
+                "character class explicitly"
+            )
+    return oracle.replace("\\s", T.WS_CLASS)
+
+
 def register(name: str, oracle: str | None, description: str):
     def deco(fn):
-        # Harden every oracle against regex-engine drift: bare \s differs
-        # between Java regex (includes \x0B) and RE2/DuckDB (does not),
-        # and can move across DuckDB versions. Rewrite it to the ONE
-        # explicit class the Spark side uses (functions/text.py WS_CLASS)
-        # so both engines run byte-identical character classes.
-        hardened = oracle.replace("\\s", T.WS_CLASS) if oracle else oracle
+        hardened = _harden_ws(name, oracle) if oracle else oracle
         REGISTRY[name] = QuerySpec(fn=fn, oracle=hardened, description=description)
         return fn
 
@@ -2916,7 +2937,8 @@ def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SUM is HUGEINT so only the Spark side needs widening
         .withColumn(
             "share_ppm",
-            F.expr("cast(floor(cast(num_c as decimal(38,0)) * 1000000 / den_c) as bigint)"),
+            # `div` not floor(/): decimal divide rounds HALF_UP before floor
+            F.expr("cast(cast(num_c as decimal(38,0)) * 1000000 div den_c as bigint)"),
         )
         .orderBy("o_year")
     )
@@ -3400,8 +3422,9 @@ def q90_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             # DECIMAL(38,0): sum_freq sums corpus-wide token frequencies
             # per doc and can pass ~9e12 on a 100 TB corpus, where BIGINT
             # *1e6 wraps silently; DuckDB side is already HUGEINT-exact
+            # `div` not floor(/): decimal divide rounds HALF_UP before floor
             F.expr(
-                "cast(floor(cast(sum_freq as decimal(38,0)) * 1000000 / n_tokens) as bigint)"
+                "cast(cast(sum_freq as decimal(38,0)) * 1000000 div n_tokens as bigint)"
             ).alias("mean_freq_ppm"),
         )
         .orderBy("doc_id")
@@ -5482,11 +5505,12 @@ def q125_lsh_eval(
         # where BIGINT n_tp*1e6 wraps silently (DuckDB: HUGEINT-exact)
         F.when(
             F.col("n_candidates") > 0,
-            F.expr("cast(floor(cast(n_tp as decimal(38,0)) * 1000000 / n_candidates) as bigint)"),
+            # `div` not floor(/): decimal divide rounds HALF_UP before floor
+            F.expr("cast(cast(n_tp as decimal(38,0)) * 1000000 div n_candidates as bigint)"),
         ).otherwise(F.lit(0)).cast("long").alias("precision_ppm"),
         F.when(
             F.col("n_true_pairs") > 0,
-            F.expr("cast(floor(cast(n_tp as decimal(38,0)) * 1000000 / n_true_pairs) as bigint)"),
+            F.expr("cast(cast(n_tp as decimal(38,0)) * 1000000 div n_true_pairs as bigint)"),
         ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
     )
 
@@ -5699,8 +5723,9 @@ def q129_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             # BIGINT cum_f*1e6 would wrap silently past ~9e12 tokens
             # (~60 TB of text); same device as q132, oracle already
             # exact via DuckDB HUGEINT window sums
+            # `div` not floor(/): decimal divide rounds HALF_UP before floor
             F.expr(
-                "cast(floor(cast(cum_f as decimal(38,0)) * 1000000 / __total) as bigint)"
+                "cast(cast(cum_f as decimal(38,0)) * 1000000 div __total as bigint)"
             ).alias("coverage_ppm"),
         )
         .orderBy("rank")
@@ -5871,12 +5896,14 @@ def q132_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ns*nc*1e6 passes ~9e18 (a few million tokens for a dominant
             # source) and Spark's non-ANSI long math would wrap SILENTLY.
             # 38 digits hold 2*ns*nc*1e6 up to ~10^15-token corpora; the
-            # quotient (<= 1e6, scale 6 after decimal division) floors
-            # exactly. DuckDB needs no change: SUM(BIGINT) is HUGEINT.
+            # quotient is taken with `div` (IntegralDivide) — decimal `/`
+            # rounds HALF_UP to scale 6 BEFORE floor, overshooting by one
+            # near-integral quotients. DuckDB needs no change: SUM(BIGINT)
+            # is HUGEINT and `//` is exact.
             F.expr(
-                "cast(floor((cast(__present as decimal(38,0))"
+                "cast((cast(__present as decimal(38,0))"
                 " + (cast(nc as decimal(38,0)) - __covered) * ns) * 1000000"
-                " / (2 * cast(ns as decimal(38,0)) * nc)) as bigint)"
+                " div (2 * cast(ns as decimal(38,0)) * nc) as bigint)"
             ).alias("tv_ppm"),
         )
         .orderBy("source")
@@ -6655,4 +6682,61 @@ def q144_exact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return dedup.exact_substring_scrub(docs, "doc_id", "text", window=32).orderBy(
         "doc_id"
+    )
+
+
+@register(
+    "q145_longest_repeated_substring",
+    """
+    WITH docs AS (
+        SELECT doc_id, substr(text, 1, 200) AS t
+        FROM documents WHERE doc_id < 100
+    ),
+    sufs AS (
+        SELECT doc_id, p, substr(t, p) AS s
+        FROM docs, UNNEST(generate_series(1, length(t))) AS u(p)
+    ),
+    ord AS (
+        SELECT doc_id, p, s,
+               LEAD(s) OVER (ORDER BY s, doc_id, p) AS s2
+        FROM sufs
+    ),
+    lcp AS (
+        SELECT doc_id, p,
+               COALESCE(
+                   (SELECT MIN(i) - 1
+                    FROM UNNEST(generate_series(1, LEAST(length(s), length(s2)))) AS g(i)
+                    WHERE substr(s, i, 1) <> substr(s2, i, 1)),
+                   LEAST(length(s), length(s2))) AS l
+        FROM ord WHERE s2 IS NOT NULL
+    )
+    SELECT CAST(l AS BIGINT) AS lrs_len, doc_id, CAST(p AS BIGINT) AS pos
+    FROM lcp WHERE l >= 1
+    ORDER BY l DESC, doc_id, p LIMIT 1
+    """,
+    "Longest repeated substring via the DISTRIBUTED SUFFIX ARRAY "
+    "(operators/suffixarray.py): prefix-doubling suffix ranks (Manber-"
+    "Myers, O(log maxlen) keyed rounds, range-partitioned dense rank), "
+    "adjacent-pair LCP by walking the doubling tables high-to-low, max "
+    "LCP = the LRS (Lee et al. 2022 suffix-array dedup criterion). "
+    "Bounded slice (100 docs x 200 chars) keeps the O(log n) round "
+    "overhead inside the registry latency budget; corpus-shard builds "
+    "use the same code with session-default partitioning. Oracle is a "
+    "literal DuckDB suffix sort + adjacent-LCP scan. No SinglePartition "
+    "stage anywhere (adjacency = range-partitioned lead + boundary "
+    "exchange; asserted by tools/explain_audit.py).",
+)
+def q145_longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import suffixarray as sa
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.substring("text", 1, 200).alias("text"))
+    )
+    out = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=4)
+    return out.select(
+        F.col("lrs_len").cast("long").alias("lrs_len"),
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
     )

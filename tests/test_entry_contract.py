@@ -101,3 +101,24 @@ def test_cli_list_and_unknown_query():
     with contextlib.redirect_stderr(err):
         assert main(["run", "q_does_not_exist"]) == 2
     assert "unknown query" in err.getvalue()
+
+
+def test_harden_ws_guard_refuses_unsafe_forms():
+    """The oracle \\s->WS_CLASS rewrite is textual; registration must fail
+    loudly on any \\s that is not the complete quoted literal '\\s+'
+    (e.g. inside a bracketed class, where the substituted brackets would
+    nest and silently change the regex)."""
+    import pytest
+
+    from otokuna_spark.functions import text as T
+    from otokuna_spark.plans.queries import _harden_ws
+
+    ok = _harden_ws("q", r"regexp_replace(t, '\s+', ' ', 'g')")
+    assert T.WS_CLASS in ok and r"\s" not in ok
+    for bad in (
+        r"regexp_matches(t, '[\s]')",  # inside a character class
+        r"regexp_matches(t, '^\s+x')",  # not the standalone literal
+        r"select '\s' as c",  # no quantifier
+    ):
+        with pytest.raises(ValueError, match="WS_CLASS"):
+            _harden_ws("q", bad)

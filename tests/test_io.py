@@ -105,6 +105,30 @@ def test_upsert_by_key(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4
 
 
+def test_upsert_file_uri_sees_existing_table(spark, tmp_path):
+    # Regression: a file:// URI used to pass the remote-scheme guard but
+    # then hit the raw os.path.exists with the schemed string — an
+    # EXISTING table was treated as absent (merge kept only `updates`)
+    # and the final os.rename failed. The URI is normalized to the bare
+    # OS path before any os.path logic.
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    oio.upsert_by_key(spark, path, base, "k")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    oio.upsert_by_key(spark, "file://" + path, updates, "k")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # single-slash form normalizes too; non-local authority refused loudly
+    oio.upsert_by_key(spark, "file:" + path, updates, "k")
+    assert spark.read.parquet(path).count() == 3
+    with pytest.raises(ValueError, match="authority"):
+        oio.upsert_by_key(spark, "file://otherhost" + path, updates, "k")
+    with pytest.raises(ValueError, match="local-only"):
+        oio.upsert_by_key(spark, "s3a://bucket/tbl", updates, "k")
+
+
 def test_upsert_single_write_job(spark, tmp_path, monkeypatch):
     # the merge must be written exactly ONCE (tmp write + directory swap) —
     # a second write job would double the most expensive daily operation

@@ -1418,6 +1418,38 @@ def test_skew_report_shares_and_ratios(spark):
     assert len(out) == 3 and all(r["cnt"] == 1 for r in out[1:])
 
 
+def test_ppm_integral_division_is_exact_floor(spark):
+    """Regression: the widened ppm arithmetic must be exact floor division.
+
+    Spark's decimal `/` rounds the quotient HALF_UP to scale 6 BEFORE a
+    wrapping floor() can see it, so floor(a/b) overshoots by one whenever
+    the true fractional part is >= 0.9999995 — e.g. floor(10*1e6/10000001)
+    returned 1 where the exact floor (and DuckDB's HUGEINT `//`) is 0.
+    All ppm sites use `div` (IntegralDivide), which is exact. This pins
+    the operator-level behavior on the adversarial pairs plus a sweep.
+    """
+    import random
+
+    rng = random.Random(11)
+    pairs = [(10, 10000001), (9999999999999, 10000000000001), (1, 1)]
+    pairs += [(rng.randint(1, 10**12), rng.randint(1, 10**12)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "num bigint, den bigint")
+    got = df.selectExpr(
+        "num",
+        "den",
+        "cast(cast(num as decimal(38,0)) * 1000000 div den as bigint) as ppm",
+    ).collect()
+    for r in got:
+        assert r["ppm"] == (r["num"] * 1_000_000) // r["den"], (r["num"], r["den"])
+    # the skew_report expression shape on the adversarial pair itself:
+    # cnt=10 of total=10000001 is 0.9999999 ppm — exact floor is 0
+    small = spark.createDataFrame([(10, 10000001)], "cnt bigint, __total bigint")
+    val = small.selectExpr(
+        "cast(cast(cnt as decimal(38,0)) * 1000000 div __total as bigint) as share_ppm"
+    ).collect()[0]["share_ppm"]
+    assert val == 0
+
+
 def test_scalable_quantile_disc_matches_sorted_rank(spark):
     import random
 
@@ -1634,6 +1666,40 @@ def _sa_reference_spans(texts: dict[int, str], w: int) -> set[tuple[int, int, in
     return spans
 
 
+def test_rolling_window_hash_is_a_substring_function(spark):
+    """The O(n)-per-doc rolling polynomial hash must be a pure function
+    of the window SUBSTRING: equal grams (within or across docs,
+    multibyte chars included) -> equal hashes; and every (doc, pos) with
+    at least `window` remaining chars gets exactly one hash row. The
+    consumer re-verifies on true gram bytes, so collisions are allowed —
+    but a same-gram hash MISMATCH would silently drop true duplicates."""
+    import random
+    from collections import defaultdict
+
+    from otokuna_spark.operators import dedup
+
+    rng = random.Random(9)
+    w = 8
+    texts = [
+        (i, "".join(rng.choice("abcd あいう") for _ in range(rng.randint(1, 90))))
+        for i in range(25)
+    ]
+    texts += [(100, "z" * 40), (101, "z" * 40), (102, "short")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = dedup._rolling_window_hashes(docs, "doc_id", "text", w).collect()
+    tmap = dict(texts)
+    expected_rows = sum(max(0, len(t) - w + 1) for t in tmap.values())
+    assert len(rows) == expected_rows
+    bygram = defaultdict(set)
+    for r in rows:
+        g = tmap[r["__id"]][r["p"] - 1 : r["p"] - 1 + w]
+        assert len(g) == w
+        bygram[g].add(r["__h"])
+    assert all(len(v) == 1 for v in bygram.values())
+    # the repeated "z"*40 docs share every window: one hash for all
+    assert len({h for g, hs in bygram.items() if g == "z" * w for h in hs}) == 1
+
+
 def test_exact_char_dup_spans_matches_suffix_array_reference(spark):
     """The operator's position set is IDENTICAL to the suffix-array
     LCP >= w criterion — checked on a planted-duplicate corpus and on a
@@ -1810,6 +1876,24 @@ def test_lcp_adjacent_and_lrs_match_reference(spark):
     row = sa.longest_repeated_substring(docs, "doc_id", "text").collect()[0]
     assert (row["lrs_len"], row["doc_id"], row["pos"]) == (3, 1, 4)
     assert "banana"[row["pos"] - 1 : row["pos"] - 1 + row["lrs_len"]] == "ana"
+
+    # Regression for the fixed-point early stop: two docs with a LONG
+    # identical tail (far longer than the level where the rank partition
+    # stabilizes). Equal final ranks must resolve to the full remaining
+    # length in closed form — the level-walk alone caps at 2^(top+1)-1
+    # and would under-report exactly here.
+    tail = "xyzzy0123456789" * 20  # 300 identical chars
+    texts = {1: "aaa" + tail, 2: "bbb" + tail, 3: "c"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = [
+        (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"], r["lcp"])
+        for r in sa.lcp_adjacent(docs, "doc_id", "text", n_parts=3)
+        .orderBy("id_a", "pos_a", "id_b", "pos_b")
+        .collect()
+    ]
+    assert sorted(got) == sorted(ref_pairs(texts))
+    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=3).collect()[0]
+    assert row["lrs_len"] == len(tail)
 
 
 def test_longest_repeated_substring_matches_duckdb_oracle(spark):

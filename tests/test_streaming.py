@@ -676,6 +676,36 @@ def test_ingest_segment_batch_orphan_detection(spark, tmp_path):
     assert jobs.rescrub_segments(spark, out, store, max_docs=1).count() == 2
 
 
+def test_ingest_remote_store_fails_loudly_without_s3a(spark, tmp_path):
+    """Negative path for the Hadoop-FS store discovery: on a session with
+    no S3A filesystem configured, an ``s3a://`` store/output path must
+    fail LOUDLY at ingest (the FS layer raises "No FileSystem for scheme
+    s3a") — never fall back to os.path semantics where the remote store
+    silently reads as absent and every micro-batch resets the cumulative
+    state. A configured S3A deployment takes the same code path through
+    a real filesystem object."""
+    import pytest
+
+    boiler = "all rights reserved contact us terms of service"
+    b0 = spark.createDataFrame(
+        [(1, boiler + " alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="(?i)s3a|filesystem"):
+        jobs.ingest_segment_batch(
+            b0, 0, "s3a://no-such-bucket/out", "s3a://no-such-bucket/store",
+            max_docs=1,
+        )
+    snap = spark.createDataFrame(
+        [(1, 10.0, "open")], "id long, price double, status string"
+    )
+    with pytest.raises(Exception, match="(?i)s3a|filesystem"):
+        jobs.ingest_snapshot_batch(
+            snap, 0, "s3a://no-such-bucket/out", "s3a://no-such-bucket/store",
+            "id", ["price", "status"],
+        )
+
+
 def test_ingest_dedup_batch_orphan_detection(spark, tmp_path):
     """Same two-write contract for the signature store: an orphaned output
     batch means later batches would never be filtered against its

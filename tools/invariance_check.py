@@ -27,9 +27,19 @@ interpreted expression path — generated and interpreted evaluators have
 historically diverged on edge semantics, so the gate must not care
 which one ran.
 
+Fifth axis (``--streaming``): the STREAMING TWINS. The four batch axes
+never execute the foreachBatch stores, which is exactly where
+partitioning bugs hide (per-batch store reads, two-write contracts,
+watermark bookkeeping). ``--streaming`` reruns the streaming
+batch-equivalence test suite under the adversarial shuffle-partition
+count and session timezone (via OTOKUNA_TEST_SHUFFLE_PARTITIONS /
+OTOKUNA_TEST_TZ honored by tests/conftest.py) and writes
+INVARIANCE_STREAMING.json.
+
 Usage:
     python tools/invariance_check.py [n_partitions] [sf_dir]
                                      [--tz ZONE] [--no-aqe] [--no-codegen]
+    python tools/invariance_check.py --streaming [n_partitions] [--tz ZONE]
 
 Round-7 results at sf0.01, 134/134 oracle-paired queries PASS on every
 axis: 7 shuffle partitions; session timezone Asia/Tokyo; AQE disabled;
@@ -48,17 +58,53 @@ from otokuna_spark import session  # noqa: E402
 _ORIG = session.get_spark
 
 
+def run_streaming(n_parts: int, tz: str | None) -> int:
+    """Streaming axis: the batch-equivalence suite under adversarial
+    shuffle partitioning (+ optional tz), recorded to a committed
+    artifact. Runs pytest in a SUBPROCESS so the adversarial session is
+    fully isolated from this process's Spark state."""
+    import json
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["OTOKUNA_TEST_SHUFFLE_PARTITIONS"] = str(n_parts)
+    if tz:
+        env["OTOKUNA_TEST_TZ"] = tz
+    cmd = [sys.executable, "-m", "pytest", "tests/test_streaming.py", "-q", "--tb=line"]
+    print(f"streaming invariance: {' '.join(cmd)} @ {n_parts} partitions"
+          + (f", tz {tz}" if tz else ""))
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    tail = proc.stdout.strip().splitlines()[-5:]
+    print("\n".join(tail))
+    doc = {
+        "metric": "streaming_invariance",
+        "shuffle_partitions": n_parts,
+        "session_tz": tz,
+        "suite": "tests/test_streaming.py",
+        "exit_code": proc.returncode,
+        "tail": tail,
+    }
+    with open("INVARIANCE_STREAMING.json", "w") as f:
+        json.dump(doc, f, indent=1)
+    print("wrote INVARIANCE_STREAMING.json")
+    return proc.returncode
+
+
 def main(argv: list[str]) -> int:
     tz = None
     no_aqe = "--no-aqe" in argv
     no_codegen = "--no-codegen" in argv
-    argv = [a for a in argv if a not in ("--no-aqe", "--no-codegen")]
+    streaming = "--streaming" in argv
+    argv = [a for a in argv if a not in ("--no-aqe", "--no-codegen", "--streaming")]
     if "--tz" in argv:
         i = argv.index("--tz")
         tz = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     n_parts = int(argv[0]) if argv else 7
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    if streaming:
+        return run_streaming(n_parts, tz)
 
     def patched(app_name: str = "otokuna-spark", shuffle_partitions: int | None = None):
         sp = _ORIG(app_name, shuffle_partitions=n_parts)
