@@ -41,10 +41,12 @@ Usage:
                                      [--tz ZONE] [--no-aqe] [--no-codegen]
     python tools/invariance_check.py --streaming [n_partitions] [--tz ZONE]
 
-Round-7 results at sf0.01, 134/134 oracle-paired queries PASS on every
+Round-8 results at sf0.01, 135/135 oracle-paired queries PASS on every
 axis: 7 shuffle partitions; session timezone Asia/Tokyo; AQE disabled;
 whole-stage codegen disabled — the registry is partitioning-,
-timezone-, planner-, and evaluator-invariant.
+timezone-, planner-, and evaluator-invariant. The streaming axis
+(--streaming, 7 partitions + Asia/Tokyo) passes the full
+batch-equivalence suite 22/22 (INVARIANCE_STREAMING.json).
 """
 
 from __future__ import annotations
