@@ -1303,6 +1303,138 @@ def exact_char_dup_spans(
     )
 
 
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    window: int = 32,
+) -> DataFrame:
+    """Cross-source contamination matrix over the ExactSubstr criterion:
+    for every unordered source pair (a < b), the number of DISTINCT
+    duplicated ``window``-char grams that occur in both sources — the
+    diagnostic that tells a curation run WHERE its duplication comes
+    from (mirrored dumps, boilerplate shared across crawls, benchmark
+    text syndicated into web sources) before it decides what to scrub.
+
+    Same hash-then-verify discipline as ``exact_char_dup_spans``: the
+    corpus shuffles only 8-byte rolling hashes + positions; true grams
+    shuffle only for hash-hot candidates; duplication is decided on the
+    REAL gram (collisions die at verify). The matrix join is keyed on
+    the gram with fan-in bounded by the number of sources (distinct
+    (gram, source) rows, never position-level pairs), so the output is
+    sources^2-bounded regardless of corpus size.
+
+    Returns (source_a, source_b, n_shared_grams), source_a < source_b.
+    """
+    hashed = _rolling_window_hashes(docs, id_col, text_col, window).localCheckpoint()
+    hot_h = (
+        hashed.groupBy("__h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("__h")
+    )
+    cand = (
+        hashed.join(hot_h, "__h")
+        .join(
+            docs.select(
+                F.col(id_col).alias("__id"),
+                F.col(text_col).alias("__t"),
+                F.col(source_col).alias("__src"),
+            ),
+            "__id",
+        )
+        .select("__id", "__src", F.expr(f"substring(__t, p, {window})").alias("__g"))
+        .localCheckpoint()
+    )
+    dup_g = (
+        cand.groupBy("__g").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2).select("__g")
+    )
+    src_g = cand.join(dup_g, "__g").select("__g", "__src").distinct()
+    a = src_g.select(F.col("__g"), F.col("__src").alias("source_a"))
+    b = src_g.select(F.col("__g"), F.col("__src").alias("source_b"))
+    return (
+        a.join(b, "__g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def _merged_dup_ranges(
+    docs: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """Per-doc interval UNION of the duplicated-window char ranges from
+    ``exact_char_dup_spans`` as (__id, rs, re) with re exclusive —
+    islands closer than the window overlap as char ranges, so consumers
+    that count or cut covered characters must merge first (classic
+    running-max interval union; adjacency merges too)."""
+    spans = exact_char_dup_spans(docs, id_col, text_col, window)
+    rng = spans.select(
+        F.col(id_col).alias("__id"),
+        F.col("span_start").alias("rs"),
+        (F.col("span_start") + F.col("span_len")).alias("re"),  # exclusive end
+    )
+    w_ord = Window.partitionBy("__id").orderBy("rs")
+    prev_max = F.max("re").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = rng.withColumn(
+        "__grp",
+        F.sum((prev_max.isNull() | (F.col("rs") > prev_max)).cast("long")).over(w_ord),
+    )
+    return grouped.groupBy("__id", "__grp").agg(
+        F.min("rs").alias("rs"), F.max("re").alias("re")
+    )
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    window: int = 32,
+) -> DataFrame:
+    """Per-source ExactSubstr duplication coverage: how many characters
+    of each source's text sit inside duplicated-window spans (after
+    per-doc interval union — overlapping islands are not double-counted)
+    — the go/no-go number a curation run reads before deciding which
+    sources need the char-exact scrub vs the cheaper segment dedup.
+
+    Returns (source, n_docs, total_chars, dup_chars, dup_ppm) with
+    dup_ppm an exact floor via integral division on widened decimals.
+    Scale shape: everything per-source rides the tiny merged-range
+    relation; the corpus itself contributes one rolling-hash scan plus
+    the per-source length aggregation."""
+    dropped = (
+        _merged_dup_ranges(docs, id_col, text_col, window)
+        .groupBy("__id")
+        .agg(F.sum(F.col("re") - F.col("rs")).alias("__dropped"))
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("source"),
+        F.length(text_col).alias("__n"),
+    ).join(dropped, "__id", "left")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_chars"),
+            F.sum(F.coalesce("__dropped", F.lit(0))).cast("long").alias("dup_chars"),
+        )
+        # `div` not floor(/): decimal divide rounds HALF_UP before floor;
+        # all-empty-text sources take the 0 branch instead of dividing by 0
+        .withColumn(
+            "dup_ppm",
+            F.when(
+                F.col("total_chars") > 0,
+                F.expr(
+                    "cast(cast(dup_chars as decimal(38,0)) * 1000000 div total_chars as bigint)"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+
+
 def exact_substring_scrub(
     docs: DataFrame,
     id_col: str,
@@ -1332,21 +1464,7 @@ def exact_substring_scrub(
     untouched documents take the left join's null branch and never
     carry segment arrays.
     """
-    spans = exact_char_dup_spans(docs, id_col, text_col, window)
-    rng = spans.select(
-        F.col(id_col).alias("__id"),
-        F.col("span_start").alias("rs"),
-        (F.col("span_start") + F.col("span_len")).alias("re"),  # exclusive end
-    )
-    w_ord = Window.partitionBy("__id").orderBy("rs")
-    prev_max = F.max("re").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
-    grouped = rng.withColumn(
-        "__grp",
-        F.sum((prev_max.isNull() | (F.col("rs") > prev_max)).cast("long")).over(w_ord),
-    )
-    merged = grouped.groupBy("__id", "__grp").agg(
-        F.min("rs").alias("rs"), F.max("re").alias("re")
-    )
+    merged = _merged_dup_ranges(docs, id_col, text_col, window)
     # inter-range segment BEFORE each merged range: [prev_end, rs)
     w_m = Window.partitionBy("__id").orderBy("rs")
     pieces = merged.withColumn("__ps", F.lag("re", 1, 1).over(w_m))

@@ -6740,3 +6740,101 @@ def q145_longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
     )
+
+
+@register(
+    "q146_dup_rate_by_source",
+    """
+    WITH pos AS (
+        SELECT doc_id, p, substr(text, p, 32) AS gram
+        FROM documents,
+             UNNEST(CASE WHEN length(text) >= 32
+                         THEN generate_series(1, length(text) - 31)
+                         ELSE [] END) AS u(p)
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+    cov AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+    r AS (
+        SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov
+    ),
+    spans AS (
+        SELECT doc_id, MIN(p) AS rs, MAX(p) + 32 AS re
+        FROM r GROUP BY doc_id, grp
+    ),
+    g AS (
+        SELECT doc_id, rs, re,
+               SUM(CASE WHEN prev_max IS NULL OR rs > prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY rs
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp2
+        FROM (
+            SELECT doc_id, rs, re,
+                   MAX(re) OVER (PARTITION BY doc_id ORDER BY rs
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM spans
+        )
+    ),
+    m AS (SELECT doc_id, grp2, MIN(rs) AS rs, MAX(re) AS re FROM g GROUP BY doc_id, grp2),
+    dropped AS (SELECT doc_id, SUM(re - rs) AS n_dropped FROM m GROUP BY doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+           CAST(SUM(COALESCE(dr.n_dropped, 0)) AS BIGINT) AS dup_chars,
+           CAST(SUM(COALESCE(dr.n_dropped, 0)) * 1000000
+                // SUM(length(d.text)) AS BIGINT) AS dup_ppm
+    FROM documents d LEFT JOIN dropped dr USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    "Per-source ExactSubstr duplication coverage: characters inside "
+    "duplicated 32-char-window spans after per-doc interval union "
+    "(overlapping islands counted once), as an exact-floor ppm of each "
+    "source's total text — the diagnostic a curation run reads before "
+    "choosing char-exact scrub vs segment dedup per source. Rides the "
+    "rolling-hash hash-then-verify scan (q143); per-source arithmetic "
+    "runs on the tiny merged-range relation; ppm via integral division "
+    "on widened decimals (exact vs DuckDB HUGEINT //)",
+)
+def q146_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.dup_rate_by_source(docs, "doc_id", "text", "source", window=32).orderBy(
+        "source"
+    )
+
+
+@register(
+    "q147_cross_source_dup_matrix",
+    """
+    WITH pos AS (
+        SELECT doc_id, p, substr(text, p, 32) AS gram
+        FROM documents,
+             UNNEST(CASE WHEN length(text) >= 32
+                         THEN generate_series(1, length(text) - 31)
+                         ELSE [] END) AS u(p)
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+    srcg AS (
+        SELECT DISTINCT d.source, p.gram
+        FROM pos p JOIN dup USING (gram) JOIN documents d USING (doc_id)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM srcg a JOIN srcg b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+    "Cross-source contamination matrix: for every source pair (a < b), "
+    "the number of DISTINCT duplicated 32-char windows present in both "
+    "— locates WHERE corpus duplication comes from (mirrored dumps, "
+    "shared boilerplate, syndicated benchmark text) before deciding "
+    "what to scrub. Hash-then-verify scan (8-byte rolling hashes "
+    "corpus-wide, true grams only for candidates); the matrix join is "
+    "gram-keyed over DISTINCT (gram, source) rows with fan-in bounded "
+    "by the source count — sources^2 output, never position pairs",
+)
+def q147_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.cross_source_dup_matrix(
+        docs, "doc_id", "text", "source", window=32
+    ).orderBy("source_a", "source_b")

@@ -1666,6 +1666,65 @@ def _sa_reference_spans(texts: dict[int, str], w: int) -> set[tuple[int, int, in
     return spans
 
 
+def test_dup_rate_and_cross_source_matrix_match_literal_reference(spark):
+    """Per-source duplication coverage and the cross-source shared-gram
+    matrix vs a literal Python computation on a planted corpus: one
+    phrase shared across sources A/B, one within-doc repeat in C, one
+    clean doc per source; window overlaps must not double-count chars."""
+    from collections import defaultdict
+
+    from otokuna_spark.operators import dedup
+
+    w = 8
+    shared = "SHAREDphrase0123"  # 16 chars -> multiple overlapping windows
+    texts = [
+        (1, "aaa" + shared + "zzz", "A"),
+        (2, "bbb" + shared + "yyy", "B"),
+        (3, "repXYZrepeat" + "QWERTYUI" * 2 + "tail", "C"),  # within-doc dup windows
+        (4, "totally unique text here!", "D"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, source string")
+
+    # literal reference
+    grams = defaultdict(list)  # gram -> [(doc, pos, source)]
+    for did, t, src in texts:
+        for p in range(1, len(t) - w + 2):
+            grams[t[p - 1 : p - 1 + w]].append((did, p, src))
+    dupg = {g: occ for g, occ in grams.items() if len(occ) >= 2}
+    covered = defaultdict(set)  # doc -> chars covered (0-based)
+    for g, occ in dupg.items():
+        for did, p, _src in occ:
+            covered[did].update(range(p - 1, p - 1 + w))
+    want_rate = {}
+    for did, t, src in texts:
+        n_docs, total, dup = want_rate.get(src, (0, 0, 0))
+        want_rate[src] = (n_docs + 1, total + len(t), dup + len(covered.get(did, ())))
+    got_rate = {
+        r["source"]: (r["n_docs"], r["total_chars"], r["dup_chars"], r["dup_ppm"])
+        for r in dedup.dup_rate_by_source(docs, "doc_id", "text", "source", w).collect()
+    }
+    for src, (nd, tot, dup) in want_rate.items():
+        g = got_rate[src]
+        assert g[:3] == (nd, tot, dup), (src, g, (nd, tot, dup))
+        assert g[3] == dup * 1_000_000 // tot
+
+    pair_grams = defaultdict(set)
+    for g, occ in dupg.items():
+        srcs = sorted({s for _, _, s in occ})
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                pair_grams[(a, b)].add(g)
+    want_matrix = {k: len(v) for k, v in pair_grams.items()}
+    got_matrix = {
+        (r["source_a"], r["source_b"]): r["n_shared_grams"]
+        for r in dedup.cross_source_dup_matrix(
+            docs, "doc_id", "text", "source", w
+        ).collect()
+    }
+    assert got_matrix == want_matrix
+    assert ("A", "B") in got_matrix and got_matrix[("A", "B")] == 16 - w + 1
+
+
 def test_rolling_window_hash_is_a_substring_function(spark):
     """The O(n)-per-doc rolling polynomial hash must be a pure function
     of the window SUBSTRING: equal grams (within or across docs,
