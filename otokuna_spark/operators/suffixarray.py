@@ -9,12 +9,12 @@ actual suffix RANKS for the workloads that need the full ordering —
 longest-repeated-substring mining, ordered suffix statistics, o(n)
 sorted-suffix sampling — as a composition of DataFrame primitives:
 
-- **wide base**: round 0 dense-ranks the length-``BASE_LEN`` (16) gram
+- **wide base**: round 0 dense-ranks the length-``BASE_LEN`` (32) gram
   at every position instead of single chars — truncated-substring
   string order IS the lexicographic prefix order ("abc" < "abcx"), so
   the doubling invariant holds and log2(BASE_LEN) whole corpus-shuffle
   rounds disappear (a 100 TB build saves 4 full-data rounds; the price
-  is range-shuffling 16-byte keys once in round 0).
+  is range-shuffling 32-char keys once in round 0).
 - **prefix doubling** (Manber–Myers): after a round every suffix knows
   the dense rank of its first k chars; the next round's key is the pair
   (rank[p], rank[p + k]), fetched with ONE keyed equi-join (no
@@ -44,9 +44,11 @@ from pyspark.sql import functions as F
 
 # Base gram width for round 0 (must be a power of two; level index
 # BASE_J = log2(BASE_LEN)). LCP consumers resolve the sub-BASE_LEN
-# remainder by direct gram comparison (see ``lcp_adjacent``).
-BASE_LEN = 16
-BASE_J = 4
+# remainder by direct gram comparison (see ``lcp_adjacent``). 32 trades
+# a heavier round-0 range shuffle (32-char keys) for one fewer
+# full-corpus doubling round and one fewer LCP walk level.
+BASE_LEN = 32
+BASE_J = 5
 
 
 def _dense_rank_distributed(
@@ -122,17 +124,23 @@ def _base_grams(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame,
 def _doubling_rounds(
     grams: DataFrame,
     n_parts: int | None,
-    max_len: int,
     max_rounds: int | None = None,
     keep_tables: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Shared doubling engine: dense-rank the base grams, then double
-    until ranks are fully distinct or the prefix covers ``max_len``.
+    until ranks are fully distinct or the prefix covers the longest doc.
     Returns (final (__id, pos, rank), [(level j, table)] — the tables
     list only retains intermediates when ``keep_tables``)."""
+    # one pass gives both loop bounds: n = total positions (pair-key
+    # encoding base) and max doc length (pos runs 1..len per doc, so
+    # max(pos) IS the longest doc) — no separate lens aggregation job
+    stats = grams.agg(
+        F.count("*").alias("__n"), F.max("pos").alias("__maxlen")
+    ).collect()[0]
+    n = stats["__n"] or 0
+    max_len = stats["__maxlen"] or 1
     ranked, n_distinct, cache = _dense_rank_distributed(grams, "__g", "rank", n_parts)
     cur = ranked.select("__id", "pos", "rank")
-    n = cur.count()
     tables: list[tuple[int, DataFrame]] = [(BASE_J, cur)]
     caches = [cache]
 
@@ -184,14 +192,13 @@ def suffix_ranks(
     suffix ``text[pos:]`` (1-based ``pos``), for every position of every
     document. Equal suffixes (across or within documents) share a rank.
 
-    Wide-base prefix doubling: round 0 ranks the 16-char gram at every
-    position, then O(log(maxlen/16)) doubling rounds, each one keyed
+    Wide-base prefix doubling: round 0 ranks the BASE_LEN-char gram at every
+    position, then O(log(maxlen/BASE_LEN)) doubling rounds, each one keyed
     self-join + one distributed dense rank; stops early once all ranks
     are distinct (every further round would be a no-op). ``max_rounds``
     caps the doubling loop for adversarial inputs."""
-    grams, lens = _base_grams(docs, id_col, text_col)
-    max_len = lens.agg(F.max("__len")).collect()[0][0] or 1
-    cur, _ = _doubling_rounds(grams, n_parts, max_len, max_rounds=max_rounds)
+    grams, _lens = _base_grams(docs, id_col, text_col)
+    cur, _ = _doubling_rounds(grams, n_parts, max_rounds=max_rounds)
     return cur.select(F.col("__id").alias(id_col), "pos", "rank")
 
 
@@ -258,15 +265,11 @@ def suffix_ranks_with_tables(
     grams) where ``R_j[(id,pos)]`` is the dense rank of the length-
     ``2^j`` prefix of the suffix at ``pos`` (truncated at the doc end —
     LCP consumers must length-guard, see ``lcp_adjacent``) and ``grams``
-    is the materialized (id, pos, 16-char gram) base relation for
+    is the materialized (id, pos, BASE_LEN-char gram) base relation for
     sub-BASE_LEN remainder resolution."""
     grams, lens = _base_grams(docs, id_col, text_col)
-    lens = lens.localCheckpoint()
-    max_len = lens.agg(F.max("__len")).collect()[0][0] or 1
     grams = grams.localCheckpoint()  # re-read by the LCP remainder joins
-    cur, tables = _doubling_rounds(
-        grams, n_parts, max_len, keep_tables=True
-    )
+    cur, tables = _doubling_rounds(grams, n_parts, keep_tables=True)
     return cur, tables, lens, grams
 
 
@@ -285,10 +288,11 @@ def lcp_adjacent(
     the rank of the SHORT string, equal only to equally-short equal
     strings, so unguarded equality would overcount exactly there.
     After the lowest table (level BASE_J) the residual LCP is < BASE_LEN
-    and is resolved EXACTLY by joining the 16-char base grams at the
+    and is resolved EXACTLY by joining the BASE_LEN-char base grams at the
     walked offsets and taking their common prefix length (a JVM-side HOF
-    over two 16-char strings — the grams are truncated at doc ends, so
-    doc-length capping is inherent). O(log(maxlen/16)) levels x 2 keyed
+    over two BASE_LEN-char strings — the grams are truncated at doc ends,
+    so doc-length capping is inherent). O(log(maxlen/BASE_LEN)) levels x 2
+    keyed
     equi-joins each, plus the 2 gram joins.
 
     Adjacency needs no total order: range-partition on (rank, id, pos),

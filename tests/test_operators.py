@@ -1954,6 +1954,27 @@ def test_lcp_adjacent_and_lrs_match_reference(spark):
     row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=3).collect()[0]
     assert row["lrs_len"] == len(tail)
 
+    # Walk-path coverage with the wide base: two UNEQUAL suffixes sharing
+    # a prefix much longer than BASE_LEN (so the doubling-table walk, not
+    # the closed-form equal-rank override nor the sub-base remainder,
+    # must measure most of the LCP), plus an off-by-one sibling.
+    shared = "abcdefghij" * 13  # 130 shared chars >> BASE_LEN
+    texts = {
+        1: shared + "XX_one_tail",
+        2: shared + "YY_other_tail",
+        3: shared[:47] + "Z",  # diverges mid-base-window
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = [
+        (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"], r["lcp"])
+        for r in sa.lcp_adjacent(docs, "doc_id", "text", n_parts=3)
+        .orderBy("id_a", "pos_a", "id_b", "pos_b")
+        .collect()
+    ]
+    assert sorted(got) == sorted(ref_pairs(texts))
+    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=3).collect()[0]
+    assert row["lrs_len"] == len(shared)  # docs 1/2 diverge right after it
+
 
 def test_longest_repeated_substring_matches_duckdb_oracle(spark):
     """Cross-engine check for the SA module's headline derivation: LRS =
