@@ -51,6 +51,9 @@ CASES = [
     "q142_mutual_nn_pairs",     # probe-slice top-1 self-join
     "q143_exact_dup_spans",     # hash-then-verify positional char windows
     "q144_exact_scrub",         # span ranges merge + kept-text reassembly
+    # round-8: duplication provenance over the rolling-hash scan
+    "q146_dup_rate_by_source",  # merged-range sums + per-source agg
+    "q147_cross_source_dup_matrix",  # gram-keyed distinct-source join
 ]
 
 
@@ -98,6 +101,12 @@ NOTES = {
     ),
     "q144_exact_scrub": (
         "inherits q143's span detection; the merge/reassembly tail adds one range-relation window + a single text join-back; same checkpoint-denominator effect as q143"
+    ),
+    "q146_dup_rate_by_source": (
+        "inherits q143's span detection (same candidate-gram verify volume on this deliberately repetitive corpus); the per-source arithmetic itself rides the tiny merged-range relation, so the marginal shuffle over q143 is range rows + a 20-row source agg"
+    ),
+    "q147_cross_source_dup_matrix": (
+        "same hash-then-verify volume as q143 for candidate grams; the matrix join moves only DISTINCT (gram, source) rows (fan-in bounded by the 20 sources), so its marginal shuffle over the shared scan is the distinct-gram relation, never position pairs"
     ),
     "q122_streaming_twin_2batches": (
         "two foreachBatch ingests over disjoint halves; per-batch shuffle "
