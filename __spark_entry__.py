@@ -34,6 +34,16 @@ from otokuna_spark.plans.queries import REGISTRY  # noqa: E402
 # --record) still covers the full registry every round.
 _GATE_PINNED_LAST = ["q100_bpe_tokenize"]
 
+# Queries whose latency is dominated by one-time session warm-up costs
+# (JVM JIT, codegen, first-shuffle init) when they run FIRST on a cold
+# session — the suffix-array build launches ~12 sequential jobs, so it
+# pays every cold cost serially (~15 s cold vs ~5 s warm measured on a
+# vanilla local[8] session). Within the same attestation tier these
+# sort AFTER their peers so a couple of cheaper queries absorb the
+# warm-up; the rotation semantics (weakest evidence first) are
+# otherwise unchanged.
+_GATE_WARMUP_SENSITIVE = {"q145_longest_repeated_substring"}
+
 
 def _attestation_rounds() -> dict[str, int]:
     """name -> latest round with a green driver row (rows+schema match,
@@ -73,8 +83,9 @@ def _gate_ordered_names() -> list[str]:
     order = {n: i for i, n in enumerate(names)}
     body = [n for n in names if n not in _GATE_PINNED_LAST]
     # never-attested (latest=0) first, then ascending last-attested round;
-    # registration order breaks ties so the rotation is deterministic.
-    body.sort(key=lambda n: (latest.get(n, 0), order[n]))
+    # warm-up-sensitive queries sink within their tier; registration
+    # order breaks remaining ties so the rotation is deterministic.
+    body.sort(key=lambda n: (latest.get(n, 0), n in _GATE_WARMUP_SENSITIVE, order[n]))
     return body + [n for n in _GATE_PINNED_LAST if n in order]
 
 

@@ -293,3 +293,43 @@ def test_suffix_ranks_property_vs_sorted_reference(spark, texts):
     assert len(got) == sum(len(t) for t in docs_py.values())
     for r in got:
         assert r["rank"] == want[docs_py[r["doc_id"]][r["pos"] - 1:]]
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Zs")
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_rolling_window_hash_property(spark, texts, w):
+    """The rolling polynomial window hash is a pure function of the
+    window substring on arbitrary unicode text and window sizes: equal
+    substrings (within or across docs) always hash equal, every
+    eligible position emits exactly one row, and distinct substrings
+    collide only by (astronomically unlikely) 64-bit accident — the
+    property the hash-then-verify consumers rely on for completeness
+    (a same-gram hash mismatch would DROP true duplicates silently)."""
+    from collections import defaultdict
+
+    from otokuna_spark.operators import dedup
+
+    rows_in = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+    got = dedup._rolling_window_hashes(docs, "doc_id", "text", w).collect()
+    tmap = dict(rows_in)
+    assert len(got) == sum(max(0, len(t) - w + 1) for t in texts)
+    bygram = defaultdict(set)
+    for r in got:
+        g = tmap[r["__id"]][r["p"] - 1 : r["p"] - 1 + w]
+        assert len(g) == w
+        bygram[g].add(r["__h"])
+    assert all(len(hs) == 1 for hs in bygram.values())
