@@ -42,7 +42,10 @@ _GATE_PINNED_LAST = ["q100_bpe_tokenize"]
 # sort AFTER their peers so a couple of cheaper queries absorb the
 # warm-up; the rotation semantics (weakest evidence first) are
 # otherwise unchanged.
-_GATE_WARMUP_SENSITIVE = {"q145_longest_repeated_substring"}
+_GATE_WARMUP_SENSITIVE = {
+    "q145_longest_repeated_substring",
+    "q148_distinct_substring_count",
+}
 
 
 def _attestation_rounds() -> dict[str, int]:

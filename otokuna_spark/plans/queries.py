@@ -6838,3 +6838,66 @@ def q147_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_source_dup_matrix(
         docs, "doc_id", "text", "source", window=32
     ).orderBy("source_a", "source_b")
+
+
+@register(
+    "q148_distinct_substring_count",
+    """
+    WITH docs AS (
+        SELECT doc_id, substr(text, 1, 200) AS t
+        FROM documents WHERE doc_id < 100
+    ),
+    sufs AS (
+        SELECT doc_id, p, substr(t, p) AS s
+        FROM docs, UNNEST(generate_series(1, length(t))) AS u(p)
+    ),
+    ord AS (
+        SELECT doc_id, p, s,
+               LEAD(s) OVER (ORDER BY s, doc_id, p) AS s2
+        FROM sufs
+    ),
+    lcp AS (
+        SELECT COALESCE(
+                   (SELECT MIN(i) - 1
+                    FROM UNNEST(generate_series(1, LEAST(length(s), length(s2)))) AS g(i)
+                    WHERE substr(s, i, 1) <> substr(s2, i, 1)),
+                   LEAST(length(s), length(s2))) AS l
+        FROM ord WHERE s2 IS NOT NULL
+    )
+    SELECT CAST((SELECT SUM(length(s)) FROM sufs) AS BIGINT) AS n_suffix_chars,
+           CAST(COALESCE((SELECT SUM(l) FROM lcp), 0) AS BIGINT) AS n_lcp_chars,
+           CAST((SELECT SUM(length(s)) FROM sufs)
+                - COALESCE((SELECT SUM(l) FROM lcp), 0) AS BIGINT) AS n_distinct_substrings
+    """,
+    "Distinct-substring census over the bounded suffix-array slice: the "
+    "classic SA identity count(distinct substrings) = sum(suffix "
+    "lengths) - sum(adjacent-suffix LCPs). Unlike q145 (which attests "
+    "only the MAX adjacent LCP), the SUM checksums the ENTIRE "
+    "adjacent-LCP relation against the DuckDB literal suffix sort — a "
+    "single wrong LCP anywhere moves the total. Multi-doc corpora reuse "
+    "the identity per concatenated suffix set (suffixes never cross doc "
+    "boundaries); 'substrings' are counted with corpus-wide multiplicity "
+    "collapsed, exactly the dedup-relevant notion.",
+)
+def q148_distinct_substring_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import suffixarray as sa
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.substring("text", 1, 200).alias("text"))
+    )
+    adj = sa.lcp_adjacent(docs, "doc_id", "text", n_parts=4)
+    lens = docs.select(
+        (F.length("text") * (F.length("text") + 1) / 2).cast("long").alias("__sl")
+    )
+    totals = lens.agg(F.sum("__sl").cast("long").alias("n_suffix_chars"))
+    lcp_sum = adj.agg(F.coalesce(F.sum("lcp"), F.lit(0)).cast("long").alias("n_lcp_chars"))
+    return (
+        totals.crossJoin(lcp_sum)
+        .select(
+            "n_suffix_chars",
+            "n_lcp_chars",
+            (F.col("n_suffix_chars") - F.col("n_lcp_chars")).alias("n_distinct_substrings"),
+        )
+    )
