@@ -718,6 +718,12 @@ def pq_train(
     if not id_col:
         raise ValueError("pq_train requires id_col: the training sample must be deterministic")
     rows = corpus.select(vec_col, id_col).orderBy(id_col).limit(sample_rows).collect()
+    if not rows:
+        # loud designed failure instead of numpy's bare "need at least one
+        # array to concatenate" — an empty corpus cannot train codebooks
+        raise ValueError(
+            f"pq_train needs at least one training vector in {vec_col!r}, got 0 rows"
+        )
     x = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     if normalize:
         x = x / np.linalg.norm(x, axis=1, keepdims=True)

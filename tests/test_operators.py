@@ -530,6 +530,20 @@ def test_blocked_near_dup_pairs_exact_matches_brute_force(spark):
     assert all(a < b for a, b in got)
 
 
+def test_pq_train_empty_corpus_fails_loudly(spark):
+    """An empty corpus must raise a designed ValueError, not leak
+    numpy's bare concatenate error from inside codebook training —
+    empty partitions/tables are routine at 100 TB and silent or cryptic
+    failures there are operational hazards."""
+    import pytest
+
+    from otokuna_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "doc_id long, emb array<double>")
+    with pytest.raises(ValueError, match="at least one training vector"):
+        similarity.pq_train(empty, "emb", m=4, n_codes=4, id_col="doc_id")
+
+
 def test_pq_encode_shapes_and_range(spark):
     import random
 
