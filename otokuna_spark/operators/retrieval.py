@@ -20,9 +20,10 @@ exact BIGINT (associative, engine-independent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import topk
 from ..functions import text
 
 
@@ -95,10 +96,12 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Top-k documents by BM25 score, deterministic tie-break on id."""
-    w = Window.orderBy(F.desc("score_ppm"), F.asc(id_col))
-    return (
-        bm25_scores(docs, id_col, text_col, terms, k1, b)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+    """Top-k documents by BM25 score, deterministic tie-break on id.
+    Bounded rank via ``topk.ranked_top_k``: per-partition k-heaps
+    (TakeOrderedAndProject), then row_number over the k survivors only —
+    the match-cardinality single-partition rank exchange is gone."""
+    return topk.ranked_top_k(
+        bm25_scores(docs, id_col, text_col, terms, k1, b),
+        [F.desc("score_ppm"), F.asc(id_col)],
+        k,
     )

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import persistence
 from ..functions import vectors
 
 
@@ -367,6 +368,7 @@ def lsh_near_dup_pairs_exact(
     seed: int = 7,
     impl: str = "vectorized",
     materialize: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """LSH near-dup pairs with a fully ORACLE-REPRODUCIBLE plan: both the
     candidate blocking and the verify score are deterministic integer math,
@@ -455,7 +457,9 @@ def lsh_near_dup_pairs_exact(
     # executor decommission) — same tradeoff as dedup.minhash_lsh_pairs;
     # pass False on long-lived/dynamic-allocation clusters.
     if materialize:
-        cand = cand.localCheckpoint()
+        # reliable=True: fault-tolerant staging for cluster-scale runs
+        # (candidate relation is corpus-pair-sized on dup-heavy corpora)
+        cand = persistence.stage(cand, reliable)
         keys.unpersist()
     if impl == "vectorized":
         pair_dot = _pair_dot_scaled_udf(scale)
@@ -601,6 +605,7 @@ def semantic_dedup(
     threshold: float,
     n_centroids: int = 16,
     materialize: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -670,7 +675,8 @@ def semantic_dedup(
         .withColumn("is_kept", F.col("dup_of").isNull())
     )
     if materialize:
-        out = out.localCheckpoint()
+        # reliable=True: fault-tolerant staging (out is corpus-sized)
+        out = persistence.stage(out, reliable)
         assigned.unpersist()
     return out
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Base gram width for round 0 (must be a power of two; level index
 # BASE_J = log2(BASE_LEN)). LCP consumers resolve the sub-BASE_LEN
@@ -335,9 +336,20 @@ def lcp_adjacent(
         (firsts[i]["__pid"], nxt["__id"], nxt["pos"], nxt["__len"], nxt["rank"])
         for i, nxt in enumerate(firsts[1:])
     ]
+    # derive the boundary-row schema from the actual partitioned relation
+    # so non-long id columns (e.g. string doc ids) round-trip intact
+    _pf = {f.name: f.dataType for f in part.schema.fields}
+    succ_schema = T.StructType(
+        [
+            T.StructField("__pid", _pf["__pid"], False),
+            T.StructField("__sid", _pf["__id"], True),
+            T.StructField("__spos", _pf["pos"], True),
+            T.StructField("__slen", _pf["__len"], True),
+            T.StructField("__sfr", _pf["rank"], True),
+        ]
+    )
     succ = docs.sparkSession.createDataFrame(
-        succ_rows or [(-1, None, None, None, None)],
-        "__pid int, __sid long, __spos int, __slen int, __sfr long",
+        succ_rows or [(-1, None, None, None, None)], succ_schema
     )
     pairs = (
         led.join(F.broadcast(succ), "__pid", "left")

