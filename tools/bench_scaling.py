@@ -49,6 +49,11 @@ CASES = {
     # the data-scaling evidence for the module is suffix_ranks on the
     # full sf slice below.
     "suffix_array_lrs": "q145_longest_repeated_substring",
+    # round-9 (judge ask): the two-phase distributed prefix sum that
+    # replaced the single-partition running-sum window — the claim a
+    # near-flat-then-linear step ratio backs is that its cost is fixed
+    # job overhead plus a parallel range shuffle, not a serial funnel
+    "global_prefix_sum": "q71_sequence_packing",
 }
 
 

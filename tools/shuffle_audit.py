@@ -54,6 +54,10 @@ CASES = [
     # round-8: duplication provenance over the rolling-hash scan
     "q146_dup_rate_by_source",  # merged-range sums + per-source agg
     "q147_cross_source_dup_matrix",  # gram-keyed distinct-source join
+    # round-9: the de-single-partitioned rank/prefix-sum rewrites
+    "q71_sequence_packing",     # two-phase prefix sum: range shuffle only
+    "q93_dsir_selection",       # TakeOrdered rank: no rank exchange
+    "q129_vocab_coverage",      # TakeOrdered top-200 over the vocab agg
 ]
 
 
