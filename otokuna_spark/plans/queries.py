@@ -6924,3 +6924,197 @@ def q148_distinct_substring_count(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n_suffix_chars") - F.col("n_lcp_chars")).alias("n_distinct_substrings"),
         )
     )
+
+
+@register(
+    "q149_bigram_fluency",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    big AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1) ELSE [] END) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    sc AS (
+        SELECT b.doc_id,
+               CAST(CAST(c2.c2 AS HUGEINT) * 1000000 // c1.c1 AS BIGINT) AS p_ppm
+        FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+    "Bigram-LM fluency score (the CCNet-style 'train an LM on the corpus, "
+    "score every doc' perplexity filter, integer-exact): each document's "
+    "mean corpus transition probability p(w2|w1) = c(w1 w2)/c(w1 *) in "
+    "floored ppm — low scores mark disfluent/shuffled/TEMPLATED text that "
+    "a unigram score (q90) cannot separate from fluent prose over the "
+    "same vocabulary. Scale shape mirrors q90 with one extra keyed agg: "
+    "bigram + prefix count tables join back onto the bigram occurrences "
+    "(AQE-broadcast when the vocab is small), then one per-doc regroup; "
+    "work is proportional to token occurrences, never docs^2. HUGEINT/"
+    "decimal widening before the ppm division (corpus bigram counts pass "
+    "2^63/1e6 at ~9e12 tokens); `div`, not floor(/), for exact floors",
+)
+def q149_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 2
+    )
+    occ2 = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = occ2.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = occ2.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        occ2.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(cast(c2 as decimal(38,0)) * 1000000 div c1 as bigint)"
+            ).alias("p_ppm"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("p_ppm").alias("sum_p_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_p_ppm",
+            F.expr("cast(sum_p_ppm div n_bigrams as bigint)").alias("mean_p_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q150_rep3_degeneracy",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST((COUNT(*) - COUNT(DISTINCT g)) * 1000000 // COUNT(*) AS BIGINT) AS rep_ppm
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    "Rep-3 degeneracy score (Welleck/Holtzman repetition metric, the "
+    "standard filter for degenerate/looping model-generated text): the "
+    "fraction of each document's 3-gram OCCURRENCES that are repeats of "
+    "an earlier 3-gram in the same doc, in exact ppm. Entirely ROW-LOCAL "
+    "on Spark — positional shingles and their distinct count are "
+    "higher-order array functions inside one codegen'd projection, so "
+    "the only exchange is the output order: a 100 TB corpus scans once "
+    "with zero shuffle. The oracle recomputes it relationally "
+    "(COUNT vs COUNT DISTINCT per doc)",
+)
+def q150_rep3_degeneracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 3
+    )
+    sh = T.positional_shingles_from_tokens(F.col("t"), 3)
+    return (
+        d.select(
+            "doc_id",
+            F.size(sh).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.expr(
+                "cast((n_grams - n_distinct) * 1000000 div n_grams as bigint)"
+            ).alias("rep_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q151_THRESHOLDS = [10, 25, 50, 100, 250, 500]
+
+@register(
+    "q151_heaps_vocab_growth",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, t, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk FROM d
+    ),
+    occ AS (SELECT rk, UNNEST(t) AS tok FROM r),
+    fo AS (SELECT tok, MIN(rk) AS first_rk FROM occ GROUP BY tok),
+    th AS (SELECT UNNEST({_Q151_THRESHOLDS}) AS n),
+    v AS (SELECT th.n, COUNT(*) AS vocab FROM th JOIN fo ON fo.first_rk <= th.n GROUP BY th.n),
+    o AS (SELECT th.n, COUNT(*) AS occs FROM th JOIN occ ON occ.rk <= th.n GROUP BY th.n)
+    SELECT CAST(v.n AS BIGINT) AS n_docs, CAST(o.occs AS BIGINT) AS n_tokens,
+           CAST(v.vocab AS BIGINT) AS vocab_size,
+           CAST(CAST(v.vocab AS HUGEINT) * 1000000 // o.occs AS BIGINT) AS ttr_ppm
+    FROM v JOIN o USING (n) ORDER BY n_docs
+    """,
+    "Heaps-law vocabulary-growth curve: distinct-vocabulary size and "
+    "type-token ratio at fixed document-count prefixes of a deterministic "
+    "md5(doc_id) ordering — how fast the vocabulary grows as the corpus "
+    "grows, the planning curve read next to q129 before sizing a "
+    "tokenizer. The global document rank uses the two-phase distributed "
+    "row_number (operators/prefix.py, range partition + per-partition "
+    "ranks + bounded offset broadcast — no single-partition window); "
+    "vocab-at-N needs no per-prefix rescans because vocab growth is "
+    "determined by each token's FIRST-occurrence rank (one keyed agg), "
+    "then a bounded threshold dim joins against the vocab-sized relation",
+)
+def q151_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import prefix
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("t"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    r = prefix.global_row_number(d, [F.asc("h"), F.asc("doc_id")], out="rk")
+    occ = r.select("rk", F.explode("t").alias("tok"))
+    fo = occ.groupBy("tok").agg(F.min("rk").alias("first_rk"))
+    th = spark.createDataFrame([(n,) for n in _Q151_THRESHOLDS], "n long")
+    v = (
+        fo.join(F.broadcast(th), F.col("first_rk") <= F.col("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    o = (
+        occ.join(F.broadcast(th), F.col("rk") <= F.col("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    return (
+        v.join(o, "n")
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_tokens",
+            "vocab_size",
+            F.expr(
+                "cast(cast(vocab_size as decimal(38,0)) * 1000000 div n_tokens as bigint)"
+            ).alias("ttr_ppm"),
+        )
+        .orderBy("n_docs")
+    )

@@ -141,3 +141,52 @@ def test_source_overlap_chunked_masks_past_64_sources(spark, tmp_path):
     assert all(r["n_common"] == 2 for r in out)
     assert all(r["n_a"] == 4 and r["n_b"] == 4 for r in out)
     assert all(r["jaccard_m"] == 2 * 1_000_000 // 6 for r in out)
+
+
+def test_bigram_fluency_separates_templated_from_shuffled(spark, tmp_path):
+    # five docs repeating the same bigram chain -> every transition is
+    # near-certain -> mean_p_ppm near 1e6; one doc with the same words in
+    # a never-repeated order scores strictly lower
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent, "en", "s0", len(fluent)) for i in range(5)]
+    rows.append((9, "mat the on sat cat the", "en", "s0", 22))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in REGISTRY["q149_bigram_fluency"].fn(spark, sf).collect()}
+    assert out[0]["mean_p_ppm"] > out[9]["mean_p_ppm"]
+    assert out[0]["n_bigrams"] == 5
+    # 'the'->{'cat','mat'} splits 5/10 vs 5/10... compute: prefix 'the' occurs
+    # 10x in fluent docs + 2x in doc 9; exact value checked via determinism
+    assert out[0]["mean_p_ppm"] == out[4]["mean_p_ppm"]  # identical docs tie
+
+
+def test_rep3_degeneracy_flags_loops(spark, tmp_path):
+    loop = "go to the store " * 8  # degenerate 4-token loop
+    fresh = "every token here appears exactly once in this document body"
+    sf = _write_docs(spark, tmp_path, [
+        (1, loop.strip(), "en", "s0", len(loop)),
+        (2, fresh, "en", "s0", len(fresh)),
+    ])
+    out = {r["doc_id"]: r for r in REGISTRY["q150_rep3_degeneracy"].fn(spark, sf).collect()}
+    assert out[2]["rep_ppm"] == 0 and out[2]["n_grams"] == out[2]["n_distinct"]
+    # 32 tokens -> 30 grams, only 4 distinct (the loop's rotations)
+    assert out[1]["n_grams"] == 30 and out[1]["n_distinct"] == 4
+    assert out[1]["rep_ppm"] == (30 - 4) * 1_000_000 // 30
+
+
+def test_heaps_vocab_growth_monotone(spark, tmp_path):
+    rows = [(i, f"common shared words plus tok{i} extra{i}", "en", "s0", 40)
+            for i in range(60)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = REGISTRY["q151_heaps_vocab_growth"].fn(spark, sf).collect()
+    ns = [r["n_docs"] for r in out]
+    assert ns == sorted(ns)
+    vocab = [r["vocab_size"] for r in out]
+    toks = [r["n_tokens"] for r in out]
+    assert vocab == sorted(vocab) and toks == sorted(toks)  # monotone growth
+    # every doc adds 2 novel tokens on top of the 4 shared ones
+    by_n = {r["n_docs"]: r for r in out}
+    assert by_n[10]["vocab_size"] == 4 + 2 * 10
+    assert by_n[50]["vocab_size"] == 4 + 2 * 50
+    # past the corpus end the curve saturates at the full vocabulary
+    assert by_n[100]["vocab_size"] == 4 + 2 * 60
+    assert by_n[250]["vocab_size"] == by_n[100]["vocab_size"]

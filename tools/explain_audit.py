@@ -122,6 +122,12 @@ EXPECT = {
     "q135_grouping_sets": ["Expand", "partial_count"],
     # melt is a map-only Expand, never a union of per-column scans
     "q136_unpivot_charges": ["Expand"],
+    # count tables join back broadcast onto the bigram occurrences
+    "q149_bigram_fluency": ["BroadcastHashJoin", "partial_count"],
+    # rep-3 is one codegen'd projection: no join strategy at all
+    "q150_rep3_degeneracy": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    # threshold dim broadcasts onto the vocab-sized first-rank relation
+    "q151_heaps_vocab_growth": ["BroadcastNestedLoopJoin", "partial_min"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -313,6 +319,9 @@ MAX_SHUFFLES = {
     "q142_mutual_nn_pairs": 3,  # post-checkpoint: reciprocity self-join over the probe-sized top-1 relation + output order
     "q143_exact_dup_spans": 6,  # window-hash agg + candidate join-back + verify regroup + covered join; islands window shares the __id exchange with the span agg; output order
     "q144_exact_scrub": 7,  # q143's span shuffles + range-merge/reassembly windows sharing the doc exchange; text join-back + output order
+    "q149_bigram_fluency": 4,  # bigram + prefix count aggs (broadcast back) + per-doc regroup + output order
+    "q150_rep3_degeneracy": 1,  # row-local HOF projection; output order is the only exchange
+    "q151_heaps_vocab_growth": 4,  # post-checkpoint: first-rank vocab agg + 2 threshold-dim aggs + tiny join; prefix-sum range shuffle materializes at the checkpoint
 }
 
 
