@@ -7118,3 +7118,73 @@ def q151_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_docs")
     )
+
+
+@register(
+    "q152_snapshot_novelty",
+    f"""
+    WITH {_SH_CTE},
+    old AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+    new_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+    perdoc AS (
+        SELECT n.doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN o.shingle IS NULL THEN 1 ELSE 0 END) AS n_novel
+        FROM new_sh n LEFT JOIN old o USING (shingle)
+        GROUP BY n.doc_id
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+           CAST(SUM(p.n_novel) * 1000000 // SUM(p.n_sh) AS BIGINT) AS novel_ppm
+    FROM perdoc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "Cross-snapshot novelty: treat the corpus as two crawl snapshots "
+    "(deterministic doc_id parity split — the same device as q10/q78) "
+    "and measure, per source, what fraction of the NEW snapshot's "
+    "distinct word 3-shingles were never seen in the OLD one — the "
+    "dataset-refresh decision table ('is this crawl adding information "
+    "or re-serving last month's web'). Scale shape: doc-distinct "
+    "shingles hash to 8-byte keys (xxhash64, q88's device — collisions "
+    "~2^-64 per pair; the oracle joins the strings), the old-snapshot "
+    "set is one distinct agg, novelty is a left-anti join keyed on the "
+    "hash, and the report is one per-source agg — never doc pairs",
+)
+def q152_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", T.tokens(F.col("text")).alias("t"))
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(T.shingles_from_tokens(F.col("t"), 3)).alias("g"),
+    ).select("doc_id", "source", F.xxhash64("g").alias("g"))
+    old = sh.where(F.col("doc_id") % 2 == 0).select("g").distinct()
+    new = sh.where(F.col("doc_id") % 2 == 1)
+    perdoc = new.groupBy("doc_id", "source").agg(F.count("*").alias("n_sh"))
+    novel = (
+        new.join(old, "g", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        perdoc.join(novel, "doc_id", "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            # decimal widening: n_novel approaches the snapshot's distinct
+            # shingle count, which passes 2^63/1e6 at ~9e12 shingles
+            F.expr(
+                "cast(cast(n_novel as decimal(38,0)) * 1000000 div n_shingles as bigint)"
+            ).alias("novel_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -190,3 +190,19 @@ def test_heaps_vocab_growth_monotone(spark, tmp_path):
     # past the corpus end the curve saturates at the full vocabulary
     assert by_n[100]["vocab_size"] == 4 + 2 * 60
     assert by_n[250]["vocab_size"] == by_n[100]["vocab_size"]
+
+
+def test_snapshot_novelty_known_answer(spark, tmp_path):
+    # old snapshot (even ids) holds "a b c d"; new snapshot (odd ids):
+    # doc 1 repeats it exactly (novelty 0), doc 3 is entirely fresh
+    sf = _write_docs(spark, tmp_path, [
+        (0, "a b c d", "en", "sA", 7),
+        (2, "a b c d", "en", "sB", 7),
+        (1, "a b c d", "en", "sA", 7),
+        (3, "p q r s", "en", "sB", 7),
+    ])
+    out = {r["source"]: r for r in REGISTRY["q152_snapshot_novelty"].fn(spark, sf).collect()}
+    assert out["sA"]["n_novel"] == 0 and out["sA"]["novel_ppm"] == 0
+    # "p q r s" -> 2 shingles, both unseen in the old snapshot
+    assert out["sB"]["n_shingles"] == 2 and out["sB"]["n_novel"] == 2
+    assert out["sB"]["novel_ppm"] == 1_000_000

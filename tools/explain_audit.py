@@ -128,6 +128,8 @@ EXPECT = {
     "q150_rep3_degeneracy": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     # threshold dim broadcasts onto the vocab-sized first-rank relation
     "q151_heaps_vocab_growth": ["BroadcastNestedLoopJoin", "partial_min"],
+    # novelty is an anti-join on hashed shingles, never doc pairs
+    "q152_snapshot_novelty": ["LeftAnti"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -322,6 +324,7 @@ MAX_SHUFFLES = {
     "q149_bigram_fluency": 4,  # bigram + prefix count aggs (broadcast back) + per-doc regroup + output order
     "q150_rep3_degeneracy": 1,  # row-local HOF projection; output order is the only exchange
     "q151_heaps_vocab_growth": 4,  # post-checkpoint: first-rank vocab agg + 2 threshold-dim aggs + tiny join; prefix-sum range shuffle materializes at the checkpoint
+    "q152_snapshot_novelty": 5,  # old-set distinct agg + anti-join + per-doc/per-source aggs + output order; 8-byte hash keys only
 }
 
 
