@@ -20,10 +20,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Audit hook: when a list is installed here, stage() appends the executed
+# plan of every relation it materializes. Checkpointing truncates lineage
+# — downstream .explain() can no longer see the staged subplan — so the
+# plan audit (tools/explain_audit.py) uses this to assert shuffle
+# discipline on the PRE-checkpoint plans too. None (default) = disabled.
+CAPTURE: list | None = None
+
 
 def stage(df: DataFrame, reliable: bool = False) -> DataFrame:
     if not reliable:
-        return df.localCheckpoint()
+        out = df.localCheckpoint()
+        if CAPTURE is not None:
+            CAPTURE.append(df._jdf.queryExecution().executedPlan().toString())
+        return out
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().checkpointDir().isEmpty():
         raise ValueError(

@@ -333,3 +333,53 @@ def test_rolling_window_hash_property(spark, texts, w):
         assert len(g) == w
         bygram[g].add(r["__h"])
     assert all(len(hs) == 1 for hs in bygram.values())
+
+
+@PROP
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=5),
+)
+def test_global_running_sum_equals_serial(spark, values, n_parts):
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.operators import prefix
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(3)
+    got = {
+        r["id"]: r["cum"]
+        for r in prefix.global_running_sum(
+            df, [F.asc("id")], "v", out="cum", n_parts=n_parts
+        ).collect()
+    }
+    acc, exp = 0, {}
+    for i, v in rows:
+        acc += v
+        exp[i] = acc
+    assert got == exp
+
+
+@PROP
+@given(
+    # duplicate-heavy sort keys: ties MUST straddle range-partition
+    # boundaries sometimes, which is exactly what the unique tie-break
+    # column has to absorb
+    st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=5),
+)
+def test_global_row_number_equals_serial(spark, values, n_parts):
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.operators import prefix
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(3)
+    got = {
+        r["id"]: r["rn"]
+        for r in prefix.global_row_number(
+            df, [F.desc("v"), F.asc("id")], out="rn", n_parts=n_parts
+        ).collect()
+    }
+    ref = sorted(rows, key=lambda r: (-r[1], r[0]))
+    assert got == {i: n + 1 for n, (i, _) in enumerate(ref)}

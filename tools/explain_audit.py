@@ -429,6 +429,52 @@ def main() -> int:
     )
     report.append("")
 
+    # Same module-level assertion for the two-phase prefix-sum operators
+    # (round-9): the scale-safe replacement for global running-sum/rank
+    # windows must itself never regress to an Exchange SinglePartition.
+    from otokuna_spark.operators import persistence, prefix  # noqa: E402
+
+    base = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 97).cast("long").alias("v")
+    )
+    for label, build in (
+        (
+            "prefix.global_running_sum",
+            lambda: prefix.global_running_sum(base, [F.asc("id")], "v", n_parts=4),
+        ),
+        (
+            "prefix.global_row_number",
+            lambda: prefix.global_row_number(base, [F.desc("v"), F.asc("id")], n_parts=4),
+        ),
+    ):
+        # the operator checkpoints its staged relation, truncating lineage,
+        # so assert over the captured PRE-checkpoint plans as well as the
+        # final one — a regression to a global window inside the staging
+        # would be invisible to the final plan alone
+        persistence.CAPTURE = captured = []
+        try:
+            df = build()
+            df.collect()
+            plans = [df._jdf.queryExecution().executedPlan().toString()] + captured
+        finally:
+            persistence.CAPTURE = None
+        problems = []
+        for pl in plans:
+            if "Exchange SinglePartition" in pl.split("== Initial Plan ==")[0]:
+                problems.append("contains `Exchange SinglePartition`")
+        status = "OK" if not problems else "FAIL: " + "; ".join(problems)
+        print(f"{status:60s} {label}")
+        failures += bool(problems)
+        report.append(f"## {label} (module audit)")
+        report.append(f"- status: {status}")
+        report.append(
+            f"- asserted over {len(plans)} executed plans (final + "
+            "pre-checkpoint staged): no SinglePartition exchange anywhere in "
+            "the two-phase shape (range partition + per-partition window + "
+            "bounded offset broadcast)"
+        )
+        report.append("")
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(report))
     print(f"\n{failures} failures; PLANS.md written")

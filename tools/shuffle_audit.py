@@ -58,6 +58,9 @@ CASES = [
     "q71_sequence_packing",     # two-phase prefix sum: range shuffle only
     "q93_dsir_selection",       # TakeOrdered rank: no rank exchange
     "q129_vocab_coverage",      # TakeOrdered top-200 over the vocab agg
+    # round-9: new curation signals
+    "q150_rep3_degeneracy",     # row-local HOFs: output order only
+    "q152_snapshot_novelty",    # hashed-shingle anti-join, 8-byte keys
 ]
 
 
