@@ -7188,3 +7188,53 @@ def q152_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q153_image_ahash_dedup",
+    """
+    WITH p AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    cell AS (
+        SELECT doc_id, w, h, i, j,
+               (doc_id * 7 + ((i * h // 4) * w + (j * w // 4)) * 13) % 256 AS v
+        FROM p, UNNEST(generate_series(0, 3)) AS a(i), UNNEST(generate_series(0, 3)) AS b(j)
+    ),
+    m AS (SELECT doc_id, SUM(v) // 16 AS mean_v FROM cell GROUP BY doc_id),
+    hsh AS (
+        SELECT c.doc_id,
+               CAST(SUM(CASE WHEN c.v >= m.mean_v THEN 1 << (c.i * 4 + c.j) ELSE 0 END) AS BIGINT) AS ahash
+        FROM cell c JOIN m USING (doc_id) GROUP BY c.doc_id
+    ),
+    grp AS (SELECT ahash, MIN(doc_id) AS dup_group, COUNT(*) AS n_same FROM hsh GROUP BY ahash)
+    SELECT h.doc_id AS media_id, h.ahash, g.dup_group, CAST(g.n_same AS BIGINT) AS n_same
+    FROM hsh h JOIN grp g USING (ahash)
+    ORDER BY media_id
+    """,
+    "Perceptual image dedup over the REAL BMP codec: synthesize "
+    "deterministic images, decode them, nearest-neighbor-downsample to a "
+    "4x4 grid, threshold against the floor-mean, and pack the bits into "
+    "a 16-bit aHash — rescaled/re-encoded copies collide, turning image "
+    "dedup into the exact-dedup groupBy shape (8-byte keys shuffle, "
+    "media bytes never do). The oracle recomputes every resized pixel, "
+    "the mean threshold, every hash bit, and the duplicate-group "
+    "assignment purely from the synthesis arithmetic — a wrong resize "
+    "index, threshold tie-break, or bit order all hash-mismatch",
+)
+def q153_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import multimodal
+
+    media = _synth_bmp_media(spark, sf_dir)
+    h = multimodal.image_ahash(media, grid=4)
+    grp = h.groupBy("ahash").agg(
+        F.min("media_id").alias("dup_group"),
+        F.count("*").alias("n_same"),
+    )
+    return (
+        h.select("media_id", "ahash")
+        .join(grp, "ahash")
+        .select("media_id", "ahash", "dup_group", "n_same")
+        .orderBy("media_id")
+    )

@@ -384,3 +384,57 @@ def image_resize(
             )
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(_batches, schema=IMAGE_RESIZE_SCHEMA)
+
+
+IMAGE_AHASH_SCHEMA = sty.StructType(
+    [
+        sty.StructField("media_id", sty.LongType()),
+        sty.StructField("width", sty.IntegerType()),
+        sty.StructField("height", sty.IntegerType()),
+        sty.StructField("ahash", sty.LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    grid: int = 4,
+    decode_fn: Callable[[bytes], tuple[int, int, np.ndarray]] = decode_image,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over decoded images: decode ->
+    nearest-neighbor resize to ``grid`` x ``grid`` (floor index mapping,
+    the ``resize_nearest`` contract) -> threshold each cell against the
+    FLOOR of the grid mean -> pack bits row-major (cell k = bit k).
+    Integer-exact end to end, so a SQL oracle can recompute every hash
+    from synthetic-pixel arithmetic — the same proof device as q86/q133.
+    Near-duplicate images (rescaled/re-encoded copies) collide on the
+    hash, which turns image dedup into the exact-dedup groupBy shape:
+    one Arrow-batched map over media bytes, then an 8-byte-key
+    aggregation — media bytes never shuffle. ``grid`` <= 8 (64 bits);
+    bit 63 is reinterpreted into the signed long like xxhash64."""
+    if grid > 8:
+        raise ValueError(f"grid must be <= 8 (64-bit hash), got {grid}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                w, hgt, px = decode_fn(bytes(data))
+                small = resize_nearest(px, grid, grid).astype(np.int64)
+                mean_floor = int(small.sum()) // (grid * grid)
+                ah = 0
+                for k, bit in enumerate((small >= mean_floor).flatten()):
+                    if bit:
+                        ah |= 1 << k
+                if ah >= 1 << 63:  # bit-reinterpret, not cast
+                    ah -= 1 << 64
+                rows.append(
+                    {"media_id": int(mid), "width": w, "height": hgt, "ahash": ah}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_AHASH_SCHEMA.fields]) if rows else (
+                pd.DataFrame({f.name: pd.Series(dtype="object") for f in IMAGE_AHASH_SCHEMA.fields})
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(_batches, schema=IMAGE_AHASH_SCHEMA)

@@ -5,6 +5,7 @@ known-answer corners, algebraic identities)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from otokuna_spark.plans.queries import REGISTRY
@@ -206,3 +207,28 @@ def test_snapshot_novelty_known_answer(spark, tmp_path):
     # "p q r s" -> 2 shingles, both unseen in the old snapshot
     assert out["sB"]["n_shingles"] == 2 and out["sB"]["n_novel"] == 2
     assert out["sB"]["novel_ppm"] == 1_000_000
+
+
+def test_image_ahash_collides_rescaled_copies(spark):
+    import numpy as np
+
+    from otokuna_spark.sources import multimodal
+
+    # a gradient image, the same image upscaled 2x (nearest), and noise:
+    # aHash must collide the first two and separate the third
+    base = (np.arange(64).reshape(8, 8) * 4 % 256).astype(np.uint8)
+    up = base.repeat(2, axis=0).repeat(2, axis=1)
+    rng_px = ((np.arange(64) * 97 + 13) % 251 % 2 * 255).astype(np.uint8).reshape(8, 8)
+    df = spark.createDataFrame(
+        [
+            (1, multimodal.encode_bmp(base)),
+            (2, multimodal.encode_bmp(up)),
+            (3, multimodal.encode_bmp(rng_px)),
+        ],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r["ahash"] for r in multimodal.image_ahash(df, grid=4).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    with pytest.raises(ValueError, match="grid"):
+        multimodal.image_ahash(df, grid=9)

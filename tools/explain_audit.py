@@ -130,6 +130,8 @@ EXPECT = {
     "q151_heaps_vocab_growth": ["BroadcastNestedLoopJoin", "partial_min"],
     # novelty is an anti-join on hashed shingles, never doc pairs
     "q152_snapshot_novelty": ["LeftAnti"],
+    # the dup-group relation joins back broadcast onto the per-image hashes
+    "q153_image_ahash_dedup": ["BroadcastHashJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -325,6 +327,7 @@ MAX_SHUFFLES = {
     "q150_rep3_degeneracy": 1,  # row-local HOF projection; output order is the only exchange
     "q151_heaps_vocab_growth": 4,  # post-checkpoint: first-rank vocab agg + 2 threshold-dim aggs + tiny join; prefix-sum range shuffle materializes at the checkpoint
     "q152_snapshot_novelty": 5,  # old-set distinct agg + anti-join + per-doc/per-source aggs + output order; 8-byte hash keys only
+    "q153_image_ahash_dedup": 2,  # hash-group agg + output order; the group relation joins back broadcast, media bytes never shuffle
 }
 
 
