@@ -1075,3 +1075,117 @@ def lateness_report(spark: SparkSession, store_path: str) -> DataFrame:
         )
         .orderBy("late_bucket_log2")
     )
+
+
+def stream_snapshot_novelty(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    report_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> None:
+    """Streaming twin of q152_snapshot_novelty: every incoming crawl
+    batch reports, per source, what fraction of its doc-distinct word
+    ``shingle_k``-shingles were never seen in ANY prior batch — the
+    live "is this crawl adding information" signal — then merges its
+    own distinct shingles into the persisted store. Reports land under
+    ``report_path/batch=<id>``; the store under ``store_path/batch=<id>``
+    carries only 8-byte shingle hashes (q88's xxhash64 device — the text
+    itself is never persisted or re-read).
+
+    Batch-equivalence (tested): batch N's report equals the batch
+    computation "shingles of batch N anti-join the distinct shingles of
+    batches 0..N-1". Replay-idempotent via the module's standard device:
+    a replayed batch excludes its own ``batch=<id>`` partition from the
+    store scan and overwrites its own partitions.
+
+    Scale shape: per-batch cost is the batch's own shingle explode plus
+    one anti-join against the store keyed on the hash; the store grows
+    with the DISTINCT shingle vocabulary, not the corpus.
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_novelty_batch(
+            batch_df, batch_id, report_path, store_path,
+            id_col, source_col, text_col, shingle_k,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_novelty_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    report_path: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> None:
+    """One idempotent micro-batch of ``stream_snapshot_novelty`` (the
+    foreachBatch body, callable directly for replay testing/backfills)."""
+    from ..functions import text as T
+
+    sp = batch_df.sparkSession
+    _check_store_orphans(sp, report_path, store_path, batch_id, "shingle")
+    sh = (
+        batch_df.select(
+            F.col(id_col).alias("__id"),
+            F.col(source_col).alias("source"),
+            T.tokens(F.col(text_col)).alias("__t"),
+        )
+        .select(
+            "__id",
+            "source",
+            F.explode(T.shingles_from_tokens(F.col("__t"), shingle_k)).alias("__s"),
+        )
+        .select("__id", "source", F.xxhash64("__s").alias("g"))
+        .localCheckpoint()  # feeds per-doc totals, the anti-join, AND the store delta
+    )
+    if _fs_nonempty(sp, store_path):
+        old = sp.read.parquet(store_path)
+        # a replayed batch must not see its own shingles from the crashed
+        # attempt (partition-pruned at the scan)
+        if "batch" in old.columns:
+            old = old.where(F.col("batch") != batch_id)
+        old = old.select("g").distinct()
+    else:
+        old = sp.createDataFrame([], "g bigint")
+    perdoc = sh.groupBy("__id", "source").agg(F.count("*").alias("n_sh"))
+    novel = sh.join(old, "g", "left_anti").groupBy("__id").agg(
+        F.count("*").alias("n_novel")
+    )
+    report = (
+        perdoc.join(novel, "__id", "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "cast(cast(n_novel as decimal(38,0)) * 1000000 div n_shingles as bigint)"
+            ).alias("novel_ppm"),
+        )
+    )
+    report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
+    sh.select("g").distinct().write.mode("overwrite").parquet(
+        f"{store_path}/batch={batch_id}"
+    )

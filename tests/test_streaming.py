@@ -913,3 +913,65 @@ def test_stream_snapshot_diff_wrapper_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/batch=1").collect()
     }
     assert got1 == {(2, "removed"), (3, "added")}
+
+
+def test_ingest_novelty_batch_matches_q152_semantics(spark, tmp_path):
+    # batch 0 seeds the store; batch 1's report must equal the batch
+    # computation "batch-1 shingles anti-join batch-0's distinct set"
+    report = str(tmp_path / "nov_report")
+    store = str(tmp_path / "nov_store")
+    b0 = spark.createDataFrame(
+        [(0, "sA", "a b c d"), (2, "sB", "x y z w")],
+        "doc_id long, source string, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "sA", "a b c d"),      # all shingles seen in batch 0
+         (3, "sB", "p q r s"),      # entirely fresh
+         (5, "sB", "c d x y")],     # "c d x": fresh; "d x y": fresh
+        "doc_id long, source string, text string",
+    )
+    jobs.ingest_novelty_batch(b0, 0, report, store)
+    jobs.ingest_novelty_batch(b1, 1, report, store)
+    got = {r["source"]: r for r in spark.read.parquet(f"{report}/batch=1").collect()}
+    assert got["sA"]["n_novel"] == 0 and got["sA"]["novel_ppm"] == 0
+    # sB: doc 3 -> 2/2 novel; doc 5 -> 2/2 novel (no 3-shingle of
+    # "c d x y" appears in "a b c d" or "x y z w")
+    assert got["sB"]["n_shingles"] == 4 and got["sB"]["n_novel"] == 4
+    assert got["sB"]["novel_ppm"] == 1_000_000
+    # batch 0's own report: everything novel against an empty store
+    got0 = {r["source"]: r for r in spark.read.parquet(f"{report}/batch=0").collect()}
+    assert got0["sA"]["novel_ppm"] == 1_000_000
+
+    # replay idempotence: re-running batch 1 must not see its own
+    # shingles in the store and must reproduce the identical report
+    jobs.ingest_novelty_batch(b1, 1, report, store)
+    again = {r["source"]: r for r in spark.read.parquet(f"{report}/batch=1").collect()}
+    assert {k: (v["n_shingles"], v["n_novel"]) for k, v in again.items()} == {
+        k: (v["n_shingles"], v["n_novel"]) for k, v in got.items()
+    }
+
+
+def test_stream_snapshot_novelty_wrapper_end_to_end(spark, tmp_path):
+    import json
+
+    src = tmp_path / "nov_src"
+    src.mkdir()
+    report = str(tmp_path / "nov2_report")
+    store = str(tmp_path / "nov2_store")
+    ckpt = str(tmp_path / "nov2_ckpt")
+
+    def run(rows, name):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "doc_id BIGINT, source STRING, text STRING"
+        ).json(str(src))
+        jobs.stream_snapshot_novelty(spark, stream, report, store, ckpt)
+
+    run([{"doc_id": 0, "source": "s", "text": "a b c d"}], "b0.json")
+    run([{"doc_id": 1, "source": "s", "text": "a b c e"}], "b1.json")
+    r1 = spark.read.parquet(f"{report}/batch=1").collect()[0]
+    # "a b c" seen in batch 0; "b c e" novel
+    assert r1["n_shingles"] == 2 and r1["n_novel"] == 1
+    assert r1["novel_ppm"] == 500_000
