@@ -41,12 +41,13 @@ Usage:
                                      [--tz ZONE] [--no-aqe] [--no-codegen]
     python tools/invariance_check.py --streaming [n_partitions] [--tz ZONE]
 
-Round-8 results at sf0.01, 135/135 oracle-paired queries PASS on every
-axis: 7 shuffle partitions; session timezone Asia/Tokyo; AQE disabled;
-whole-stage codegen disabled — the registry is partitioning-,
-timezone-, planner-, and evaluator-invariant. The streaming axis
-(--streaming, 7 partitions + Asia/Tokyo) passes the full
-batch-equivalence suite 22/22 (INVARIANCE_STREAMING.json).
+Round-9 results: the streaming axis (--streaming, 7 partitions +
+Asia/Tokyo) passes the full batch-equivalence suite 24/24 at HEAD,
+now including the snapshot-novelty twin (INVARIANCE_STREAMING.json).
+Round-8 batch axes at sf0.01, 135/135 oracle-paired queries PASS on
+every axis: 7 shuffle partitions; session timezone Asia/Tokyo; AQE
+disabled; whole-stage codegen disabled — the registry is
+partitioning-, timezone-, planner-, and evaluator-invariant.
 """
 
 from __future__ import annotations
