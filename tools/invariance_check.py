@@ -41,13 +41,14 @@ Usage:
                                      [--tz ZONE] [--no-aqe] [--no-codegen]
     python tools/invariance_check.py --streaming [n_partitions] [--tz ZONE]
 
-Round-9 results: the streaming axis (--streaming, 7 partitions +
-Asia/Tokyo) passes the full batch-equivalence suite 24/24 at HEAD,
-now including the snapshot-novelty twin (INVARIANCE_STREAMING.json).
-Round-8 batch axes at sf0.01, 135/135 oracle-paired queries PASS on
-every axis: 7 shuffle partitions; session timezone Asia/Tokyo; AQE
-disabled; whole-stage codegen disabled — the registry is
-partitioning-, timezone-, planner-, and evaluator-invariant.
+Round-9 results at HEAD: the 7-partition batch sweep passes 143/143
+oracle-paired queries at sf0.01 — including the new two-phase
+prefix-sum queries (q71/q151), whose per-partition offset collection
+is exactly the partition-dependence risk this sweep targets. The
+streaming axis (--streaming, 7 partitions + Asia/Tokyo) passes the
+full batch-equivalence suite 24/24, now including the
+snapshot-novelty twin (INVARIANCE_STREAMING.json). Round-8 recorded
+the same sweep green under Asia/Tokyo, --no-aqe, and --no-codegen.
 """
 
 from __future__ import annotations
