@@ -7238,3 +7238,56 @@ def q153_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "ahash", "dup_group", "n_same")
         .orderBy("media_id")
     )
+
+
+@register(
+    "q154_audio_fingerprint_dedup",
+    """
+    WITH p AS (
+        SELECT doc_id, 2000 + doc_id % 5 * 500 AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    fr AS (
+        SELECT doc_id, CAST(k AS INT) AS k,
+               (SELECT SUM(CAST((doc_id * 31 + t * 17) % 65536 - 32768 AS BIGINT)
+                           * CAST((doc_id * 31 + t * 17) % 65536 - 32768 AS BIGINT))
+                FROM UNNEST(generate_series(k * 500, k * 500 + 499)) AS u(t)) AS energy
+        FROM p, UNNEST(generate_series(0, n // 500 - 1)) AS g(k)
+    ),
+    m AS (SELECT doc_id, SUM(energy) // COUNT(*) AS mean_e, COUNT(*) AS n_frames FROM fr GROUP BY doc_id),
+    hsh AS (
+        SELECT f.doc_id, CAST(m.n_frames AS INT) AS n_frames,
+               CAST(SUM(CASE WHEN f.energy >= m.mean_e THEN 1 << f.k ELSE 0 END) AS BIGINT) AS fhash
+        FROM fr f JOIN m USING (doc_id) GROUP BY f.doc_id, m.n_frames
+    ),
+    grp AS (SELECT fhash, n_frames, MIN(doc_id) AS dup_group, COUNT(*) AS n_same
+            FROM hsh GROUP BY fhash, n_frames)
+    SELECT h.doc_id AS media_id, h.n_frames, h.fhash, g.dup_group, CAST(g.n_same AS BIGINT) AS n_same
+    FROM hsh h JOIN grp g USING (fhash, n_frames)
+    ORDER BY media_id
+    """,
+    "Audio dedup over the REAL WAV codec — the audio twin of q153: "
+    "synthesize deterministic 16-bit clips, decode them, split into "
+    "500-sample frames, fingerprint by the per-frame energy profile "
+    "(sum of squared samples vs the floor-mean, one bit per frame), and "
+    "group by (fingerprint, frame count) — re-encoded copies collide, "
+    "turning audio dedup into the exact-dedup groupBy shape over 8-byte "
+    "keys; media bytes never shuffle. The oracle recomputes every frame "
+    "energy, the threshold, every bit, and the duplicate groups from "
+    "the generating arithmetic",
+)
+def q154_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import multimodal
+
+    media = _synth_wav_media(spark, sf_dir)
+    h = multimodal.audio_fingerprint(media, frame=500)
+    grp = h.groupBy("fhash", "n_frames").agg(
+        F.min("media_id").alias("dup_group"),
+        F.count("*").alias("n_same"),
+    )
+    return (
+        h.select("media_id", "n_frames", "fhash")
+        .join(grp, ["fhash", "n_frames"])
+        .select("media_id", "n_frames", "fhash", "dup_group", "n_same")
+        .orderBy("media_id")
+    )

@@ -438,3 +438,67 @@ def image_ahash(
             )
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(_batches, schema=IMAGE_AHASH_SCHEMA)
+
+
+AUDIO_FPRINT_SCHEMA = sty.StructType(
+    [
+        sty.StructField("media_id", sty.LongType()),
+        sty.StructField("n_samples", sty.LongType()),
+        sty.StructField("n_frames", sty.IntegerType()),
+        sty.StructField("fhash", sty.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    frame: int = 500,
+    decode_fn: Callable[[bytes], tuple[int, np.ndarray]] = decode_wav,
+) -> DataFrame:
+    """Energy-profile audio fingerprint — the WAV twin of
+    ``image_ahash``: decode -> split into full ``frame``-sample frames
+    (short tail dropped) -> per-frame energy (sum of squared int16
+    samples, exact int64) -> threshold each frame against the FLOOR of
+    the mean frame energy -> pack bits in frame order. Re-encoded /
+    re-containered copies of the same signal collide, so audio dedup
+    becomes the exact-dedup groupBy shape over 8-byte keys; media bytes
+    never shuffle. Integer-exact end to end (SQL-oracle-recomputable
+    from synthetic-sample arithmetic). Clips with >= 64 full frames (or
+    none) refuse loudly rather than truncating the profile silently."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                _, samples = decode_fn(bytes(data))
+                n_frames = len(samples) // frame
+                if not 1 <= n_frames <= 64:
+                    raise ValueError(
+                        f"media {mid}: {n_frames} frames of {frame} samples "
+                        "(need 1..64 for a 64-bit fingerprint) — choose a "
+                        "frame size matched to the clip length"
+                    )
+                s = samples[: n_frames * frame].astype(np.int64).reshape(n_frames, frame)
+                energy = (s * s).sum(axis=1)
+                mean_floor = int(energy.sum()) // n_frames
+                fh = 0
+                for k, bit in enumerate(energy >= mean_floor):
+                    if bit:
+                        fh |= 1 << k
+                if fh >= 1 << 63:  # bit-reinterpret, not cast
+                    fh -= 1 << 64
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": int(len(samples)),
+                        "n_frames": int(n_frames),
+                        "fhash": fh,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FPRINT_SCHEMA.fields]) if rows else (
+                pd.DataFrame({f.name: pd.Series(dtype="object") for f in AUDIO_FPRINT_SCHEMA.fields})
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(_batches, schema=AUDIO_FPRINT_SCHEMA)

@@ -232,3 +232,31 @@ def test_image_ahash_collides_rescaled_copies(spark):
     assert out[1] != out[3]
     with pytest.raises(ValueError, match="grid"):
         multimodal.image_ahash(df, grid=9)
+
+
+def test_audio_fingerprint_collides_reencoded_copies(spark):
+    import numpy as np
+
+    from otokuna_spark.sources import multimodal
+
+    t = np.arange(2000)
+    sig = (np.sin(t / 50.0) * 20000).astype(np.int16)
+    other = (np.sin(t / 7.0) * 20000).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, multimodal.encode_wav(sig, sample_rate=1000)),
+            (2, multimodal.encode_wav(sig, sample_rate=16000)),  # re-containered
+            (3, multimodal.encode_wav(other, sample_rate=1000)),
+        ],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r["fhash"] for r in multimodal.audio_fingerprint(df).collect()}
+    assert out[1] == out[2]  # same samples, different container metadata
+    assert out[1] != out[3]
+    # frame-count guard: a clip shorter than one frame refuses loudly
+    short = spark.createDataFrame(
+        [(9, multimodal.encode_wav(sig[:100], sample_rate=1000))],
+        "media_id long, data binary",
+    )
+    with pytest.raises(Exception, match="frames"):
+        multimodal.audio_fingerprint(short).collect()

@@ -132,6 +132,7 @@ EXPECT = {
     "q152_snapshot_novelty": ["LeftAnti"],
     # the dup-group relation joins back broadcast onto the per-image hashes
     "q153_image_ahash_dedup": ["BroadcastHashJoin"],
+    "q154_audio_fingerprint_dedup": ["BroadcastHashJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -328,6 +329,7 @@ MAX_SHUFFLES = {
     "q151_heaps_vocab_growth": 4,  # post-checkpoint: first-rank vocab agg + 2 threshold-dim aggs + tiny join; prefix-sum range shuffle materializes at the checkpoint
     "q152_snapshot_novelty": 5,  # old-set distinct agg + anti-join + per-doc/per-source aggs + output order; 8-byte hash keys only
     "q153_image_ahash_dedup": 2,  # hash-group agg + output order; the group relation joins back broadcast, media bytes never shuffle
+    "q154_audio_fingerprint_dedup": 2,  # same shape as q153 over the WAV fingerprint
 }
 
 
