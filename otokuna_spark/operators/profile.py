@@ -194,3 +194,42 @@ def drift_terms(dense: DataFrame, group_col: str, bin_col: str) -> DataFrame:
         )
         .drop("na", "nb")
     )
+
+
+def validate_contract(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Data-contract validation (the expectation-suite gate a pipeline
+    runs before accepting a batch): each rule is (name, VIOLATION
+    predicate over one row); the report is one row per rule with the
+    violation count and exact-ppm rate. Single pass: every rule becomes
+    one conditional sum inside ONE aggregate over ONE scan (no
+    per-rule jobs), then the wide row melts to per-rule rows via stack
+    — map-only Expand, the q136 device. NULL predicate results count as
+    violations (an unevaluable expectation is a failed one), made
+    explicit with coalesce so three-valued logic cannot silently pass a
+    row. Returns (rule, n_checked, n_violations, violation_ppm) ordered
+    by rule name."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum(F.coalesce(pred, F.lit(True)).cast("long")).alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', __v_{name}" for name, _ in rules)
+    return (
+        wide.select(
+            F.col("__n"),
+            F.expr(f"stack({len(rules)}, {stack}) as (rule, n_violations)"),
+        )
+        .select(
+            "rule",
+            F.col("__n").cast("long").alias("n_checked"),
+            F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+            F.expr(
+                "cast(CASE WHEN __n > 0 THEN coalesce(n_violations, 0) * 1000000 div __n "
+                "ELSE 0 END as bigint)"
+            ).alias("violation_ppm"),
+        )
+        .orderBy("rule")
+    )

@@ -7291,3 +7291,54 @@ def q154_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "n_frames", "fhash", "dup_group", "n_same")
         .orderBy("media_id")
     )
+
+
+@register(
+    "q155_data_contract_report",
+    """
+    WITH t AS (
+        SELECT COUNT(*) AS n,
+            SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_doc_id_null,
+            SUM(CASE WHEN COALESCE(lang IN ('de','en','es','fr','zh'), FALSE) THEN 0 ELSE 1 END) AS v_lang_unknown,
+            SUM(CASE WHEN COALESCE(len(string_split_regex(trim(text), '\\s+')) >= 30, FALSE) THEN 0 ELSE 1 END) AS v_min_tokens_30,
+            SUM(CASE WHEN COALESCE(n_chars = length(text), FALSE) THEN 0 ELSE 1 END) AS v_n_chars_mismatch,
+            SUM(CASE WHEN COALESCE(trim(source) = '', TRUE) THEN 1 ELSE 0 END) AS v_source_blank,
+            SUM(CASE WHEN COALESCE(trim(text) = '', TRUE) THEN 1 ELSE 0 END) AS v_text_blank
+        FROM documents
+    ),
+    r AS (
+        SELECT 'doc_id_null' AS rule, v_doc_id_null AS v FROM t
+        UNION ALL SELECT 'lang_unknown', v_lang_unknown FROM t
+        UNION ALL SELECT 'min_tokens_30', v_min_tokens_30 FROM t
+        UNION ALL SELECT 'n_chars_mismatch', v_n_chars_mismatch FROM t
+        UNION ALL SELECT 'source_blank', v_source_blank FROM t
+        UNION ALL SELECT 'text_blank', v_text_blank FROM t
+    )
+    SELECT rule, CAST(t.n AS BIGINT) AS n_checked, CAST(r.v AS BIGINT) AS n_violations,
+           CAST(CASE WHEN t.n > 0 THEN r.v * 1000000 // t.n ELSE 0 END AS BIGINT) AS violation_ppm
+    FROM r, t ORDER BY rule
+    """,
+    "Data-contract validation report (the expectation-suite gate run "
+    "before accepting a batch into the corpus): six per-row "
+    "expectations — id non-null, language in the known set, a 30-token "
+    "curation floor, the n_chars/text consistency invariant, non-blank "
+    "source and text — each reported as (checked, violations, exact "
+    "ppm). ONE scan: every rule is a conditional sum inside a single "
+    "aggregate, melted to per-rule rows by a map-only stack/Expand; "
+    "NULL predicate results count as violations (three-valued logic "
+    "cannot silently pass a row), mirrored exactly by the oracle's "
+    "COALESCE forms",
+)
+def q155_data_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import validate_contract
+
+    docs = read_table(spark, sf_dir, "documents")
+    rules = [
+        ("doc_id_null", F.col("doc_id").isNull()),
+        ("lang_unknown", ~F.col("lang").isin("de", "en", "es", "fr", "zh")),
+        ("min_tokens_30", F.size(T.tokens(F.col("text"))) < 30),
+        ("n_chars_mismatch", F.col("n_chars") != F.length("text")),
+        ("source_blank", F.trim(F.col("source")) == ""),
+        ("text_blank", F.trim(F.col("text")) == ""),
+    ]
+    return validate_contract(docs, rules)

@@ -260,3 +260,26 @@ def test_audio_fingerprint_collides_reencoded_copies(spark):
     )
     with pytest.raises(Exception, match="frames"):
         multimodal.audio_fingerprint(short).collect()
+
+
+def test_data_contract_counts_violations_and_nulls(spark, tmp_path):
+    rows = [
+        (1, "tok " * 40, "en", "sA", 160),          # clean (40 tokens)
+        (2, "short doc", "en", "sA", 9),            # min_tokens_30
+        (3, "x " * 35, "xx", "sA", 70),             # lang_unknown
+        (4, "y " * 35, "en", "sA", 999),            # n_chars_mismatch
+        (5, None, "en", "sA", 0),                   # text null -> blank+tokens+chars
+        (6, "z " * 35, "en", " ", 70),              # source_blank
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["rule"]: r for r in REGISTRY["q155_data_contract_report"].fn(spark, sf).collect()}
+    assert all(r["n_checked"] == 6 for r in out.values())
+    assert out["doc_id_null"]["n_violations"] == 0
+    assert out["lang_unknown"]["n_violations"] == 1
+    assert out["min_tokens_30"]["n_violations"] == 2      # doc 2 + null text
+    # doc 4 mismatches ("y "*35 = 70 chars vs 999); doc 5's null text is
+    # unevaluable -> violation (three-valued logic must not pass it)
+    assert out["n_chars_mismatch"]["n_violations"] == 2
+    assert out["source_blank"]["n_violations"] == 1
+    assert out["text_blank"]["n_violations"] == 1
+    assert out["min_tokens_30"]["violation_ppm"] == 2 * 1_000_000 // 6

@@ -133,6 +133,8 @@ EXPECT = {
     # the dup-group relation joins back broadcast onto the per-image hashes
     "q153_image_ahash_dedup": ["BroadcastHashJoin"],
     "q154_audio_fingerprint_dedup": ["BroadcastHashJoin"],
+    # all six expectations ride ONE conditional-sum aggregate
+    "q155_data_contract_report": ["partial_count", "partial_sum"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -330,6 +332,7 @@ MAX_SHUFFLES = {
     "q152_snapshot_novelty": 5,  # old-set distinct agg + anti-join + per-doc/per-source aggs + output order; 8-byte hash keys only
     "q153_image_ahash_dedup": 2,  # hash-group agg + output order; the group relation joins back broadcast, media bytes never shuffle
     "q154_audio_fingerprint_dedup": 2,  # same shape as q153 over the WAV fingerprint
+    "q155_data_contract_report": 1,  # ONE keyless two-phase agg for all six rules + map-only stack; 6-row tail
 }
 
 
