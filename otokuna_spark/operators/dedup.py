@@ -758,6 +758,78 @@ def simhash_pairs(
     return out
 
 
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-pairs at Hamming distance <= ``max_hamming`` over an
+    arbitrary-width integer hash column — ``simhash_pairs``' pigeonhole
+    banding generalized to PRE-COMPUTED signatures of any bit width, the
+    grouping step real perceptual media dedup needs (image aHash, audio
+    energy fingerprints: q153/q154 group exact collisions only; rescaled
+    or lightly-edited copies differ in a bit or two).
+
+    Pigeonhole: split the ``bits``-wide hash into ``max_hamming + 1``
+    bit chunks (widths as equal as possible — the argument needs only a
+    partition of the bits, not equal widths); a pair within distance
+    must agree EXACTLY on >= 1 chunk, so candidates come from chunk
+    equi-joins (no cross join), then an exact popcount(xor) filter.
+    Scale shape: candidate volume is bounded by per-chunk-value bucket
+    sizes (hot buckets split by AQE skew-join), and only (id, hash)
+    pairs ever shuffle — never media bytes.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if not 1 <= max_hamming < bits <= 64:
+        raise ValueError(f"need 1 <= max_hamming < bits <= 64, got {max_hamming}/{bits}")
+    n_chunks = max_hamming + 1
+    # max_hamming < bits guarantees n_chunks <= bits, so every chunk is
+    # non-empty (width >= 1)
+    base, rem = divmod(bits, n_chunks)
+    chunks, off = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        chunks.append(
+            F.shiftright(F.col(hash_col), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"c{i}")
+        )
+        off += width
+    from pyspark import StorageLevel
+
+    banded = sig.select(id_col, hash_col, *chunks).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = None
+    for i in range(n_chunks):
+        a = banded.alias("a")
+        b = banded.alias("b")
+        p = (
+            a.join(b, F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{hash_col}").alias("sig_a"),
+                F.col(f"b.{hash_col}").alias("sig_b"),
+            )
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    from ..functions.vectors import hamming64
+
+    out = (
+        cand.distinct()
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    if materialize:
+        out = out.localCheckpoint()
+        banded.unpersist()
+    return out
+
+
 # ------------------------------------------------------ clustering
 
 

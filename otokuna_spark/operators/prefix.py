@@ -24,6 +24,14 @@ fault-tolerance contract at cluster scale).
 Callers MUST pass a total order (include a unique tie-break column):
 with ties straddling a range boundary the per-partition assignment —
 and hence row_number — would be partition-placement-dependent.
+
+NULL semantics (documented divergence): ``global_running_sum`` counts a
+NULL value as 0 — running sums are always non-null. The SQL window it
+replaces instead propagates NULL through an all-NULL prefix (sum of an
+empty set); matching that exactly would force a second non-null-count
+phase for a case no caller has. Both phases coalesce, so an all-NULL
+range partition contributes a 0 offset instead of poisoning the
+driver-side accumulation with a None.
 """
 
 from __future__ import annotations
@@ -88,10 +96,11 @@ def global_running_sum(
     return _two_phase(
         df,
         order,
-        lambda w: F.sum(value_col).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
+        lambda w: F.coalesce(
+            F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            F.lit(0),
         ),
-        F.sum(value_col).cast("long"),
+        F.coalesce(F.sum(value_col), F.lit(0)).cast("long"),
         out,
         n_parts,
         reliable,

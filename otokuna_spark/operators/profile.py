@@ -209,7 +209,23 @@ def validate_contract(
     violations (an unevaluable expectation is a failed one), made
     explicit with coalesce so three-valued logic cannot silently pass a
     row. Returns (rule, n_checked, n_violations, violation_ppm) ordered
-    by rule name."""
+    by rule name.
+
+    Rule names are interpolated into the stack() melt expression and
+    into column aliases, so they are restricted to identifier characters
+    — anything else would be a parse error at best and an injection
+    vector at worst. The rules list must be non-empty (stack(0) is not
+    valid SQL)."""
+    import re
+
+    if not rules:
+        raise ValueError("validate_contract needs at least one rule")
+    for name, _ in rules:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(
+                f"rule name {name!r} must match [A-Za-z0-9_]+ — it is "
+                "interpolated into a SQL stack() expression"
+            )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in rules:
         aggs.append(

@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import persistence
+
 # Base gram width for round 0 (must be a power of two; level index
 # BASE_J = log2(BASE_LEN)). LCP consumers resolve the sub-BASE_LEN
 # remainder by direct gram comparison (see ``lcp_adjacent``). 32 trades
@@ -53,7 +55,11 @@ BASE_J = 5
 
 
 def _dense_rank_distributed(
-    df: DataFrame, key: str, out: str, n_parts: int | None = None
+    df: DataFrame,
+    key: str,
+    out: str,
+    n_parts: int | None = None,
+    reliable: bool = False,
 ) -> tuple[DataFrame, int, DataFrame]:
     """Attach the 0-based DENSE rank of ``key`` (any orderable type) as
     ``out``; returns (ranked df, number of distinct keys, cache handle).
@@ -62,7 +68,10 @@ def _dense_rank_distributed(
     boundary), dense_rank within each partition, then add per-partition
     offsets = running sum of upstream partitions' distinct counts. The
     only driver materialization is one count per shuffle partition.
-    ONE localCheckpoint per call: the per-partition rank relation is
+    ONE staged materialization per call (persistence.stage — localCheckpoint
+    by default, a fault-tolerant checkpoint with ``reliable=True``; a
+    multi-round shard build that loses an executor mid-doubling restarts
+    from zero otherwise): the per-partition rank relation is
     materialized once and BOTH the distinct counts and the final offset
     join read it, so partition ids cannot drift between the two passes
     and the doubling loop pays a single job per round for lineage
@@ -77,10 +86,11 @@ def _dense_rank_distributed(
     else:
         part = df.repartitionByRange(F.col(key))
     local = F.dense_rank().over(Window.partitionBy("__pid").orderBy(key)) - 1
-    ranked_local = (
-        part.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__local", local.cast("long"))
-        .localCheckpoint()
+    ranked_local = persistence.stage(
+        part.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__local", local.cast("long")
+        ),
+        reliable,
     )
     counts = {
         r["__pid"]: r["__n"]
@@ -127,6 +137,7 @@ def _doubling_rounds(
     n_parts: int | None,
     max_rounds: int | None = None,
     keep_tables: bool = False,
+    reliable: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Shared doubling engine: dense-rank the base grams, then double
     until ranks are fully distinct or the prefix covers the longest doc.
@@ -140,7 +151,9 @@ def _doubling_rounds(
     ).collect()[0]
     n = stats["__n"] or 0
     max_len = stats["__maxlen"] or 1
-    ranked, n_distinct, cache = _dense_rank_distributed(grams, "__g", "rank", n_parts)
+    ranked, n_distinct, cache = _dense_rank_distributed(
+        grams, "__g", "rank", n_parts, reliable
+    )
     cur = ranked.select("__id", "pos", "rank")
     tables: list[tuple[int, DataFrame]] = [(BASE_J, cur)]
     caches = [cache]
@@ -159,7 +172,7 @@ def _doubling_rounds(
         )
         prev_distinct = n_distinct
         ranked, n_distinct, cache = _dense_rank_distributed(
-            paired.select("__id", "pos", "__key"), "__key", "rank", n_parts
+            paired.select("__id", "pos", "__key"), "__key", "rank", n_parts, reliable
         )
         cur = ranked.select("__id", "pos", "rank")
         tables.append((j, cur))
@@ -188,6 +201,7 @@ def suffix_ranks(
     text_col: str,
     max_rounds: int | None = None,
     n_parts: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """(id, pos, rank): corpus-global dense lexicographic rank of the
     suffix ``text[pos:]`` (1-based ``pos``), for every position of every
@@ -197,30 +211,42 @@ def suffix_ranks(
     position, then O(log(maxlen/BASE_LEN)) doubling rounds, each one keyed
     self-join + one distributed dense rank; stops early once all ranks
     are distinct (every further round would be a no-op). ``max_rounds``
-    caps the doubling loop for adversarial inputs."""
+    caps the doubling loop for adversarial inputs. ``reliable=True``
+    swaps every staged round for a fault-tolerant checkpoint
+    (persistence.stage) so an executor loss mid-doubling does not restart
+    the shard build from zero."""
     grams, _lens = _base_grams(docs, id_col, text_col)
-    cur, _ = _doubling_rounds(grams, n_parts, max_rounds=max_rounds)
+    cur, _ = _doubling_rounds(grams, n_parts, max_rounds=max_rounds, reliable=reliable)
     return cur.select(F.col("__id").alias(id_col), "pos", "rank")
 
 
-def _range_ordered(df: DataFrame, cols: list[str], n_parts: int | None) -> DataFrame:
+def _range_ordered(
+    df: DataFrame, cols: list[str], n_parts: int | None, reliable: bool = False
+) -> DataFrame:
     """Range-repartition on ``cols`` and tag each row with its partition
     id. RangePartitioning assigns partition 0 the lowest key range, so
     ``__pid`` increases with the sort order and per-partition windows on
     ``__pid`` + tiny cross-partition stitching reproduce any global-order
-    computation WITHOUT a single-partition stage. localCheckpointed: the
-    callers read it twice (window pass + bounded per-partition summary)."""
+    computation WITHOUT a single-partition stage. Staged via
+    persistence.stage (the callers read it twice: window pass + bounded
+    per-partition summary); ``reliable=True`` = fault-tolerant checkpoint."""
     key_cols = [F.col(c) for c in cols]
     part = (
         df.repartitionByRange(n_parts, *key_cols)
         if n_parts
         else df.repartitionByRange(*key_cols)
     )
-    return part.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    return persistence.stage(
+        part.withColumn("__pid", F.spark_partition_id()), reliable
+    )
 
 
 def suffix_array(
-    docs: DataFrame, id_col: str, text_col: str, n_parts: int | None = None
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_parts: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """The suffix array proper: (sa_index, id, pos, rank) ordered by
     (rank, id, pos) — dense-rank ties broken deterministically by
@@ -231,8 +257,8 @@ def suffix_array(
     add per-partition row-count offsets (ONE long per shuffle partition
     collected to the driver — the same bounded-collect device as
     ``_dense_rank_distributed``)."""
-    ranks = suffix_ranks(docs, id_col, text_col, n_parts=n_parts)
-    part = _range_ordered(ranks, ["rank", id_col, "pos"], n_parts)
+    ranks = suffix_ranks(docs, id_col, text_col, n_parts=n_parts, reliable=reliable)
+    part = _range_ordered(ranks, ["rank", id_col, "pos"], n_parts, reliable)
     counts = {
         r["__pid"]: r["__n"]
         for r in part.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
@@ -259,6 +285,7 @@ def suffix_ranks_with_tables(
     id_col: str,
     text_col: str,
     n_parts: int | None = None,
+    reliable: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], DataFrame, DataFrame]:
     """``suffix_ranks`` that also RETAINS each doubling round's rank
     table — the inputs LCP queries need (LCP-by-doubling walks the
@@ -269,13 +296,18 @@ def suffix_ranks_with_tables(
     is the materialized (id, pos, BASE_LEN-char gram) base relation for
     sub-BASE_LEN remainder resolution."""
     grams, lens = _base_grams(docs, id_col, text_col)
-    grams = grams.localCheckpoint()  # re-read by the LCP remainder joins
-    cur, tables = _doubling_rounds(grams, n_parts, keep_tables=True)
+    # re-read by the LCP remainder joins
+    grams = persistence.stage(grams, reliable)
+    cur, tables = _doubling_rounds(grams, n_parts, keep_tables=True, reliable=reliable)
     return cur, tables, lens, grams
 
 
 def lcp_adjacent(
-    docs: DataFrame, id_col: str, text_col: str, n_parts: int | None = None
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_parts: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """LCP between every pair of ADJACENT suffixes in the suffix array —
     the relation duplicate mining reads (a substring of length L occurs
@@ -306,10 +338,10 @@ def lcp_adjacent(
     Returns (id_a, pos_a, id_b, pos_b, lcp) for the n-1 adjacent pairs.
     """
     final, tables, lens, grams = suffix_ranks_with_tables(
-        docs, id_col, text_col, n_parts
+        docs, id_col, text_col, n_parts, reliable
     )
     with_len = final.join(lens, "__id")
-    part = _range_ordered(with_len, ["rank", "__id", "pos"], n_parts)
+    part = _range_ordered(with_len, ["rank", "__id", "pos"], n_parts, reliable)
     w = Window.partitionBy("__pid").orderBy("rank", "__id", "pos")
     led = part.select(
         "__pid",
@@ -438,13 +470,17 @@ def lcp_adjacent(
 
 
 def longest_repeated_substring(
-    docs: DataFrame, id_col: str, text_col: str, n_parts: int | None = None
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_parts: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """The classic suffix-array deliverable: ONE row (lrs_len, doc_id,
     pos) locating the longest substring that occurs >= 2 times anywhere
     in the corpus (within one doc or across docs) — exactly the maximal
     adjacent-SA LCP. Deterministic tie-break by (doc, pos)."""
-    adj = lcp_adjacent(docs, id_col, text_col, n_parts)
+    adj = lcp_adjacent(docs, id_col, text_col, n_parts, reliable)
     return (
         adj.where(F.col("lcp") >= 1)
         .orderBy(F.desc("lcp"), "id_a", "pos_a")

@@ -1092,7 +1092,8 @@ def stream_snapshot_novelty(
     batch reports, per source, what fraction of its doc-distinct word
     ``shingle_k``-shingles were never seen in ANY prior batch — the
     live "is this crawl adding information" signal — then merges its
-    own distinct shingles into the persisted store. Reports land under
+    NOVEL distinct shingles (the delta only — recurring shingles are
+    never re-persisted) into the persisted store. Reports land under
     ``report_path/batch=<id>``; the store under ``store_path/batch=<id>``
     carries only 8-byte shingle hashes (q88's xxhash64 device — the text
     itself is never persisted or re-read).
@@ -1186,6 +1187,11 @@ def ingest_novelty_batch(
         )
     )
     report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
-    sh.select("g").distinct().write.mode("overwrite").parquet(
-        f"{store_path}/batch={batch_id}"
-    )
+    # persist only the NOVEL delta: shingles already in the store would be
+    # re-persisted by every batch they recur in, growing the store (and
+    # every later anti-join scan) with the SUM of per-batch distinct sets
+    # instead of the global vocabulary. Replay stays idempotent — the
+    # recomputed delta against store-minus-own-partition is the same set.
+    sh.select("g").distinct().join(old, "g", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/batch={batch_id}")

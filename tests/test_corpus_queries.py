@@ -283,3 +283,140 @@ def test_data_contract_counts_violations_and_nulls(spark, tmp_path):
     assert out["source_blank"]["n_violations"] == 1
     assert out["text_blank"]["n_violations"] == 1
     assert out["min_tokens_30"]["violation_ppm"] == 2 * 1_000_000 // 6
+
+
+def test_validate_contract_rejects_unsafe_rule_names(spark):
+    # rule names are interpolated into a SQL stack() expression — anything
+    # outside [A-Za-z0-9_] must refuse at entry, and an empty rules list
+    # would generate the invalid stack(0, )
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.operators import profile
+
+    df = spark.createDataFrame([(1,)], "x long")
+    for bad in ["has space", "has-dash", "q'uote", ""]:
+        with pytest.raises(ValueError, match="rule name|at least one"):
+            profile.validate_contract(df, [(bad, F.col("x").isNull())])
+    with pytest.raises(ValueError, match="at least one"):
+        profile.validate_contract(df, [])
+    ok = profile.validate_contract(df, [("x_null", F.col("x").isNull())]).collect()
+    assert ok[0]["rule"] == "x_null" and ok[0]["n_violations"] == 0
+
+
+def test_unigram_likelihood_degenerate_repeated_token_doc(spark, tmp_path):
+    # Zipf worst case: one doc is a single token repeated — the per-doc
+    # pre-aggregation (groupBy(doc_id, tok) before the frequency join)
+    # must weight sums by the count and reproduce the occurrence-level
+    # numbers exactly
+    sf = _write_docs(spark, tmp_path, [
+        (1, "x x x x x", "en", "sA", 9),
+        (2, "x y", "en", "sA", 3),
+    ])
+    out = {r["doc_id"]: r for r in REGISTRY["q90_unigram_likelihood"].fn(spark, sf).collect()}
+    # freq: x -> 6, y -> 1
+    assert out[1]["n_tokens"] == 5 and out[1]["sum_freq"] == 30
+    assert out[1]["mean_freq_ppm"] == 6_000_000
+    assert out[2]["n_tokens"] == 2 and out[2]["sum_freq"] == 7
+    assert out[2]["mean_freq_ppm"] == 3_500_000
+
+
+def test_bigram_fluency_degenerate_repeated_token_doc(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, [
+        (1, "x x x x x", "en", "sA", 9),
+        (2, "x y", "en", "sA", 3),
+    ])
+    out = {r["doc_id"]: r for r in REGISTRY["q149_bigram_fluency"].fn(spark, sf).collect()}
+    # c2: (x,x) -> 4, (x,y) -> 1; c1: x -> 5
+    # p(x,x) = 4e6 div 5 = 800_000; p(x,y) = 1e6 div 5 = 200_000
+    assert out[1]["n_bigrams"] == 4 and out[1]["sum_p_ppm"] == 3_200_000
+    assert out[1]["mean_p_ppm"] == 800_000
+    assert out[2]["n_bigrams"] == 1 and out[2]["sum_p_ppm"] == 200_000
+    assert out[2]["mean_p_ppm"] == 200_000
+
+
+def test_hamming_near_pairs_pigeonhole_exact(spark):
+    # 16-bit hashes, max_hamming=2 -> 3 uneven chunks (6/5/5 bits); the
+    # banding must find exactly the pairs a brute-force popcount finds
+    from otokuna_spark.operators import dedup as dd
+
+    hashes = [
+        (1, 0b0000000000000000),
+        (2, 0b0000000000000011),  # d(1,2)=2 -> pair
+        (3, 0b0000000000000111),  # d(1,3)=3 -> no; d(2,3)=1 -> pair
+        (4, 0b1111000000000000),  # far from all
+        (5, 0b1111000000000001),  # d(4,5)=1 -> pair
+        (6, 0b0000000000000000),  # d(1,6)=0 -> pair; d(2,6)=2 -> pair
+    ]
+    sig = spark.createDataFrame(hashes, "media_id long, ahash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.hamming_near_pairs(sig, "media_id", "ahash", bits=16, max_hamming=2).collect()
+    }
+    exp = {}
+    for i, (ia, ha) in enumerate(hashes):
+        for ib, hb in hashes[i + 1 :]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 2:
+                exp[(ia, ib)] = d
+    assert got == exp and (1, 2) in got and (4, 5) in got
+    with pytest.raises(ValueError, match="max_hamming"):
+        dd.hamming_near_pairs(sig, "media_id", "ahash", bits=16, max_hamming=0)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dd.hamming_near_pairs(sig, "media_id", "ahash", bits=4, max_hamming=4)
+
+
+def test_canonical_url_collapses_noise_layers(spark):
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.functions import urls as U
+
+    variants = [
+        "https://site1.example.com/a/b?ref=1",
+        "http://site1.example.com/a/b?ref=1",            # scheme
+        "https://WWW.Site1.Example.COM/a/b?ref=1",       # case + www
+        "https://site1.example.com:443/a/b?ref=1",       # default port
+        "https://site1.example.com/a/b/?ref=1",          # trailing slash
+        "https://site1.example.com/a/b?utm_source=x&ref=1",  # tracking param
+        "https://site1.example.com/a/b?ref=1#frag",      # fragment
+    ]
+    distinct = [
+        "https://site1.example.com/a/b?ref=2",           # param value
+        "https://site1.example.com/a/c?ref=1",           # path
+        "https://site2.example.com/a/b?ref=1",           # host
+        "https://site1.example.com:8080/a/b?ref=1",      # NON-default port
+    ]
+    df = spark.createDataFrame([(u,) for u in variants + distinct], "url string")
+    rows = df.select(U.canonical_url(F.col("url")).alias("c")).collect()
+    canon = [r["c"] for r in rows]
+    assert len(set(canon[: len(variants)])) == 1
+    assert canon[0] == "site1.example.com/a/b?ref=1"
+    assert len(set(canon)) == 1 + len(distinct)
+    # param ORDER is noise; an all-stripped query drops its '?'
+    extra = spark.createDataFrame(
+        [("https://h.example.com/p?b=2&a=1",),
+         ("https://h.example.com/p?a=1&b=2",),
+         ("https://h.example.com/p?utm_medium=rss",),
+         ("https://h.example.com/p",)],
+        "url string",
+    ).select(U.canonical_url(F.col("url")).alias("c")).collect()
+    assert extra[0]["c"] == extra[1]["c"] == "h.example.com/p?a=1&b=2"
+    assert extra[2]["c"] == extra[3]["c"] == "h.example.com/p"
+    dom = spark.createDataFrame(
+        [("a.b.site.example.com",), ("example.com",), ("localhost",)], "host string"
+    ).select(U.registered_domain(F.col("host")).alias("d")).collect()
+    assert [r["d"] for r in dom] == ["example.com", "example.com", "localhost"]
+
+
+def test_snapshot_novelty_trend_known_answer(spark, tmp_path):
+    # snap = doc_id % 4: docs 0..3 -> snaps 0..3. doc 4 (snap 0) unused.
+    sf = _write_docs(spark, tmp_path, [
+        (0, "a b c d", "en", "s", 7),    # snap 0: shingles {a b c, b c d} both novel
+        (1, "a b c d", "en", "s", 7),    # snap 1: same 2, 0 novel
+        (2, "a b c x", "en", "s", 7),    # snap 2: {a b c, b c x} -> 1 novel
+        (3, "p q r", "en", "s", 5),      # snap 3: {p q r} -> 1 novel
+    ])
+    out = {r["snapshot"]: r for r in REGISTRY["q158_snapshot_novelty_trend"].fn(spark, sf).collect()}
+    assert out[0]["n_novel"] == 2 and out[0]["novel_ppm"] == 1_000_000
+    assert out[1]["n_novel"] == 0 and out[1]["novel_ppm"] == 0
+    assert out[2]["n_novel"] == 1 and out[2]["novel_ppm"] == 500_000
+    assert out[3]["n_novel"] == 1 and out[3]["novel_ppm"] == 1_000_000

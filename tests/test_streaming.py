@@ -975,3 +975,31 @@ def test_stream_snapshot_novelty_wrapper_end_to_end(spark, tmp_path):
     # "a b c" seen in batch 0; "b c e" novel
     assert r1["n_shingles"] == 2 and r1["n_novel"] == 1
     assert r1["novel_ppm"] == 500_000
+
+
+def test_novelty_store_persists_only_the_novel_delta(spark, tmp_path):
+    # ADVICE (round 9): recurring shingles used to be re-persisted by
+    # every batch, growing the store with the SUM of per-batch distinct
+    # sets; the store must instead grow with the global vocabulary
+    report = str(tmp_path / "nd_report")
+    store = str(tmp_path / "nd_store")
+    b0 = spark.createDataFrame(
+        [(0, "s", "a b c d")], "doc_id long, source string, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "s", "a b c e")], "doc_id long, source string, text string"
+    )
+    jobs.ingest_novelty_batch(b0, 0, report, store)
+    jobs.ingest_novelty_batch(b1, 1, report, store)
+    # batch 0: shingles "a b c", "b c d"; batch 1: "a b c" (recurs,
+    # must NOT be re-persisted) + "b c e" (novel)
+    assert spark.read.parquet(f"{store}/batch=0").count() == 2
+    assert spark.read.parquet(f"{store}/batch=1").count() == 1
+    # the report is unchanged by the delta-store optimization
+    r1 = spark.read.parquet(f"{report}/batch=1").collect()[0]
+    assert r1["n_shingles"] == 2 and r1["n_novel"] == 1
+    # replay stays idempotent: same store delta, same report
+    jobs.ingest_novelty_batch(b1, 1, report, store)
+    assert spark.read.parquet(f"{store}/batch=1").count() == 1
+    r1b = spark.read.parquet(f"{report}/batch=1").collect()[0]
+    assert (r1b["n_shingles"], r1b["n_novel"]) == (2, 1)

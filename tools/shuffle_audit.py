@@ -30,7 +30,8 @@ CASES = [
     "q20_exact_dedup",          # hash-groupBy over doc hashes
     "q22_minhash_lsh_pairs",    # signatures move, never text
     "q67_rolling_window",       # keyed window: one keyed exchange
-    "q90_unigram_likelihood",   # vocab join back, corpus regroup
+    "q90_unigram_likelihood",   # per-doc pre-agg -> vocab join (Zipf-safe)
+    "q149_bigram_fluency",      # per-doc pre-agg -> bigram/prefix joins
     "q122_segment_dedup",       # segment df agg + reassembly
     "q127_normalize_text",      # pure map: expect ~0 shuffle
     "q132_source_divergence",   # one corpus agg; vocab-sized tails
