@@ -1,0 +1,83 @@
+"""Integer-exact distinct-cardinality sketch (HLL-style) — SURVEY.md
+§2.13.
+
+The pre-flight estimator a 100 TB dedup/vocab planner runs BEFORE
+choosing a strategy: exact distinct shuffles the whole vocabulary; the
+sketch shuffles at most ``HLL_M`` register rows per task (map-side
+combining max), and registers MERGE by element-wise max — the property
+that makes the sketch incremental (streaming twin:
+``streaming.jobs.stream_hll_distinct``) and cluster-friendly (shard
+registers union + re-max, never re-scan).
+
+Everything is integer arithmetic reproducible in ANSI SQL (the q160
+oracle recomputes it verbatim): 60-bit md5-prefix hashes, 6-bit bucket,
+leading-zero rank rho via ``length(bin(w))`` (both engines' ``bin()``
+drops leading zeros), and a harmonic mean with registers scaled by
+``2^RHO_MAX`` so ``sum 2^(RHO_MAX - M_j) <= m * 2^RHO_MAX = 2^61``
+stays in BIGINT — no floats, no cross-engine rounding risk. alpha_64
+enters in exact ppm. Raw-regime estimator only (input vocabulary >>
+2.5 m documented; the small-range linear-counting correction needs
+``ln`` and is outside the integer-exact contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 64
+HLL_RHO_MAX = 55
+# alpha_64 = 0.7213 / (1 + 1.079/64), in exact ppm
+HLL_ALPHA_PPM = 709340
+
+
+def hll_registers(df: DataFrame, value_col: str) -> DataFrame:
+    """(bucket, m): the HLL register relation for the values in
+    ``value_col`` — ONE keyed max aggregation whose output is bounded by
+    ``HLL_M`` rows at any input size (duplicates are absorbed for free:
+    equal values hash equal, and max ignores repeats)."""
+    hv = df.select(
+        F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__v")
+    )
+    rr = hv.select(
+        (F.col("__v") % HLL_M).alias("bucket"),
+        F.when(F.expr(f"__v div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.expr(f"bin(__v div {HLL_M})")))
+        .alias("rho"),
+    )
+    return rr.groupBy("bucket").agg(F.max("rho").alias("m"))
+
+
+def merge_registers(regs: DataFrame) -> DataFrame:
+    """Element-wise max-merge of any union of register relations —
+    merge(reg(A), reg(B)) == reg(A union B), the decomposability that
+    makes the sketch incremental and shard-parallel."""
+    return regs.groupBy("bucket").agg(F.max("m").alias("m"))
+
+
+def hll_estimate(reg: DataFrame) -> DataFrame:
+    """One-row (m, n_zero_registers, s55_total, est_distinct) from a
+    register relation (<= HLL_M rows in, 1 row out)."""
+    s = reg.agg(
+        F.sum(F.expr(f"cast(pow(2, {HLL_RHO_MAX} - m) as bigint)")).alias("s55"),
+        F.count("*").alias("n_present"),
+    )
+    return s.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_zero_registers"),
+        F.expr(
+            f"cast(coalesce(s55, 0) + ({HLL_M} - n_present)"
+            f" * cast(pow(2, {HLL_RHO_MAX}) as bigint) as bigint)"
+        ).alias("s55_total"),
+    ).select(
+        "m",
+        "n_zero_registers",
+        "s55_total",
+        F.expr(
+            f"cast(cast({HLL_ALPHA_PPM} as decimal(38,0)) * {HLL_M * HLL_M}"
+            f" * cast(pow(2, {HLL_RHO_MAX}) as decimal(38,0))"
+            f" div (cast(1000000 as decimal(38,0)) * s55_total) as bigint)"
+        ).alias("est_distinct"),
+    )

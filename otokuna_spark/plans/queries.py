@@ -7687,14 +7687,14 @@ def q159_image_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL parameters shared character-for-character with the oracle: m = 64
-# buckets (6 hash bits), 54-bit register input (60-bit md5-prefix hash),
-# alpha_64 = 0.7213/(1 + 1.079/64) in exact ppm. Registers are scaled by
-# 2^55 (the max rho), so sum_j 2^(55 - M_j) <= 64 * 2^55 = 2^61 stays in
-# BIGINT and the harmonic mean needs no floats anywhere.
-_HLL_M = 64
-_HLL_RHO_MAX = 55
-_HLL_ALPHA_PPM = 709340
+# HLL parameters shared character-for-character with the oracle — the
+# implementation (and the register/merge/estimate contract the streaming
+# twin reuses) lives in operators/sketches.py.
+from ..operators import sketches as _sketches  # noqa: E402
+
+_HLL_M = _sketches.HLL_M
+_HLL_RHO_MAX = _sketches.HLL_RHO_MAX
+_HLL_ALPHA_PPM = _sketches.HLL_ALPHA_PPM
 
 _HLL_HEX2INT = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (15 - 1 - i)}"
@@ -7767,52 +7767,237 @@ def q160_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     d = docs.select(T.tokens(F.col("text")).alias("t"))
     occ = d.select(F.explode(T.shingles_from_tokens(F.col("t"), 3)).alias("g"))
-    hv = occ.select(
-        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("v")
-    )
-    rr = hv.select(
-        (F.col("v") % _HLL_M).alias("bucket"),
-        F.when(F.expr(f"v div {_HLL_M}") == 0, F.lit(_HLL_RHO_MAX))
-        .otherwise(
-            F.lit(_HLL_RHO_MAX) - F.length(F.expr(f"bin(v div {_HLL_M})"))
-        )
-        .alias("rho"),
-    )
-    reg = rr.groupBy("bucket").agg(F.max("rho").alias("m"))
-    s = reg.agg(
-        F.sum(F.expr(f"cast(pow(2, {_HLL_RHO_MAX} - m) as bigint)")).alias("s55"),
-        F.count("*").alias("n_present"),
-    )
+    est = _sketches.hll_estimate(_sketches.hll_registers(occ, "g"))
     ex = occ.distinct().agg(F.count("*").alias("exact_distinct"))
-    est_expr = (
-        f"cast(cast({_HLL_ALPHA_PPM} as decimal(38,0)) * {_HLL_M * _HLL_M}"
-        f" * cast(pow(2, {_HLL_RHO_MAX}) as decimal(38,0))"
-        f" div (cast(1000000 as decimal(38,0)) * s55_total) as bigint)"
-    )
     return (
-        s.crossJoin(ex)  # 1 row x 1 row: bounded scalar cross join
-        .select(
-            F.lit(_HLL_M).cast("long").alias("m"),
-            (F.lit(_HLL_M) - F.col("n_present")).cast("long").alias("n_zero_registers"),
-            F.expr(
-                f"cast(s55 + ({_HLL_M} - n_present)"
-                f" * cast(pow(2, {_HLL_RHO_MAX}) as bigint) as bigint)"
-            ).alias("s55_total"),
-            F.col("exact_distinct").cast("long").alias("exact_distinct"),
-        )
+        est.crossJoin(ex)  # 1 row x 1 row: bounded scalar cross join
         .select(
             "m",
             "n_zero_registers",
             "s55_total",
-            F.expr(est_expr).alias("est_distinct"),
-            "exact_distinct",
+            "est_distinct",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
             F.expr(
-                f"cast(abs({est_expr} - exact_distinct)"
-                f" * 1000000 div exact_distinct as bigint)"
+                "cast(abs(est_distinct - exact_distinct)"
+                " * 1000000 div exact_distinct as bigint)"
             ).alias("err_ppm"),
         )
+    )
+
+
+@register(
+    "q161_audio_near_dup",
+    """
+    WITH p AS (
+        SELECT doc_id, 2000 + doc_id % 5 * 500 AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    fr AS (
+        SELECT doc_id, CAST(k AS INT) AS k,
+               (SELECT SUM(CAST((doc_id * 31 + t * 17) % 65536 - 32768 AS BIGINT)
+                           * CAST((doc_id * 31 + t * 17) % 65536 - 32768 AS BIGINT))
+                FROM UNNEST(generate_series(k * 500, k * 500 + 499)) AS u(t)) AS energy
+        FROM p, UNNEST(generate_series(0, n // 500 - 1)) AS g(k)
+    ),
+    m AS (SELECT doc_id, SUM(energy) // COUNT(*) AS mean_e, COUNT(*) AS n_frames FROM fr GROUP BY doc_id),
+    hsh AS (
+        SELECT f.doc_id, CAST(m.n_frames AS INT) AS n_frames,
+               CAST(SUM(CASE WHEN f.energy >= m.mean_e THEN 1 << f.k ELSE 0 END) AS BIGINT) AS fhash
+        FROM fr f JOIN m USING (doc_id) GROUP BY f.doc_id, m.n_frames
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND a.n_frames = b.n_frames
+        WHERE bit_count(xor(a.fhash, b.fhash)) <= 1
+    ),
+    e AS (SELECT id_a AS mm, id_b AS nb FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+    per AS (SELECT mm, COUNT(*) AS n_near, MIN(nb) AS mn FROM e GROUP BY mm)
+    SELECT h.doc_id AS media_id, h.n_frames, h.fhash,
+           CAST(COALESCE(p2.n_near, 0) AS BIGINT) AS n_near,
+           CAST(LEAST(h.doc_id, COALESCE(p2.mn, h.doc_id)) AS BIGINT) AS near_rep
+    FROM hsh h LEFT JOIN per p2 ON p2.mm = h.doc_id
+    ORDER BY media_id
+    """,
+    "Hamming-NEAR audio dedup over the real WAV codec — the audio twin "
+    "of q156 (q154 groups exact fingerprint collisions only; a clipped "
+    "or lightly re-processed copy flips one frame's energy bit): every "
+    "pair of clips with EQUAL frame counts whose energy-profile "
+    "fingerprints differ in <= 1 bit, summarized per clip as its "
+    "near-neighbor count and min-id representative. Clips of different "
+    "frame counts are incomparable by construction, so the n_frames "
+    "equality joins back AFTER dedup.hamming_near_pairs' banding (the "
+    "pair set is bounded, and unused high bits are zero on both sides "
+    "so the 2-chunk pigeonhole still covers distance 1). Media bytes "
+    "never shuffle; the oracle recomputes every frame energy, bit, "
+    "pair, and summary from the synthesis arithmetic",
+)
+def q161_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..sources import multimodal
+
+    media = _synth_wav_media(spark, sf_dir)
+    h = multimodal.audio_fingerprint(media, frame=500)
+    pairs = dedup.hamming_near_pairs(
+        h.select("media_id", "fhash"), "media_id", "fhash", bits=8, max_hamming=1
+    )
+    nf = h.select("media_id", "n_frames")
+    same_len = (
+        pairs.join(nf.withColumnRenamed("media_id", "id_a").withColumnRenamed("n_frames", "nf_a"), "id_a")
+        .join(nf.withColumnRenamed("media_id", "id_b").withColumnRenamed("n_frames", "nf_b"), "id_b")
+        .where(F.col("nf_a") == F.col("nf_b"))
+        .select("id_a", "id_b")
+    )
+    e = same_len.select(
+        F.col("id_a").alias("media_id"), F.col("id_b").alias("nb")
+    ).unionByName(
+        same_len.select(F.col("id_b").alias("media_id"), F.col("id_a").alias("nb"))
+    )
+    per = e.groupBy("media_id").agg(
+        F.count("*").alias("n_near"), F.min("nb").alias("mn")
+    )
+    return (
+        h.select("media_id", "n_frames", "fhash")
+        .join(per, "media_id", "left")
         .select(
-            "m", "n_zero_registers", "s55_total", "est_distinct",
-            "exact_distinct", "err_ppm",
+            "media_id",
+            "n_frames",
+            "fhash",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.least(
+                F.col("media_id"), F.coalesce("mn", F.col("media_id"))
+            ).alias("near_rep"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# Bloom-prefilter parameters shared with the oracle: m = 64 words x 63
+# usable bits (bit 63 stays clear — DuckDB refuses shifts into the sign
+# bit, and cross-engine sign semantics are not worth one bit), k = 3
+# md5-derived positions per shingle. Salted-md5 position j of shingle g
+# = hex2int(md5(j || ':' || g)) % 4032 — the q22 lane device.
+_BLOOM_WORDS = 64
+_BLOOM_BITS = _BLOOM_WORDS * 63
+_BLOOM_K = 3
+
+
+@register(
+    "q162_bloom_decontaminate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id IN {_CANARY_DOC_IDS}),
+    bpos AS (
+        SELECT DISTINCT ({_HLL_HEX2INT}) % {_BLOOM_BITS} AS pos
+        FROM (SELECT md5(j.j || ':' || g) AS h FROM bench, UNNEST([0, 1, 2]) AS j(j))
+    ),
+    filt AS (
+        SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)) AS bits
+        FROM bpos GROUP BY pos // 63
+    ),
+    probe AS (
+        SELECT s.doc_id, s.g,
+               ({_HLL_HEX2INT}) % {_BLOOM_BITS} AS pos
+        FROM (SELECT doc_id, g, md5(j.j || ':' || g) AS h
+              FROM sh s0, UNNEST([0, 1, 2]) AS j(j)) s
+    ),
+    cand AS (
+        SELECT p.doc_id, p.g
+        FROM probe p JOIN filt f ON f.word = p.pos // 63
+        WHERE (f.bits & (1::BIGINT << (p.pos % 63))) != 0
+        GROUP BY p.doc_id, p.g HAVING COUNT(*) = {_BLOOM_K}
+    ),
+    ex AS (SELECT s.doc_id, s.g FROM sh s JOIN bench b USING (g)),
+    per AS (
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(c.g) AS n_candidates,
+               COUNT(e.g) AS n_exact
+        FROM sh
+        LEFT JOIN cand c ON c.doc_id = sh.doc_id AND c.g = sh.g
+        LEFT JOIN ex e ON e.doc_id = sh.doc_id AND e.g = sh.g
+        GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM per WHERE n_candidates > 0 ORDER BY doc_id
+    """,
+    "Bloom-prefiltered decontamination — the scale pattern for checking "
+    "a 100 TB corpus against a benchmark n-gram set WITHOUT joining the "
+    "corpus to it: the benchmark docs' distinct 3-shingles build a "
+    "4032-bit Bloom filter (k=3 salted-md5 positions, bit-or into 64 "
+    "BIGINT words — a 64-ROW relation at any benchmark size, 512 bytes "
+    "broadcast vs shipping the whole set), every corpus shingle probes "
+    "it map-side via a broadcast join on the word index, and only "
+    "Bloom-candidate shingles would proceed to the exact verify. The "
+    "report carries per-doc shingle/candidate/exact counts over "
+    "candidate docs, so the measured false-positive surplus "
+    "(candidates - exact) is committed evidence of the filter's "
+    "selectivity, and a candidate count BELOW the exact count would "
+    "expose a broken hash immediately (Bloom filters admit no false "
+    "negatives). Bit 63 stays clear in both engines; every position is "
+    "integer md5 arithmetic the oracle recomputes verbatim",
+)
+def q162_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    sh = d.select(
+        "doc_id", F.explode(T.shingles_from_tokens(F.col("t"), 3)).alias("g")
+    )
+    bench = (
+        sh.where(F.col("doc_id").isin(list(_CANARY_DOC_IDS))).select("g").distinct()
+    )
+    salts = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+
+    def positions(rel):
+        return rel.select(
+            *rel.columns,
+            F.explode(salts).alias("__j"),
+        ).select(
+            *rel.columns,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("__j"), F.col("g"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _BLOOM_BITS
+            ).alias("pos"),
+        )
+
+    filt = (
+        positions(bench)
+        .select(F.expr("pos div 63").alias("word"), F.expr("pos % 63").alias("bit"))
+        .distinct()
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, cast(bit as int)))").alias("bits"))
+    )
+    cand = (
+        positions(sh)
+        .join(F.broadcast(filt), F.expr("word = pos div 63"))
+        .where(F.expr("(bits & shiftleft(1L, cast(pos % 63 as int))) != 0"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("__k"))
+        .where(F.col("__k") == _BLOOM_K)
+        .select("doc_id", "g")
+    )
+    exact = sh.join(F.broadcast(bench), "g").select("doc_id", "g")
+    per = (
+        sh.join(cand.withColumn("__c", F.lit(1)), ["doc_id", "g"], "left")
+        .join(exact.withColumn("__e", F.lit(1)), ["doc_id", "g"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__c").alias("n_candidates"),
+            F.count("__e").alias("n_exact"),
         )
     )
+    return per.where(F.col("n_candidates") > 0).orderBy("doc_id")

@@ -1195,3 +1195,82 @@ def ingest_novelty_batch(
     sh.select("g").distinct().join(old, "g", "left_anti").write.mode(
         "overwrite"
     ).parquet(f"{store_path}/batch={batch_id}")
+
+
+def stream_hll_distinct(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    report_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> None:
+    """Streaming twin of q160_hll_distinct_sketch: maintain the corpus's
+    distinct-shingle cardinality ESTIMATE incrementally — registers are
+    element-wise-max mergeable (operators/sketches.py), so each crawl
+    batch contributes its own <= 64-row register relation and the
+    cumulative estimate is one max-merge over the store, never a corpus
+    re-scan. The live twin of the planning number a 100 TB dedup run
+    reads before choosing a strategy.
+
+    Reports land under ``report_path/batch=<id>`` (one row: the
+    cumulative m / n_zero_registers / s55_total / est_distinct after
+    this batch). The store under ``store_path/batch=<id>`` carries the
+    batch's OWN registers (<= 64 rows per batch — the store grows with
+    the batch count, not the corpus).
+
+    Batch-equivalence (tested): after batch N the merged registers
+    equal ``sketches.hll_registers`` over the union of batches 0..N.
+    Replay-idempotent via the module's standard device: a replayed
+    batch excludes its own ``batch=<id>`` partition from the store scan
+    and overwrites its own partitions.
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_hll_batch(
+            batch_df, batch_id, report_path, store_path, text_col, shingle_k
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_hll_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    report_path: str,
+    store_path: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> None:
+    """One idempotent micro-batch of ``stream_hll_distinct`` (the
+    foreachBatch body, callable directly for replay testing/backfills)."""
+    from ..functions import text as T
+    from ..operators import sketches
+
+    sp = batch_df.sparkSession
+    _check_store_orphans(sp, report_path, store_path, batch_id, "register")
+    sh = batch_df.select(T.tokens(F.col(text_col)).alias("__t")).select(
+        F.explode(T.shingles_from_tokens(F.col("__t"), shingle_k)).alias("g")
+    )
+    # <= 64 rows however large the batch; duplicate shingles are free
+    reg = sketches.hll_registers(sh, "g").localCheckpoint()
+    if _fs_nonempty(sp, store_path):
+        old = sp.read.parquet(store_path)
+        if "batch" in old.columns:
+            old = old.where(F.col("batch") != batch_id)
+        old = old.select("bucket", "m")
+    else:
+        old = sp.createDataFrame([], "bucket long, m long")
+    merged = sketches.merge_registers(
+        old.unionByName(reg.select("bucket", "m"))
+    )
+    report = sketches.hll_estimate(merged)
+    report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
+    reg.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")

@@ -420,3 +420,32 @@ def test_snapshot_novelty_trend_known_answer(spark, tmp_path):
     assert out[1]["n_novel"] == 0 and out[1]["novel_ppm"] == 0
     assert out[2]["n_novel"] == 1 and out[2]["novel_ppm"] == 500_000
     assert out[3]["n_novel"] == 1 and out[3]["novel_ppm"] == 1_000_000
+
+
+def test_bloom_prefilter_admits_no_false_negatives(spark):
+    # Bloom membership can only over-approximate: every exact benchmark
+    # hit must also be a candidate, per doc, at every scale
+    rows = REGISTRY["q162_bloom_decontaminate"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "canary docs themselves must be candidates"
+    for r in rows:
+        assert r["n_candidates"] >= r["n_exact"], r
+        assert r["n_shingles"] >= r["n_candidates"], r
+    # the canary docs hit themselves exactly: full containment
+    canary = {r["doc_id"]: r for r in rows if r["doc_id"] in (0, 7, 21, 33, 49)}
+    assert canary and all(r["n_exact"] == r["n_shingles"] for r in canary.values())
+
+
+def test_audio_near_dup_only_pairs_equal_frame_counts(spark):
+    # near_rep groups may only form within one frame count (different
+    # lengths are incomparable), and Hamming<=1 neighbors are symmetric
+    rows = REGISTRY["q161_audio_near_dup"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r["media_id"]: r for r in rows}
+    for r in rows:
+        rep = by_id[r["near_rep"]]
+        assert rep["n_frames"] == r["n_frames"], (r, rep)
+        if r["n_near"] > 0 and r["near_rep"] != r["media_id"]:
+            assert rep["n_near"] > 0

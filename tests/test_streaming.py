@@ -1003,3 +1003,82 @@ def test_novelty_store_persists_only_the_novel_delta(spark, tmp_path):
     assert spark.read.parquet(f"{store}/batch=1").count() == 1
     r1b = spark.read.parquet(f"{report}/batch=1").collect()[0]
     assert (r1b["n_shingles"], r1b["n_novel"]) == (2, 1)
+
+
+def test_hll_stream_matches_batch_registers_and_replays(spark, tmp_path):
+    # batch-equivalence: merged registers after batch N == hll_registers
+    # over the union of batches 0..N; replay leaves both store and
+    # report unchanged
+    from otokuna_spark.operators import sketches
+
+    report = str(tmp_path / "hll_report")
+    store = str(tmp_path / "hll_store")
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma eta theta iota kappa")], "doc_id long, text string"
+    )
+    jobs.ingest_hll_batch(b0, 0, report, store)
+    jobs.ingest_hll_batch(b1, 1, report, store)
+
+    union_sh = (
+        b0.unionByName(b1)
+        .select(F.split(F.trim("text"), r"\s+").alias("t"))
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"
+        )).alias("g"))
+    )
+    exp_reg = {
+        (r["bucket"], r["m"])
+        for r in sketches.hll_registers(union_sh, "g").collect()
+    }
+    got_reg = {
+        (r["bucket"], r["m"])
+        for r in sketches.merge_registers(
+            spark.read.parquet(store).select("bucket", "m")
+        ).collect()
+    }
+    assert got_reg == exp_reg
+    # the report row equals the estimate over the merged registers
+    rep = spark.read.parquet(f"{report}/batch=1").collect()[0]
+    exp = sketches.hll_estimate(sketches.hll_registers(union_sh, "g")).collect()[0]
+    assert (rep["s55_total"], rep["est_distinct"]) == (
+        exp["s55_total"], exp["est_distinct"]
+    )
+    # monotone: adding a batch can only raise registers, never lower them
+    rep0 = spark.read.parquet(f"{report}/batch=0").collect()[0]
+    assert rep["s55_total"] <= rep0["s55_total"]  # registers grew or held
+    # replay idempotence
+    jobs.ingest_hll_batch(b1, 1, report, store)
+    rep_again = spark.read.parquet(f"{report}/batch=1").collect()[0]
+    assert (rep_again["s55_total"], rep_again["est_distinct"]) == (
+        rep["s55_total"], rep["est_distinct"]
+    )
+    assert spark.read.parquet(f"{store}/batch=1").count() <= 64
+
+
+def test_stream_hll_distinct_wrapper_end_to_end(spark, tmp_path):
+    import json
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    report = str(tmp_path / "hll2_report")
+    store = str(tmp_path / "hll2_store")
+    ckpt = str(tmp_path / "hll2_ckpt")
+
+    def run(rows, name):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+        jobs.stream_hll_distinct(spark, stream, report, store, ckpt)
+
+    run([{"doc_id": 0, "text": "a b c d e"}], "b0.json")
+    run([{"doc_id": 1, "text": "a b c f g"}], "b1.json")
+    r1 = spark.read.parquet(f"{report}/batch=1").collect()[0]
+    assert r1["m"] == 64 and r1["est_distinct"] > 0
+    # union has 6 distinct shingles -> far under m: estimate is in the
+    # small-range regime, so only sanity-bound it (registers exact above)
+    assert spark.read.parquet(f"{store}/batch=0").count() <= 64

@@ -54,6 +54,17 @@ CASES = {
     # near-flat-then-linear step ratio backs is that its cost is fixed
     # job overhead plus a parallel range shuffle, not a serial funnel
     "global_prefix_sum": "q71_sequence_packing",
+    # round-10: new physical classes. Zipf-safe per-doc pre-agg before
+    # the frequency join-back (one extra keyed exchange, doc-distinct
+    # volume); first-seen-snapshot novelty (distinct + keyed agg +
+    # vocab join-back); bounded-register sketch (keyless-ish agg whose
+    # output is 64 rows at ANY corpus size — step ratio should track
+    # the scan, never the vocabulary); Bloom probe (3 rows per distinct
+    # shingle through a 64-row broadcast join)
+    "zipf_preagg_join": "q149_bigram_fluency",
+    "snapshot_trend": "q158_snapshot_novelty_trend",
+    "bounded_sketch": "q160_hll_distinct_sketch",
+    "bloom_probe": "q162_bloom_decontaminate",
 }
 
 

@@ -131,6 +131,16 @@ EXPECT = {
     # NO join of any kind in the tail (the r09 6x threshold expand and
     # its BroadcastNestedLoopJoin are gone); stack melts via Generate
     "q151_heaps_vocab_growth": ["Generate", "partial_min", "Union"],
+    # the synthetic media slice pushes down to the parquet scan — media
+    # synthesis/decoding never reads undisplayed rows
+    "q156_image_near_dup": ["PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]"],
+    # first-seen-snapshot is one keyed min with map-side partials
+    "q158_snapshot_novelty_trend": ["partial_min"],
+    # registers merge map-side (partial_max) — the mergeable-sketch
+    # property that bounds the shuffle at 64 rows per task
+    "q160_hll_distinct_sketch": ["partial_max"],
+    # the 64-word Bloom relation must ride broadcast onto the probes
+    "q162_bloom_decontaminate": ["BroadcastHashJoin", "partial_count"],
     # novelty is an anti-join on hashed shingles, never doc pairs
     "q152_snapshot_novelty": ["LeftAnti"],
     # the dup-group relation joins back broadcast onto the per-image hashes

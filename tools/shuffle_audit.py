@@ -32,6 +32,7 @@ CASES = [
     "q67_rolling_window",       # keyed window: one keyed exchange
     "q90_unigram_likelihood",   # per-doc pre-agg -> vocab join (Zipf-safe)
     "q149_bigram_fluency",      # per-doc pre-agg -> bigram/prefix joins
+    "q162_bloom_decontaminate", # benchmark rides as 64 rows; corpus never joins it
     "q122_segment_dedup",       # segment df agg + reassembly
     "q127_normalize_text",      # pure map: expect ~0 shuffle
     "q132_source_divergence",   # one corpus agg; vocab-sized tails
