@@ -8001,3 +8001,170 @@ def q162_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.where(F.col("n_candidates") > 0).orderBy("doc_id")
+
+
+# Count-Min parameters shared with the oracle: d = 4 salted-md5 rows,
+# w = 512 columns; counter relation <= d*w = 2048 rows at ANY corpus
+# size, sum-mergeable (the CM analogue of q160's max-merge registers).
+_CM_D = 4
+_CM_W = 512
+
+
+@register(
+    "q163_countmin_freq_sketch",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    occ AS (SELECT UNNEST(t) AS tok FROM toks),
+    exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM occ GROUP BY tok),
+    probes AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20),
+    pos AS (
+        SELECT salt, ({_HLL_HEX2INT}) % {_CM_W} AS col
+        FROM (SELECT js.salt AS salt, md5(js.salt || ':' || tok) AS h
+              FROM occ, UNNEST([0, 1, 2, 3]) AS js(salt))
+    ),
+    cm AS (SELECT salt, col, COUNT(*) AS c FROM pos GROUP BY salt, col),
+    ppos AS (
+        SELECT tok, exact_cnt, salt, ({_HLL_HEX2INT}) % {_CM_W} AS col
+        FROM (SELECT p.tok, p.exact_cnt, js.salt AS salt,
+                     md5(js.salt || ':' || p.tok) AS h
+              FROM probes p, UNNEST([0, 1, 2, 3]) AS js(salt))
+    ),
+    est AS (
+        SELECT pp.tok, pp.exact_cnt, MIN(cm.c) AS cm_est
+        FROM ppos pp JOIN cm ON cm.salt = pp.salt AND cm.col = pp.col
+        GROUP BY pp.tok, pp.exact_cnt
+    )
+    SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cm_est AS BIGINT) AS cm_est,
+           CAST((cm_est - exact_cnt) * 1000000 // exact_cnt AS BIGINT) AS over_ppm
+    FROM est ORDER BY exact_cnt DESC, tok
+    """,
+    "Count-Min frequency sketch, integer-exact cross-engine — the "
+    "sum-mergeable counter twin of q160's max-mergeable registers, and "
+    "the scale answer to 'token frequencies without shuffling the "
+    "vocabulary': 4 salted-md5 rows x 512 columns, ONE keyed count "
+    "whose output is bounded by 2048 rows at any corpus size (map-side "
+    "combine absorbs the Zipf head; counters merge across shards/"
+    "batches by plain addition). The report estimates the top-20 exact "
+    "tokens against the sketch and commits the realized overestimate "
+    "in ppm — Count-Min admits NO underestimates (every counter "
+    "includes the token's own occurrences), so cm_est < exact_cnt "
+    "would expose a broken hash instantly; tested as an invariant. "
+    "The exact side exists for calibration at registry scale; a "
+    "production run keeps only the 2048-row sketch",
+)
+def q163_countmin_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    exact = occ.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20)
+    salts = F.array(*[F.lit(j) for j in range(_CM_D)])
+
+    def with_pos(rel: DataFrame) -> DataFrame:
+        return rel.select(
+            *rel.columns, F.explode(salts).alias("j")
+        ).select(
+            *rel.columns,
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("j"), F.col("tok"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CM_W
+            ).alias("col"),
+        )
+
+    cm = with_pos(occ).groupBy("j", "col").agg(F.count("*").alias("c"))
+    return (
+        with_pos(probes)
+        .join(F.broadcast(cm), ["j", "col"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cm_est",
+            F.expr(
+                "cast((cm_est - exact_cnt) * 1000000 div exact_cnt as bigint)"
+            ).alias("over_ppm"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    )
+
+
+def _q164_oracle() -> str:
+    langs = sorted(T.LANG_MARKERS)
+
+    def argmax(prefix: str) -> str:
+        greatest = "GREATEST(" + ", ".join(f"{prefix}_{g}" for g in langs) + ")"
+        whens = " ".join(
+            f"WHEN {prefix}_{g} = {greatest} THEN '{g}'" for g in langs
+        )
+        return f"CASE WHEN {greatest} <= 0 THEN 'und' {whens} END"
+
+    a_scores = ", ".join(
+        f"({_sql_marker_count('h1', words)}) AS a_{lang}"
+        for lang, words in sorted(T.LANG_MARKERS.items())
+    )
+    b_scores = ", ".join(
+        f"({_sql_marker_count('h2', words)}) AS b_{lang}"
+        for lang, words in sorted(T.LANG_MARKERS.items())
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+        WHERE len({_SQL_TOKENS}) >= 4
+    ),
+    halves AS (
+        SELECT doc_id, t[1:len(t) // 2] AS h1, t[len(t) // 2 + 1:len(t)] AS h2
+        FROM tok
+    ),
+    s AS (SELECT doc_id, {a_scores}, {b_scores} FROM halves)
+    SELECT doc_id, {argmax('a')} AS lang_head, {argmax('b')} AS lang_tail,
+           CAST(CASE WHEN {argmax('a')} != {argmax('b')} THEN 1 ELSE 0 END AS BIGINT) AS mixed
+    FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "q164_mixed_language_docs",
+    _q164_oracle(),
+    "Mixed-language document detection — the curation signal C4/CCNet "
+    "filter on (a doc whose head and tail disagree on language is "
+    "usually boilerplate-stitched, machine-joined, or template text "
+    "that a whole-doc argmax mislabels): split each doc's token array "
+    "in half positionally, language-ID each half independently with "
+    "the q25 marker-argmax (pure integer column arithmetic, 'und' when "
+    "no marker fires), and flag disagreement. Entirely ROW-LOCAL: the "
+    "halves are array slices of the projected token column and every "
+    "marker count is a HOF filter over them inside one codegen'd "
+    "projection — zero data shuffle except the output order. Docs "
+    "under 4 tokens are skipped (no meaningful halves)",
+)
+def q164_mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 4
+    )
+    halves = d.select(
+        "doc_id",
+        F.slice(F.col("t"), 1, F.floor(F.size("t") / 2).cast("int")).alias("h1"),
+        F.expr("slice(t, size(t) div 2 + 1, size(t) - size(t) div 2)").alias("h2"),
+    )
+    out = halves.select(
+        "doc_id",
+        T.lang_id_tokens(F.col("h1")).alias("lang_head"),
+        T.lang_id_tokens(F.col("h2")).alias("lang_tail"),
+    )
+    return out.select(
+        "doc_id",
+        "lang_head",
+        "lang_tail",
+        (F.col("lang_head") != F.col("lang_tail")).cast("long").alias("mixed"),
+    ).orderBy("doc_id")

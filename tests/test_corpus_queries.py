@@ -449,3 +449,32 @@ def test_audio_near_dup_only_pairs_equal_frame_counts(spark):
         assert rep["n_frames"] == r["n_frames"], (r, rep)
         if r["n_near"] > 0 and r["near_rep"] != r["media_id"]:
             assert rep["n_near"] > 0
+
+
+def test_countmin_never_underestimates(spark):
+    rows = REGISTRY["q163_countmin_freq_sketch"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cm_est"] >= r["exact_cnt"], r
+        assert r["over_ppm"] >= 0
+    # probes are the exact top-20, ordered by count desc then token
+    cnts = [r["exact_cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_mixed_language_known_answer(spark, tmp_path):
+    en = "the and is of to in that it was for"
+    de = "der die und ist das nicht mit ein ich sie"
+    sf = _write_docs(spark, tmp_path, [
+        (1, en + " " + en, "en", "s", 80),       # en both halves
+        (2, en + " " + de, "en", "s", 80),       # en head, de tail -> mixed
+        (3, "xq zq wq vq", "en", "s", 11),       # no markers -> und/und
+        (4, "one two three", "en", "s", 13),     # 3 tokens: skipped
+    ])
+    out = {r["doc_id"]: r for r in REGISTRY["q164_mixed_language_docs"].fn(spark, sf).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["mixed"] == 0 and out[1]["lang_head"] == "en"
+    assert out[2]["mixed"] == 1 and (out[2]["lang_head"], out[2]["lang_tail"]) == ("en", "de")
+    assert out[3]["mixed"] == 0 and out[3]["lang_head"] == "und"

@@ -141,6 +141,12 @@ EXPECT = {
     "q160_hll_distinct_sketch": ["partial_max"],
     # the 64-word Bloom relation must ride broadcast onto the probes
     "q162_bloom_decontaminate": ["BroadcastHashJoin", "partial_count"],
+    # the 2048-row CM counter relation rides broadcast onto the probes;
+    # counter building is map-side-combining partial counts
+    "q163_countmin_freq_sketch": ["BroadcastHashJoin", "partial_count"],
+    # fully row-local half-split lang-ID: scan prunes to (doc_id, text),
+    # no join strategy at all
+    "q164_mixed_language_docs": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     # novelty is an anti-join on hashed shingles, never doc pairs
     "q152_snapshot_novelty": ["LeftAnti"],
     # the dup-group relation joins back broadcast onto the per-image hashes
