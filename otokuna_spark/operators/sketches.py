@@ -81,3 +81,63 @@ def hll_estimate(reg: DataFrame) -> DataFrame:
             f" div (cast(1000000 as decimal(38,0)) * s55_total) as bigint)"
         ).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------- Count-Min
+
+CM_D = 4
+CM_W = 512
+
+
+def cm_positions(df: DataFrame, value_col: str, keep: list[str] | None = None) -> DataFrame:
+    """(…keep, salt, col): the CM_D salted-md5 column positions of every
+    value — the shared projection both counter building and probing use
+    (q163's oracle recomputes it verbatim)."""
+    salts = F.array(*[F.lit(j) for j in range(CM_D)])
+    keep = keep or []
+    first = keep + ([value_col] if value_col not in keep else [])
+    return df.select(*first, F.explode(salts).alias("salt")).select(
+        *keep,
+        "salt",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("salt"), F.col(value_col))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CM_W
+        ).alias("col"),
+    )
+
+
+def cm_counters(df: DataFrame, value_col: str) -> DataFrame:
+    """(salt, col, c): the Count-Min counter relation for the values in
+    ``value_col`` — ONE keyed count whose output is bounded by
+    CM_D * CM_W rows at any input size; map-side combine absorbs the
+    Zipf head before anything shuffles."""
+    return cm_positions(df, value_col).groupBy("salt", "col").agg(
+        F.count("*").alias("c")
+    )
+
+
+def merge_counters(counters: DataFrame) -> DataFrame:
+    """Sum-merge of any union of counter relations —
+    merge(cm(A), cm(B)) == cm(A union B): counters are plain sums, the
+    decomposability that makes the sketch incremental and
+    shard-parallel (the additive twin of ``merge_registers``)."""
+    return counters.groupBy("salt", "col").agg(F.sum("c").alias("c"))
+
+
+def cm_estimates(counters: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
+    """(…probe columns, cm_est): the Count-Min estimate min_j
+    counter[j][pos_j(v)] for every probe row. Never underestimates.
+    The counter relation rides broadcast (<= CM_D * CM_W rows)."""
+    keep = [c for c in probes.columns]
+    return (
+        cm_positions(probes, value_col, keep=keep)
+        .join(F.broadcast(counters), ["salt", "col"])
+        .groupBy(*keep)
+        .agg(F.min("c").alias("cm_est"))
+    )

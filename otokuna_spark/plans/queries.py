@@ -8003,11 +8003,13 @@ def q162_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.where(F.col("n_candidates") > 0).orderBy("doc_id")
 
 
-# Count-Min parameters shared with the oracle: d = 4 salted-md5 rows,
-# w = 512 columns; counter relation <= d*w = 2048 rows at ANY corpus
-# size, sum-mergeable (the CM analogue of q160's max-merge registers).
-_CM_D = 4
-_CM_W = 512
+# Count-Min parameters shared with the oracle — implementation (and the
+# counters/merge/estimate contract the streaming twin reuses) in
+# operators/sketches.py: d = 4 salted-md5 rows, w = 512 columns;
+# counter relation <= d*w = 2048 rows at ANY corpus size, sum-mergeable
+# (the additive analogue of q160's max-merge registers).
+_CM_D = _sketches.CM_D
+_CM_W = _sketches.CM_W
 
 
 @register(
@@ -8060,32 +8062,9 @@ def q163_countmin_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
     exact = occ.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
     probes = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20)
-    salts = F.array(*[F.lit(j) for j in range(_CM_D)])
-
-    def with_pos(rel: DataFrame) -> DataFrame:
-        return rel.select(
-            *rel.columns, F.explode(salts).alias("j")
-        ).select(
-            *rel.columns,
-            "j",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.col("j"), F.col("tok"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _CM_W
-            ).alias("col"),
-        )
-
-    cm = with_pos(occ).groupBy("j", "col").agg(F.count("*").alias("c"))
+    cm = _sketches.cm_counters(occ, "tok")
     return (
-        with_pos(probes)
-        .join(F.broadcast(cm), ["j", "col"])
-        .groupBy("tok", "exact_cnt")
-        .agg(F.min("c").alias("cm_est"))
+        _sketches.cm_estimates(cm, probes, "tok")
         .select(
             "tok",
             "exact_cnt",

@@ -1274,3 +1274,79 @@ def ingest_hll_batch(
     report = sketches.hll_estimate(merged)
     report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
     reg.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+
+def stream_countmin_freq(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    report_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    probe_tokens: list[str],
+    text_col: str = "text",
+) -> None:
+    """Streaming twin of q163's Count-Min sketch: maintain corpus token
+    frequencies incrementally — counters are SUM-mergeable
+    (operators/sketches.py), so each batch contributes its own <= 2048-
+    row counter relation and the cumulative estimate for any probe
+    token is one sum-merge + min over rows, never a corpus re-count.
+    The additive sibling of ``stream_hll_distinct``'s max-merge.
+
+    ``probe_tokens`` is the fixed watch-list reported every batch (a
+    live frequency dashboard for monitored terms — canaries, PII
+    markers, quota'd domains). Reports land under
+    ``report_path/batch=<id>`` (one row per probe: cumulative cm_est);
+    the store under ``store_path/batch=<id>`` carries the batch's OWN
+    counters (<= 2048 rows per batch).
+
+    Batch-equivalence (tested): after batch N the merged counters equal
+    ``sketches.cm_counters`` over the union of batches 0..N, and every
+    estimate >= the probe's true cumulative count (no underestimates).
+    Replay-idempotent via the module's standard device."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_cm_batch(
+            batch_df, batch_id, report_path, store_path, probe_tokens, text_col
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_cm_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    report_path: str,
+    store_path: str,
+    probe_tokens: list[str],
+    text_col: str = "text",
+) -> None:
+    """One idempotent micro-batch of ``stream_countmin_freq`` (the
+    foreachBatch body, callable directly for replay testing/backfills)."""
+    from ..functions import text as T
+    from ..operators import sketches
+
+    sp = batch_df.sparkSession
+    _check_store_orphans(sp, report_path, store_path, batch_id, "counter")
+    occ = batch_df.select(F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    # <= CM_D * CM_W rows however large the batch
+    cm = sketches.cm_counters(occ, "tok").localCheckpoint()
+    if _fs_nonempty(sp, store_path):
+        old = sp.read.parquet(store_path)
+        if "batch" in old.columns:
+            old = old.where(F.col("batch") != batch_id)
+        old = old.select("salt", "col", "c")
+    else:
+        old = sp.createDataFrame([], "salt int, col long, c long")
+    merged = sketches.merge_counters(
+        old.unionByName(cm.select("salt", "col", "c"))
+    )
+    probes = sp.createDataFrame([(t,) for t in probe_tokens], "tok string")
+    report = sketches.cm_estimates(merged, probes, "tok")
+    report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
+    cm.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")

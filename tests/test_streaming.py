@@ -1082,3 +1082,46 @@ def test_stream_hll_distinct_wrapper_end_to_end(spark, tmp_path):
     # union has 6 distinct shingles -> far under m: estimate is in the
     # small-range regime, so only sanity-bound it (registers exact above)
     assert spark.read.parquet(f"{store}/batch=0").count() <= 64
+
+
+def test_cm_stream_matches_batch_counters_and_never_underestimates(spark, tmp_path):
+    from otokuna_spark.operators import sketches
+
+    report = str(tmp_path / "cm_report")
+    store = str(tmp_path / "cm_store")
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha gamma")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha delta delta beta")], "doc_id long, text string"
+    )
+    probes = ["alpha", "beta", "delta", "unseen"]
+    jobs.ingest_cm_batch(b0, 0, report, store, probes)
+    jobs.ingest_cm_batch(b1, 1, report, store, probes)
+
+    # batch-equivalence: merged counters == counters over the union
+    union_occ = (
+        b0.unionByName(b1)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    )
+    exp = {
+        (r["salt"], r["col"]): r["c"]
+        for r in sketches.cm_counters(union_occ, "tok").collect()
+    }
+    got = {
+        (r["salt"], r["col"]): r["c"]
+        for r in sketches.merge_counters(
+            spark.read.parquet(store).select("salt", "col", "c")
+        ).collect()
+    }
+    assert got == exp
+    # estimates never underestimate the true cumulative counts
+    rep = {r["tok"]: r["cm_est"] for r in spark.read.parquet(f"{report}/batch=1").collect()}
+    true = {"alpha": 3, "beta": 2, "delta": 2}
+    for tok, cnt in true.items():
+        assert rep[tok] >= cnt, (tok, rep[tok], cnt)
+    # replay idempotence: same store delta, same report
+    jobs.ingest_cm_batch(b1, 1, report, store, probes)
+    rep2 = {r["tok"]: r["cm_est"] for r in spark.read.parquet(f"{report}/batch=1").collect()}
+    assert rep2 == rep
+    assert spark.read.parquet(f"{store}/batch=1").count() <= 2048
