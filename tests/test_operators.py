@@ -2230,3 +2230,128 @@ def test_value_counts_row_local_multiset(spark):
         for e in sdf.select(T2.value_counts(F.col("t")).alias("vc")).collect()[0]["vc"]
     ]
     assert got2 == [(("a", "y"), 1), (("b", "x"), 2)]
+
+
+def test_canonical_url_is_idempotent_and_seeded_random(spark):
+    # canonicalization must be a projection: canonical(canonical(u)) ==
+    # canonical(u), over a seeded-random noise grid
+    import random
+
+    from otokuna_spark.functions import urls as U
+
+    rng = random.Random(42)
+    urls = []
+    for _ in range(80):
+        scheme = rng.choice(["http", "https", "HTTPS"])
+        www = rng.choice(["", "www.", "WWW."])
+        host = rng.choice(["a.example.com", "B.Example.COM", "x.y.example.org"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/p", "/p/q", "/p/q/"])
+        qs = rng.choice(["", "?b=2&a=1", "?utm_x=1", "?utm_x=1&a=1", "?a=1&utm_x=1&b=2"])
+        frag = rng.choice(["", "#f", "#sec2"])
+        urls.append(f"{scheme}://{www}{host}{port}{path}{qs}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(U.canonical_url(F.col("url")).alias("c"))
+    twice = once.select(F.col("c").alias("url")).select(
+        U.canonical_url(F.col("url")).alias("c")
+    )
+    assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]
+    # no canonical form retains noise markers
+    for r in once.collect():
+        c = r["c"]
+        assert "://" not in c and "#" not in c and "utm_" not in c
+        hostpart = c.split("/")[0].split("?")[0]
+        # DEFAULT ports are stripped; a non-default :8080 must survive
+        assert not hostpart.startswith("www.")
+        assert not hostpart.endswith(":80") and not hostpart.endswith(":443")
+        assert hostpart == hostpart.lower()
+
+
+def test_value_counts_conserves_multiset_seeded_random(spark):
+    import random
+
+    from otokuna_spark.functions import text as T
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        n = rng.randint(0, 30)
+        rows.append((i, [rng.choice("abcdef") for _ in range(n)]))
+    df = spark.createDataFrame(rows, "id long, t array<string>")
+    got = {
+        r["id"]: {(e["v"], e["cnt"]) for e in r["vc"]}
+        for r in df.select("id", T.value_counts(F.col("t")).alias("vc")).collect()
+    }
+    from collections import Counter
+
+    for i, arr in rows:
+        assert got[i] == set(Counter(arr).items()), i
+
+
+def test_hamming_near_pairs_matches_bruteforce_across_widths(spark):
+    import random
+
+    from otokuna_spark.operators import dedup as dd
+
+    rng = random.Random(3)
+    for bits, mh in ((16, 2), (32, 3), (64, 2)):
+        vals = []
+        for i in range(40):
+            h = rng.getrandbits(bits)
+            if h >= 1 << 63:
+                h -= 1 << 64
+            vals.append((i, h))
+        # salt in some near-pairs so the test is not vacuously empty
+        vals[1] = (1, vals[0][1] ^ 0b11)
+        vals[3] = (3, vals[2][1] ^ 0b1)
+        sig = spark.createDataFrame(vals, "media_id long, ahash long")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dd.hamming_near_pairs(
+                sig, "media_id", "ahash", bits=bits, max_hamming=mh
+            ).collect()
+        }
+        exp = {}
+        mask = (1 << bits) - 1
+        for i, (ia, ha) in enumerate(vals):
+            for ib, hb in vals[i + 1 :]:
+                d = bin((ha ^ hb) & mask).count("1")
+                if d <= mh:
+                    exp[(ia, ib)] = d
+        assert got == exp, (bits, mh)
+
+
+def test_sketch_merges_equal_whole_input_sketches(spark):
+    # merge(sketch(A), sketch(B)) == sketch(A u B) for BOTH sketch
+    # families (max-merge registers, sum-merge counters), on a random
+    # disjoint-ish split — the property that makes them incremental
+    import random
+
+    from otokuna_spark.operators import sketches
+
+    rng = random.Random(11)
+    vals = [f"tok{rng.randint(0, 400)}" for _ in range(2000)]
+    a = spark.createDataFrame([(v,) for v in vals[:900]], "g string")
+    b = spark.createDataFrame([(v,) for v in vals[900:]], "g string")
+    u = a.unionByName(b)
+    reg_merged = {
+        (r["bucket"], r["m"])
+        for r in sketches.merge_registers(
+            sketches.hll_registers(a, "g").unionByName(sketches.hll_registers(b, "g"))
+        ).collect()
+    }
+    reg_whole = {
+        (r["bucket"], r["m"]) for r in sketches.hll_registers(u, "g").collect()
+    }
+    assert reg_merged == reg_whole
+    cm_merged = {
+        (r["salt"], r["col"]): r["c"]
+        for r in sketches.merge_counters(
+            sketches.cm_counters(a, "g").unionByName(sketches.cm_counters(b, "g"))
+        ).collect()
+    }
+    cm_whole = {
+        (r["salt"], r["col"]): r["c"]
+        for r in sketches.cm_counters(u, "g").collect()
+    }
+    assert cm_merged == cm_whole
