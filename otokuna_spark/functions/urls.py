@@ -80,7 +80,13 @@ def registered_domain(host: Column) -> Column:
     """Last two dot-labels of a host (``a.b.site.example.com`` ->
     ``example.com``) — the per-domain rollup key. A real crawl needs the
     Public Suffix List for ccTLD registries (``example.co.uk``); this is
-    the PSL-free approximation suitable for synthetic/test domains."""
+    the PSL-free approximation suitable for synthetic/test domains.
+
+    Any ``:port`` suffix is stripped first: ``canonical_host`` keeps
+    non-default ports (they are distinct origins for dedup), but a
+    rollup key must not split one registered domain into per-port
+    groups."""
+    host = F.regexp_replace(host, r":\d+$", "")
     return F.when(
         host.rlike(r"[^.]+\.[^.]+$"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),

@@ -203,9 +203,12 @@ def minhash_lsh_pairs(
     # scale: MEMORY_AND_DISK spills rather than recomputing)
     from pyspark import StorageLevel
 
-    buckets = minhash_band_keys(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    buckets = minhash_band_keys(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn)
+    if materialize:
+        # persist only when we can also release it below — a lazy caller
+        # has no unpersist point, so it gets an uncached (recomputing)
+        # plan rather than a cache leak
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     left = buckets.alias("a")
     right = buckets.alias("b")
     pairs = (
@@ -271,8 +274,11 @@ def ngram_jaccard_pairs(
             F.explode(text.shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__s"),
         )
         .select(F.col("__id"), F.xxhash64(F.col("__s")).alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if materialize:
+        # persist only when the unpersist below will run — lazy callers
+        # trade recomputed shingles for a leak-free plan
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n_shingles"))
     # Most shingles occur in exactly one document and can never produce a
     # pair — prune them BEFORE the self-join (big fan-in reduction; the
@@ -342,8 +348,10 @@ def shingle_containment_pairs(
             F.explode(text.shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__s"),
         )
         .select(F.col("__id"), F.xxhash64(F.col("__s")).alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if materialize:
+        # same conditional-persist rationale as ngram_jaccard_pairs
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n_shingles"))
     dup_shingles = sh.groupBy("shingle").agg(F.count("*").alias("__df")).where(F.col("__df") >= 2)
     if max_df is not None:
@@ -438,8 +446,10 @@ def substring_span_pairs(
         # 64-bit hash for the shuffle/join key (collision ~2^-64/pair; the
         # oracle joins the strings)
         .select("__id", "__pos", F.xxhash64("__s").alias("__g"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if materialize:
+        # same conditional-persist rationale as ngram_jaccard_pairs
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     gram_df = grams.groupBy("__g").agg(F.count_distinct("__id").alias("__df")).where(F.col("__df") >= 2)
     if max_df is not None:
         gram_df = gram_df.where(F.col("__df") <= max_df)
@@ -722,10 +732,16 @@ def simhash_pairs(
     ]
     # banded feeds BOTH sides of n_chunks self-joins (2*n_chunks scans) —
     # without a persist the pandas-UDF signature recomputes up to 8x;
-    # same rationale as minhash_lsh_pairs/ngram_jaccard_pairs
+    # same rationale as minhash_lsh_pairs/ngram_jaccard_pairs. Only the
+    # materialize=True path persists: it can unpersist after the eager
+    # checkpoint below, whereas a lazy caller has no release point and
+    # the cache would leak executor storage for the session lifetime —
+    # lazy callers trade recomputed signatures for a leak-free plan.
     from pyspark import StorageLevel
 
-    banded = sig.select(id_col, "simhash", *chunks).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.select(id_col, "simhash", *chunks)
+    if materialize:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     cand = None
     for i in range(n_chunks):
         a = banded.alias("a")
@@ -798,9 +814,14 @@ def hamming_near_pairs(
             .alias(f"c{i}")
         )
         off += width
+    # persist only when we can also release it (materialize=True path) —
+    # a lazy caller has no unpersist point, so it gets an uncached plan
+    # that recomputes banded per chunk-join instead of leaking cache
     from pyspark import StorageLevel
 
-    banded = sig.select(id_col, hash_col, *chunks).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.select(id_col, hash_col, *chunks)
+    if materialize:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     cand = None
     for i in range(n_chunks):
         a = banded.alias("a")

@@ -226,6 +226,12 @@ def validate_contract(
                 f"rule name {name!r} must match [A-Za-z0-9_]+ — it is "
                 "interpolated into a SQL stack() expression"
             )
+    # duplicate names would alias two __v_<name> columns identically and
+    # make the stack() reference ambiguous (AnalysisException at best,
+    # arbitrary binding at worst) — reject up front
+    if len({name for name, _ in rules}) != len(rules):
+        dupes = sorted({n for n, _ in rules if sum(1 for m, _ in rules if m == n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in rules:
         aggs.append(

@@ -133,11 +133,17 @@ def merge_counters(counters: DataFrame) -> DataFrame:
 def cm_estimates(counters: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
     """(…probe columns, cm_est): the Count-Min estimate min_j
     counter[j][pos_j(v)] for every probe row. Never underestimates.
-    The counter relation rides broadcast (<= CM_D * CM_W rows)."""
+    The counter relation rides broadcast (<= CM_D * CM_W rows).
+
+    LEFT join + coalesce(c, 0): a counter cell no value ever hashed to
+    is 0 in the canonical CM sketch, so a probe landing on an empty cell
+    must contribute 0 to the min (and a probe whose every cell is empty
+    must still emit one row with cm_est = 0) — an inner join would drop
+    those rows and over-estimate the rest."""
     keep = [c for c in probes.columns]
     return (
         cm_positions(probes, value_col, keep=keep)
-        .join(F.broadcast(counters), ["salt", "col"])
+        .join(F.broadcast(counters), ["salt", "col"], "left")
         .groupBy(*keep)
-        .agg(F.min("c").alias("cm_est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cm_est"))
     )

@@ -402,9 +402,14 @@ def test_canonical_url_collapses_noise_layers(spark):
     assert extra[0]["c"] == extra[1]["c"] == "h.example.com/p?a=1&b=2"
     assert extra[2]["c"] == extra[3]["c"] == "h.example.com/p"
     dom = spark.createDataFrame(
-        [("a.b.site.example.com",), ("example.com",), ("localhost",)], "host string"
+        [("a.b.site.example.com",), ("example.com",), ("localhost",),
+         ("h.example.com:8080",)], "host string"
     ).select(U.registered_domain(F.col("host")).alias("d")).collect()
-    assert [r["d"] for r in dom] == ["example.com", "example.com", "localhost"]
+    # the :8080 case: canonical_host keeps non-default ports, but the
+    # rollup key must not split one registered domain by port
+    assert [r["d"] for r in dom] == [
+        "example.com", "example.com", "localhost", "example.com"
+    ]
 
 
 def test_snapshot_novelty_trend_known_answer(spark, tmp_path):

@@ -1120,6 +1120,10 @@ def test_cm_stream_matches_batch_counters_and_never_underestimates(spark, tmp_pa
     true = {"alpha": 3, "beta": 2, "delta": 2}
     for tok, cnt in true.items():
         assert rep[tok] >= cnt, (tok, rep[tok], cnt)
+    # one row per probe, even for a token none of whose salted cells is
+    # occupied: the canonical CM estimate over empty counters is 0
+    assert set(rep) == set(probes)
+    assert rep["unseen"] >= 0
     # replay idempotence: same store delta, same report
     jobs.ingest_cm_batch(b1, 1, report, store, probes)
     rep2 = {r["tok"]: r["cm_est"] for r in spark.read.parquet(f"{report}/batch=1").collect()}

@@ -190,6 +190,16 @@ SINGLEPART_OK = {
 }
 
 
+def _tree_indent(ln: str) -> int:
+    """Column where the operator text starts in a tree-string plan line —
+    leading spaces and connector glyphs (':', '|', '+', '-') count as
+    indent, so a strictly greater value means a strictly deeper node."""
+    i = 0
+    while i < len(ln) and ln[i] in " :|+-":
+        i += 1
+    return i
+
+
 def unbounded_singlepart(plan: str, ok_pattern: str | None = None) -> list[str]:
     final = plan.split("== Initial Plan ==")[0]
     lines = final.splitlines()
@@ -204,13 +214,18 @@ def unbounded_singlepart(plan: str, ok_pattern: str | None = None) -> list[str]:
         # Under AQE the exchange's immediate child is often a
         # ShuffleQueryStage / AQEShuffleRead / InputAdapter wrapper rather
         # than the operator that bounds the row count, so scan the next
-        # few descendant lines (bounded window, stopping at the next
-        # stage boundary) for a bounded producer instead of classifying
-        # by the first non-connector line alone.
+        # few descendant lines for a bounded producer instead of
+        # classifying by the first non-connector line alone. The scan is
+        # scoped to the exchange's OWN subtree (lines strictly
+        # deeper-indented than the exchange): a bounded-looking operator
+        # from a sibling subtree must not mask an unbounded exchange.
+        exch_indent = _tree_indent(ln)
         descendants: list[str] = []
         for nxt in lines[i + 1 :]:
             if not nxt.strip().strip("+-:| "):  # connector-only line
                 continue
+            if _tree_indent(nxt) <= exch_indent:
+                break  # left the exchange's subtree (sibling/ancestor)
             descendants.append(nxt)
             if "Exchange" in nxt or len(descendants) >= 6:
                 break
