@@ -27,12 +27,13 @@ from otokuna_spark.plans.queries import REGISTRY  # noqa: E402
 # in the repo root and order the registry never-attested-first, then
 # least-recently-attested. Each round therefore attests the queries with
 # the weakest driver evidence instead of re-attesting last round's
-# window. q100_bpe_tokenize is pinned to the very end: it is the one
-# deliberate ``no_oracle`` rows-only entry (BPE merges aren't
-# SQL-expressible), so it can never earn a hash-match row and would
-# waste a window slot. CORRECTNESS_LOCAL.json (tools/check_oracle.py
-# --record) still covers the full registry every round.
-_GATE_PINNED_LAST = ["q100_bpe_tokenize"]
+# window. (q100_bpe_tokenize was pinned last while it was a rows-only
+# entry; since round 11 its recursive-CTE oracle replays the whole
+# training loop, so it competes for a window slot like any other query —
+# and, never having earned a hash row, sorts first.)
+# CORRECTNESS_LOCAL.json (tools/check_oracle.py --record) still covers
+# the full registry every round.
+_GATE_PINNED_LAST: list[str] = []
 
 # Queries whose latency is dominated by one-time session warm-up costs
 # (JVM JIT, codegen, first-shuffle init) when they run FIRST on a cold

@@ -4406,17 +4406,86 @@ def q99_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q100_bpe_tokenize",
-    None,  # iterative argmax-dependent training is not SQL-expressible;
-           # exact-match evidence vs the Sennrich reference algorithm
-           # lives in test_bpe_train_matches_sennrich_reference
+    # The full iterative training loop as ONE recursive CTE: the working
+    # table carries the whole vocab state per round; the recursive term
+    # recomputes pair stats (aggregate over the working table), takes the
+    # (cnt DESC, a, b) argmax, and applies it to every word with the
+    # greedy left-to-right merge expressed relationally — positions
+    # explode, consecutive-match runs get gaps-and-islands parity
+    # (greedy non-overlap = even offsets within a run), and the list
+    # rebuilds ordered by position. The encode step needs NO second
+    # recursion: training applies every learned merge to the whole
+    # vocab, so the final round's symbol count per word IS its encoded
+    # length (lowest-rank-first encode == in-order merge application —
+    # a later merge can only create adjacencies involving its own new
+    # symbol, whose pairs carry higher ranks by construction).
+    r"""
+    WITH RECURSIVE
+    wf AS (
+        SELECT w, list_append(string_split(w, ''), '</w>') AS syms, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS w FROM documents)
+        GROUP BY w
+    ),
+    train(r, w, syms, freq, ma, mb) AS (
+        SELECT 0, w, syms, freq, NULL::VARCHAR, NULL::VARCHAR FROM wf
+        UNION ALL
+        SELECT z.r + 1, z.w,
+               list(z.emit ORDER BY z.pos) FILTER (z.emit IS NOT NULL),
+               z.freq, z.a, z.b
+        FROM (
+            SELECT y.*,
+                   CASE WHEN y.sel THEN y.a || y.b
+                        WHEN COALESCE(LAG(y.sel) OVER (PARTITION BY y.w ORDER BY y.pos), FALSE) THEN NULL
+                        ELSE y.sym END AS emit
+            FROM (
+                SELECT x.*,
+                       x.m AND ((x.pos - (COALESCE(MAX(CASE WHEN NOT x.m THEN x.pos END)
+                           OVER (PARTITION BY x.w ORDER BY x.pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) + 1)) % 2 = 0) AS sel
+                FROM (
+                    SELECT t2.r, t2.w, t2.freq, t2.a, t2.b, i.pos, t2.syms[i.pos] AS sym,
+                           COALESCE(t2.syms[i.pos] = t2.a AND t2.syms[i.pos + 1] = t2.b, FALSE) AS m
+                    FROM (
+                        SELECT t.*, best.a, best.b
+                        FROM train t CROSS JOIN (
+                            SELECT s.syms[s.pos] AS a, s.syms[s.pos + 1] AS b,
+                                   SUM(s.freq) AS cnt
+                            FROM (SELECT s0.syms, s0.freq,
+                                         UNNEST(range(1, len(s0.syms))) AS pos
+                                  FROM train s0) s(syms, freq, pos)
+                            GROUP BY 1, 2
+                            ORDER BY cnt DESC, a ASC, b ASC
+                            LIMIT 1
+                        ) best
+                        WHERE t.r < 24 AND best.cnt >= 2
+                    ) t2, UNNEST(range(1, len(t2.syms) + 1)) i(pos)
+                ) x
+            ) y
+        ) z
+        GROUP BY z.r, z.w, z.freq, z.a, z.b
+    ),
+    final AS (SELECT w, len(syms) AS n_sym FROM train WHERE r = (SELECT MAX(r) FROM train)),
+    docw AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(f.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM docw d JOIN final f USING (w)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
     "Trained-BPE tokenization (Sennrich et al. 2016): learn 24 merges "
     "from the corpus word-frequency table (the ONLY corpus-scale op is "
     "that one groupBy — the merge loop runs over the vocab-bounded "
     "relation, driver-side under a 1M-word limit, distributed rounds "
     "beyond), then encode every document with the merge ranks in an "
-    "Arrow-batched UDF memoized per distinct word. Rows-only driver "
-    "check; merge-sequence correctness is pinned by an exact-match test "
-    "against the reference implementation",
+    "Arrow-batched UDF memoized per distinct word. The oracle replays "
+    "the ENTIRE training loop as a recursive CTE (pair-stat argmax with "
+    "the same (cnt DESC, pair ASC) tie-break; greedy left-to-right "
+    "merge via run-parity windows) and reads encoded lengths off the "
+    "final vocab state; merge-sequence correctness is ALSO pinned by "
+    "an exact-match test against the reference implementation",
 )
 def q100_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
@@ -4425,6 +4494,11 @@ def q100_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.bpe_train(docs, "text", n_merges=24)
     return (
         bpe.bpe_encode_tokens(docs, "doc_id", "text", merges)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "n_bpe_tokens",
+        )
         .orderBy("doc_id")
     )
 

@@ -33,9 +33,10 @@ def test_queries_and_oracles_cover_registry():
 def test_gate_window_rotation_attests_weakest_first():
     """The driver records only the FIRST 50 queries() entries; the window
     is ordered by attestation history (committed CORRECTNESS_r*.json):
-    never-attested queries first, then least-recently-attested, with the
-    rows-only q100 pinned to the very end (it can never earn a
-    hash-match row, so a window slot on it is wasted)."""
+    never-attested queries first, then least-recently-attested. (q100
+    lost its end-of-list pin in round 11 when its recursive-CTE oracle
+    landed — it now competes for hash attestation like every other
+    query.)"""
     mod = _load_entry()
     from otokuna_spark.plans.queries import REGISTRY
 
@@ -45,18 +46,17 @@ def test_gate_window_rotation_attests_weakest_first():
 
     latest = mod._attestation_rounds()
     window = names[:50]
-    never = [n for n in registration if n not in latest and n != "q100_bpe_tokenize"]
+    never = [n for n in registration if n not in latest]
 
-    # every never-attested query (except pinned q100) must occupy a window
-    # slot before ANY already-attested query does
+    # every never-attested query must occupy a window slot before ANY
+    # already-attested query does
     if len(never) <= 50:
         missing = set(never) - set(window)
         assert not missing, f"never-attested left out of window: {missing}"
-    assert names[-1] == "q100_bpe_tokenize"
 
-    # monotone: last-attested round never decreases along the ordering
-    # (q100 excluded); never-attested sorts as round 0
-    rounds = [latest.get(n, 0) for n in names[:-1]]
+    # monotone: last-attested round never decreases along the ordering;
+    # never-attested sorts as round 0
+    rounds = [latest.get(n, 0) for n in names]
     assert rounds == sorted(rounds)
 
 

@@ -1140,6 +1140,23 @@ def test_bpe_encode_counts_and_compression(spark):
     assert out[2]["n_bpe_tokens"] % 2 == 0
 
 
+def test_bpe_oracle_cte_matches_reference_on_testdata():
+    """The q100 recursive-CTE oracle (DuckDB replaying the full training
+    loop) learns the SAME merge sequence as the Sennrich reference
+    trainer and encodes every document to the same lengths — checked
+    directly against the Python reference at sf0.001, no Spark involved,
+    so the cross-engine attestation does not rest on the driver gate
+    alone. Also pins the two load-bearing equivalences the oracle uses:
+    greedy left-to-right merge == run-parity window selection, and
+    lowest-rank-first encode == the final training vocab state."""
+    import os
+
+    from tools.bpe_oracle_proto import main as oracle_check
+
+    sf = os.environ.get("SPARK_GRAFT_TINY_SF", "/root/testdata/sf0.001")
+    assert oracle_check(sf) == 0
+
+
 def test_triangle_stats_hand_graph(spark):
     from otokuna_spark.operators import graph
 
