@@ -142,6 +142,22 @@ def scalable_quantile_disc(df: DataFrame, col: str, p: float, n_buckets: int = 6
     if n == 0:
         raise ValueError("quantile of an empty column")
     rank = int((n - 1) * p) + 1  # 1-based target rank
+    return scalable_kth_smallest(df, col, rank, lo=lo, hi=hi, n_buckets=n_buckets)
+
+
+def scalable_kth_smallest(
+    df: DataFrame, col: str, rank: int, lo=None, hi=None, n_buckets: int = 65536
+):
+    """Exact 1-based k-th smallest of an INTEGER column by the same
+    histogram refinement as ``scalable_quantile_disc`` (which delegates
+    here) — takes the RANK directly, so callers that derive it with
+    integer arithmetic (e.g. ``(p*(n-1)) div 100 + 1`` for ppm/percent
+    quantiles) stay float-free end to end."""
+    c = F.col(col)
+    if lo is None or hi is None:
+        lo, hi = df.agg(F.min(c), F.max(c)).first()
+    if lo is None:
+        raise ValueError("k-th smallest of an empty column")
     width = max(1, (hi - lo) // n_buckets + 1)
     hist = (
         # integer div (not a double round-trip): exact for the full long range

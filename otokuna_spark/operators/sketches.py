@@ -147,3 +147,73 @@ def cm_estimates(counters: DataFrame, probes: DataFrame, value_col: str) -> Data
         .groupBy(*keep)
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("cm_est"))
     )
+
+
+# ------------------------------------------------- log2 quantile sketch
+
+LOG2_MAX_BUCKETS = 65  # bucket -1 (value 0) + buckets 0..63
+
+
+def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """(bucket, c): power-of-2 histogram of a NON-NEGATIVE integer
+    column — the bounded-state DISTRIBUTION sketch completing the
+    mergeable family (distinct = HLL max-merge, frequency = CM
+    sum-merge, distribution = log2-histogram sum-merge). ONE keyed count
+    whose output is bounded by ``LOG2_MAX_BUCKETS`` rows at any input
+    size; map-side combine absorbs everything before the shuffle.
+
+    bucket = -1 for value 0, else floor(log2(v)) computed integer-exact
+    as ``length(bin(v)) - 1`` — both engines' ``bin()`` drops leading
+    zeros, the same cross-engine device as the HLL rho. Bucket b >= 0
+    covers [2^b, 2^(b+1)), so any quantile is bracketed within a 2x
+    multiplicative band."""
+    b = F.when(F.col(value_col) <= 0, F.lit(-1)).otherwise(
+        F.length(F.expr(f"bin({value_col})")) - 1
+    )
+    return df.select(b.cast("int").alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("c")
+    )
+
+
+def merge_histograms(hists: DataFrame) -> DataFrame:
+    """Sum-merge of any union of log2-histogram relations —
+    merge(h(A), h(B)) == h(A union B): bucket counts are plain sums
+    (the additive twin of ``merge_counters``)."""
+    return hists.groupBy("bucket").agg(F.sum("c").alias("c"))
+
+
+def histogram_quantile_bounds(hist: DataFrame, percents: list[int]) -> DataFrame:
+    """(p, n, k, bucket, lo, hi) per requested percent: the 2x bracket
+    the sketch guarantees for the value at 1-based rank
+    ``k = (p*(n-1)) div 100 + 1`` (DuckDB ``quantile_disc`` rank
+    convention, integer arithmetic only). Fully relational over the
+    <= ``LOG2_MAX_BUCKETS``-row histogram: cumulative counts via a tiny
+    triangular self-join (both sides broadcast-sized), target bucket =
+    min bucket whose cumulative count reaches k, bounds re-derived
+    arithmetically (lo = 2^b, hi = 2^(b+1) - 1; bucket -1 -> [0, 0]) —
+    no window over a single partition, no collect."""
+    cum = (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")), F.col("b.bucket") <= F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.sum("b.c").alias("cum"))
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    probes = tot.select(
+        F.explode(F.array(*[F.lit(int(p)) for p in percents])).alias("p"), "n"
+    ).select("p", "n", F.expr("p * (n - 1) div 100 + 1").alias("k"))
+    return (
+        probes.join(F.broadcast(cum), F.col("cum") >= F.col("k"))
+        .groupBy("p", "n", "k")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "p",
+            "n",
+            "k",
+            "bucket",
+            F.expr("CASE WHEN bucket = -1 THEN 0 ELSE shiftleft(1L, bucket) END").alias("lo"),
+            F.expr(
+                "CASE WHEN bucket = -1 THEN 0 ELSE shiftleft(1L, bucket + 1) - 1 END"
+            ).alias("hi"),
+        )
+    )

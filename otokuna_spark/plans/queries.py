@@ -8221,3 +8221,88 @@ def q164_mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_tail",
         (F.col("lang_head") != F.col("lang_tail")).cast("long").alias("mixed"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q165_log2_quantile_sketch",
+    r"""
+    WITH v AS (
+        SELECT CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE len(string_split_regex(TRIM(text), '\s+')) END AS v
+        FROM documents
+    ),
+    hist AS (
+        SELECT CAST(CASE WHEN v <= 0 THEN -1 ELSE LENGTH(bin(v)) - 1 END AS INTEGER) AS bucket,
+               COUNT(*) AS c
+        FROM v GROUP BY 1
+    ),
+    cum AS (
+        SELECT a.bucket, SUM(b.c) AS cum
+        FROM hist a JOIN hist b ON b.bucket <= a.bucket
+        GROUP BY a.bucket
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+    probes AS (SELECT UNNEST([25, 50, 75, 90, 99]) AS p),
+    ks AS (SELECT p, n, CAST(p * (n - 1) // 100 + 1 AS BIGINT) AS k FROM probes, tot),
+    tb AS (
+        SELECT ks.p, ks.n, ks.k, MIN(cum.bucket) AS bucket
+        FROM ks JOIN cum ON cum.cum >= ks.k
+        GROUP BY ks.p, ks.n, ks.k
+    ),
+    ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
+    ex AS (SELECT ks.p, CAST(r.v AS BIGINT) AS exact FROM ks JOIN ranked r ON r.rn = ks.k)
+    SELECT tb.p, tb.n, tb.k, tb.bucket,
+           CAST(CASE WHEN tb.bucket = -1 THEN 0 ELSE 1::BIGINT << tb.bucket END AS BIGINT) AS lo,
+           CAST(CASE WHEN tb.bucket = -1 THEN 0 ELSE (1::BIGINT << (tb.bucket + 1)) - 1 END AS BIGINT) AS hi,
+           ex.exact,
+           CAST((CASE WHEN tb.bucket = -1 THEN 0 ELSE (1::BIGINT << (tb.bucket + 1)) - 1 END
+                 - CASE WHEN tb.bucket = -1 THEN 0 ELSE 1::BIGINT << tb.bucket END)
+                * 1000000 // GREATEST(ex.exact, 1) AS BIGINT) AS band_ppm
+    FROM tb JOIN ex ON tb.p = ex.p
+    ORDER BY tb.p
+    """,
+    "Bounded-state quantile sketch completing the mergeable family "
+    "(distinct = HLL max-merge q160, frequency = Count-Min sum-merge "
+    "q163, distribution = THIS): a power-of-2 histogram of per-doc "
+    "token counts — ONE keyed count bounded at 65 rows at any corpus "
+    "size (bucket = length(bin(v)) - 1, the same integer-exact "
+    "cross-engine device as the HLL rho), sum-mergeable across shards "
+    "and batches. Each requested percentile (rank k = (p*(n-1)) div "
+    "100 + 1, the q120 quantile_disc convention, pure integer "
+    "arithmetic) is bracketed in the 2x band [2^b, 2^(b+1)) of the "
+    "bucket where the cumulative count reaches k — cumsum via a "
+    "triangular self-join of the 65-row relation (both sides "
+    "broadcast), NO single-partition window, no collect in the sketch "
+    "path. The exact side (histogram-refinement k-th smallest, "
+    "operators/outliers.py scalable_kth_smallest) is the calibration "
+    "twin at registry scale; the committed invariant lo <= exact <= hi "
+    "and realized band width in ppm are what a production run would "
+    "monitor. Streaming twin: streaming.jobs.stream_log2_quantiles",
+)
+def q165_log2_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    vals = docs.select(T.token_count(F.col("text")).alias("v"))
+    hist = _sketches.log2_histogram(vals, "v")
+    bounds = _sketches.histogram_quantile_bounds(hist, [25, 50, 75, 90, 99])
+    # calibration side: exact k-th smallest per probe via histogram
+    # refinement — integer ranks shared with the sketch, no floats
+    n = vals.count()
+    exact_rows = [
+        (p, outliers.scalable_kth_smallest(vals, "v", (p * (n - 1)) // 100 + 1))
+        for p in (25, 50, 75, 90, 99)
+    ]
+    exact = spark.createDataFrame(exact_rows, "p int, exact long")
+    return (
+        bounds.join(F.broadcast(exact), "p")
+        .select(
+            "p",
+            "n",
+            "k",
+            "bucket",
+            "lo",
+            "hi",
+            "exact",
+            F.expr("(hi - lo) * 1000000 div greatest(exact, 1)").alias("band_ppm"),
+        )
+        .orderBy("p")
+    )

@@ -1350,3 +1350,81 @@ def ingest_cm_batch(
     report = sketches.cm_estimates(merged, probes, "tok")
     report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
     cm.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+
+def stream_log2_quantiles(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    report_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    percents: list[int] | None = None,
+    text_col: str = "text",
+) -> None:
+    """Streaming twin of q165's log2 quantile sketch: maintain the
+    corpus's per-doc token-count DISTRIBUTION incrementally — histogram
+    buckets are sum-mergeable (operators/sketches.py), so each batch
+    contributes its own <= 65-row histogram and the cumulative quantile
+    brackets are one sum-merge + the triangular cumsum, never a corpus
+    re-scan. Completes the streaming sketch family next to
+    ``stream_hll_distinct`` (max-merge) and ``stream_countmin_freq``
+    (sum-merge counters).
+
+    Reports land under ``report_path/batch=<id>`` (one row per probed
+    percent: cumulative (p, n, k, bucket, lo, hi)); the store under
+    ``store_path/batch=<id>`` carries the batch's OWN histogram (<= 65
+    rows per batch — the store grows with the batch count, not the
+    corpus).
+
+    Batch-equivalence (tested): after batch N the merged histogram
+    equals ``sketches.log2_histogram`` over the union of batches 0..N.
+    Replay-idempotent via the module's standard device: a replayed
+    batch excludes its own ``batch=<id>`` partition from the store scan
+    and overwrites its own partitions."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_hist_batch(
+            batch_df, batch_id, report_path, store_path, percents, text_col
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_hist_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    report_path: str,
+    store_path: str,
+    percents: list[int] | None = None,
+    text_col: str = "text",
+) -> None:
+    """One idempotent micro-batch of ``stream_log2_quantiles`` (the
+    foreachBatch body, callable directly for replay testing/backfills)."""
+    from ..functions import text as T
+    from ..operators import sketches
+
+    percents = percents or [25, 50, 75, 90, 99]
+    sp = batch_df.sparkSession
+    _check_store_orphans(sp, report_path, store_path, batch_id, "histogram")
+    vals = batch_df.select(T.token_count(F.col(text_col)).alias("v"))
+    # <= 65 rows however large the batch
+    hist = sketches.log2_histogram(vals, "v").localCheckpoint()
+    if _fs_nonempty(sp, store_path):
+        old = sp.read.parquet(store_path)
+        if "batch" in old.columns:
+            old = old.where(F.col("batch") != batch_id)
+        old = old.select("bucket", "c")
+    else:
+        old = sp.createDataFrame([], "bucket int, c long")
+    merged = sketches.merge_histograms(
+        old.unionByName(hist.select("bucket", "c"))
+    )
+    report = sketches.histogram_quantile_bounds(merged, percents)
+    report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
+    hist.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")

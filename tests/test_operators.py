@@ -2372,3 +2372,53 @@ def test_sketch_merges_equal_whole_input_sketches(spark):
         for r in sketches.cm_counters(u, "g").collect()
     }
     assert cm_merged == cm_whole
+
+
+def test_log2_histogram_merge_and_quantile_brackets(spark):
+    # the third mergeable sketch: (1) bucket arithmetic is exact
+    # floor(log2) with 0 -> -1; (2) merge(h(A), h(B)) == h(A u B);
+    # (3) every quantile bracket [lo, hi] contains the true k-th
+    # smallest at rank (p*(n-1)) div 100 + 1, vs brute-force sort
+    import random
+
+    from otokuna_spark.operators import sketches
+
+    known = [(0, -1), (1, 0), (2, 1), (3, 1), (4, 2), (7, 2), (8, 3), (1023, 9), (1024, 10)]
+    got = dict(
+        (r["bucket"], r["c"])
+        for r in sketches.log2_histogram(
+            spark.createDataFrame([(v,) for v, _ in known], "v long"), "v"
+        ).collect()
+    )
+    from collections import Counter
+
+    assert got == dict(Counter(b for _, b in known))
+
+    rng = random.Random(23)
+    vals = [rng.randint(0, 5000) for _ in range(800)]
+    a = spark.createDataFrame([(v,) for v in vals[:500]], "v long")
+    b = spark.createDataFrame([(v,) for v in vals[500:]], "v long")
+    u = a.unionByName(b)
+    merged = {
+        (r["bucket"], r["c"])
+        for r in sketches.merge_histograms(
+            sketches.log2_histogram(a, "v").unionByName(sketches.log2_histogram(b, "v"))
+        ).collect()
+    }
+    whole = {
+        (r["bucket"], r["c"]) for r in sketches.log2_histogram(u, "v").collect()
+    }
+    assert merged == whole
+
+    srt = sorted(vals)
+    bounds = sketches.histogram_quantile_bounds(
+        sketches.log2_histogram(u, "v"), [25, 50, 75, 90, 99]
+    ).collect()
+    assert len(bounds) == 5
+    for r in bounds:
+        k = (r["p"] * (len(vals) - 1)) // 100 + 1
+        assert r["k"] == k and r["n"] == len(vals)
+        exact = srt[k - 1]
+        assert r["lo"] <= exact <= r["hi"], (r["p"], r["lo"], exact, r["hi"])
+        # the bracket really is the 2x band of one bucket
+        assert r["hi"] <= 2 * max(r["lo"], 1) - 1

@@ -1129,3 +1129,47 @@ def test_cm_stream_matches_batch_counters_and_never_underestimates(spark, tmp_pa
     rep2 = {r["tok"]: r["cm_est"] for r in spark.read.parquet(f"{report}/batch=1").collect()}
     assert rep2 == rep
     assert spark.read.parquet(f"{store}/batch=1").count() <= 2048
+
+
+def test_hist_stream_matches_batch_histogram_and_brackets(spark, tmp_path):
+    from otokuna_spark.operators import sketches
+
+    report = str(tmp_path / "h_report")
+    store = str(tmp_path / "h_store")
+    b0 = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "x"), (3, "x y z w v u t s r q p o n m l k")], "doc_id long, text string"
+    )
+    jobs.ingest_hist_batch(b0, 0, report, store)
+    jobs.ingest_hist_batch(b1, 1, report, store)
+
+    # batch-equivalence: merged histogram == histogram over the union
+    union_vals = b0.unionByName(b1).select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("v")
+    )
+    exp = {
+        (r["bucket"], r["c"])
+        for r in sketches.log2_histogram(union_vals, "v").collect()
+    }
+    got = {
+        (r["bucket"], r["c"])
+        for r in sketches.merge_histograms(
+            spark.read.parquet(store).select("bucket", "c")
+        ).collect()
+    }
+    assert got == exp
+    # cumulative brackets contain the true quantiles of [1, 3, 8, 16]
+    srt = [1, 3, 8, 16]
+    rep = {r["p"]: r for r in spark.read.parquet(f"{report}/batch=1").collect()}
+    for p in (25, 50, 75, 90, 99):
+        k = (p * 3) // 100 + 1
+        exact = srt[k - 1]
+        assert rep[p]["k"] == k and rep[p]["n"] == 4
+        assert rep[p]["lo"] <= exact <= rep[p]["hi"], (p, rep[p], exact)
+    # replay idempotence: same store delta, same report
+    jobs.ingest_hist_batch(b1, 1, report, store)
+    rep2 = {r["p"]: (r["n"], r["k"], r["bucket"]) for r in spark.read.parquet(f"{report}/batch=1").collect()}
+    assert rep2 == {p: (r["n"], r["k"], r["bucket"]) for p, r in rep.items()}
+    assert spark.read.parquet(f"{store}/batch=1").count() <= 65
