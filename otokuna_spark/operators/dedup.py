@@ -869,13 +869,14 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
     Raises RuntimeError if labels still changed after ``max_iter`` rounds —
     silently returning split clusters would corrupt downstream dedup.
 
-    NOTE: the propagation loop temporarily right-sizes the session-global
-    ``spark.sql.shuffle.partitions`` (restored in a finally). That assumes
-    the caller is not running concurrent queries on the same SparkSession
-    during the loop — true for this engine's batch drivers. A
-    multi-tenant session should instead run cluster_pairs in its own
-    session (or accept default-width rounds; AQE coalescing recovers most
-    of the win).
+    The propagation loop pins its exchange widths with EXPLICIT per-plan
+    hash repartitions (edges on src once; labels on node per round) —
+    no session-global ``spark.sql.shuffle.partitions`` writes, so the
+    operator is safe on shared sessions with concurrent queries. Each
+    round has the same exchange count a default-width plan would, just
+    right-sized to the (tiny, already-LSH-verified) pair graph instead
+    of paying hundreds of near-empty tasks per round in a vanilla
+    200-partition session.
     """
     # materialize the (possibly very expensive) pair relation ONCE before
     # anything references it twice — the forward/reverse union below and
@@ -885,45 +886,45 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
     # the pair graph is usually tiny relative to the corpus — right-size
     # its partitioning or each label-propagation round pays full-width
-    # task-scheduling overhead for near-empty partitions
+    # task-scheduling overhead for near-empty partitions. Hash-partition
+    # on src so every round's edge-side join exchange is already done.
     n_edges = edges.count()
     parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
-    if parts < edges.rdd.getNumPartitions():
-        small = edges.coalesce(parts).persist()
-        small.count()
-        edges.unpersist()
-        edges = small
+    small = edges.repartition(parts, "src").persist()
+    small.count()
+    edges.unpersist()
+    edges = small
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
     ).localCheckpoint()
-
-    # every round runs 2-3 shuffles over the label set, which is the same
-    # order of magnitude as the (tiny, already-LSH-verified) edge set — at
-    # the session default width (200 in a vanilla session) each round pays
-    # hundreds of near-empty tasks; pin the exchange width to the same
-    # right-sized partition count as the edges for the loop's duration
-    spark = pairs.sparkSession
-    old_width = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        labels = _propagate_labels(edges, labels, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+    labels = _propagate_labels(edges, labels, max_iter, parts)
     edges.unpersist()
     return labels
 
 
-def _propagate_labels(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+def _propagate_labels(
+    edges: DataFrame, labels: DataFrame, max_iter: int, parts: int
+) -> DataFrame:
     changed = -1
     for _ in range(max_iter):
+        # pin every exchange in the round to the right-sized width: the
+        # label side re-hashes on node (one exchange, replacing the one
+        # the join would insert at session width); the grouped
+        # neighbor-min lands on node at the same width, so the left join
+        # below is exchange-free; the pointer-doubling self-join re-uses
+        # node partitioning on its y side and adds one cluster-keyed
+        # exchange on x.
+        lab = labels.repartition(parts, "node")
         neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
+            edges.join(lab, edges.src == lab.node)
+            .select(F.col("dst").alias("node"), "cluster")
+            .repartition(parts, "node")
+            .groupBy("node")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        propagated = labels.join(neighbor_min, on="node", how="left").select(
+        propagated = lab.join(neighbor_min, on="node", how="left").select(
             "node",
             F.col("cluster").alias("__old"),
             F.least(F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))).alias(
@@ -935,7 +936,8 @@ def _propagate_labels(edges: DataFrame, labels: DataFrame, max_iter: int) -> Dat
         # along as __old so the convergence check below is a narrow count
         # on the checkpointed result, not an extra label-vs-label join job.
         new_labels = (
-            propagated.alias("x")
+            propagated.repartition(parts, "cluster")
+            .alias("x")
             .join(
                 propagated.alias("y"),
                 F.col("x.cluster") == F.col("y.node"),

@@ -8064,17 +8064,28 @@ def q162_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "g")
     )
     exact = sh.join(F.broadcast(bench), "g").select("doc_id", "g")
-    per = (
-        sh.join(cand.withColumn("__c", F.lit(1)), ["doc_id", "g"], "left")
-        .join(exact.withColumn("__e", F.lit(1)), ["doc_id", "g"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.count("__c").alias("n_candidates"),
-            F.count("__e").alias("n_exact"),
+    # report tail: count each relation per doc INDEPENDENTLY (map-side
+    # partials collapse each to doc cardinality before anything joins)
+    # instead of joining three corpus-key (doc_id, g) relations and then
+    # collapsing — sh is distinct per (doc_id, g) (array_distinct in
+    # shingles_from_tokens) and cand/exact are subsets of it, so the
+    # doc-cardinality joins are exactly equivalent and only ever shuffle
+    # #docs-sized relations. The inner join on the candidate counts also
+    # IS the n_candidates > 0 filter (a grouped count is >= 1).
+    per_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    per_cand = cand.groupBy("doc_id").agg(F.count("*").alias("n_candidates"))
+    per_exact = exact.groupBy("doc_id").agg(F.count("*").alias("n_exact"))
+    return (
+        per_sh.join(per_cand, "doc_id")
+        .join(per_exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_candidates",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
         )
+        .orderBy("doc_id")
     )
-    return per.where(F.col("n_candidates") > 0).orderBy("doc_id")
 
 
 # Count-Min parameters shared with the oracle — implementation (and the
@@ -8305,4 +8316,87 @@ def q165_log2_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(hi - lo) * 1000000 div greatest(exact, 1)").alias("band_ppm"),
         )
         .orderBy("p")
+    )
+
+
+@register(
+    "q166_image_near_dup_64bit",
+    """
+    WITH p AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    cell AS (
+        SELECT doc_id, w, h, i, j,
+               (doc_id * 7 + ((i * h // 8) * w + (j * w // 8)) * 13) % 256 AS v
+        FROM p, UNNEST(generate_series(0, 7)) AS a(i), UNNEST(generate_series(0, 7)) AS b(j)
+    ),
+    m AS (SELECT doc_id, SUM(v) // 64 AS mean_v FROM cell GROUP BY doc_id),
+    hs AS (
+        SELECT c.doc_id,
+               SUM(CASE WHEN c.v >= m.mean_v
+                        THEN 1::HUGEINT << (c.i * 8 + c.j) ELSE 0::HUGEINT END) AS s
+        FROM cell c JOIN m USING (doc_id) GROUP BY c.doc_id
+    ),
+    hsh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS ahash
+        FROM hs
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+    ),
+    e AS (SELECT id_a AS m, id_b AS nb FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+    per AS (SELECT m, COUNT(*) AS n_near, MIN(nb) AS mn FROM e GROUP BY m)
+    SELECT h.doc_id AS media_id, h.ahash,
+           CAST(COALESCE(p.n_near, 0) AS BIGINT) AS n_near,
+           CAST(LEAST(h.doc_id, COALESCE(p.mn, h.doc_id)) AS BIGINT) AS near_rep
+    FROM hsh h LEFT JOIN per p ON p.m = h.doc_id
+    ORDER BY media_id
+    """,
+    "The PRODUCTION configuration of Hamming-near image dedup: q156 "
+    "attests the operator at 16 bits (grid=4) where its 5-bit pigeonhole "
+    "chunks are a banding regression case; a 100 TB run uses the full "
+    "64-bit aHash (grid=8), whose max_hamming=6 banding gives 7 chunks "
+    "of ~9 bits — banded candidate volume Theta(sum bucket^2) over "
+    "2^9-plus chunk values instead of 2^5, the shape that keeps "
+    "pigeonhole near-dup subquadratic at web scale. Bit 63 is live "
+    "(most synthetic hashes have it set), so this also attests the "
+    "signed-long bit-reinterpretation end to end: the engine packs the "
+    "hash like xxhash64, the oracle sums HUGEINT bit weights and wraps "
+    "at 2^63, and the chunk extraction's arithmetic shiftright is "
+    "mask-corrected. Same per-image summary as q156 (brute-force "
+    "popcount oracle is fine at 200 images; the engine side must stay "
+    "banded)",
+)
+def q166_image_near_dup_64bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..sources import multimodal
+
+    media = _synth_bmp_media(spark, sf_dir)
+    h = multimodal.image_ahash(media, grid=8)
+    pairs = dedup.hamming_near_pairs(
+        h.select("media_id", "ahash"), "media_id", "ahash", bits=64, max_hamming=6
+    )
+    e = pairs.select(
+        F.col("id_a").alias("media_id"), F.col("id_b").alias("nb")
+    ).unionByName(pairs.select(F.col("id_b").alias("media_id"), F.col("id_a").alias("nb")))
+    per = e.groupBy("media_id").agg(
+        F.count("*").alias("n_near"), F.min("nb").alias("mn")
+    )
+    return (
+        h.select("media_id", "ahash")
+        .join(per, "media_id", "left")
+        .select(
+            "media_id",
+            "ahash",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.least(
+                F.col("media_id"), F.coalesce("mn", F.col("media_id"))
+            ).alias("near_rep"),
+        )
+        .orderBy("media_id")
     )
