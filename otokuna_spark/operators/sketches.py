@@ -83,6 +83,50 @@ def hll_estimate(reg: DataFrame) -> DataFrame:
     )
 
 
+def hll_registers_by(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """(…keys, bucket, m): one HLL register relation PER KEY GROUP —
+    ``hll_registers`` generalized to a grouped sketch (per-source, per-
+    snapshot, per-shard …). Output bounded by ``HLL_M * |groups|`` rows
+    at any input size; groups max-merge exactly like single sketches, so
+    the union estimate of any subset of groups is one re-max away
+    (the device q167's inclusion-exclusion overlap matrix builds on)."""
+    hv = df.select(
+        *keys,
+        F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__v"),
+    )
+    rr = hv.select(
+        *keys,
+        (F.col("__v") % HLL_M).alias("bucket"),
+        F.when(F.expr(f"__v div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.expr(f"bin(__v div {HLL_M})")))
+        .alias("rho"),
+    )
+    return rr.groupBy(*keys, "bucket").agg(F.max("rho").alias("m"))
+
+
+def hll_estimate_by(reg: DataFrame, keys: list[str]) -> DataFrame:
+    """(…keys, est_distinct): the integer-exact raw-regime HLL estimate
+    per key group (<= HLL_M rows in per group, 1 row out per group) —
+    ``hll_estimate`` generalized to grouped registers; identical
+    arithmetic, so the q160 oracle device recomputes it per group."""
+    s = reg.groupBy(*keys).agg(
+        F.sum(F.expr(f"cast(pow(2, {HLL_RHO_MAX} - m) as bigint)")).alias("s55"),
+        F.count("*").alias("n_present"),
+    )
+    return s.select(
+        *keys,
+        F.expr(
+            f"cast(cast({HLL_ALPHA_PPM} as decimal(38,0)) * {HLL_M * HLL_M}"
+            f" * cast(pow(2, {HLL_RHO_MAX}) as decimal(38,0))"
+            f" div (cast(1000000 as decimal(38,0))"
+            f" * (s55 + ({HLL_M} - n_present)"
+            f" * cast(pow(2, {HLL_RHO_MAX}) as bigint))) as bigint)"
+        ).alias("est_distinct"),
+    )
+
+
 # ---------------------------------------------------------- Count-Min
 
 CM_D = 4

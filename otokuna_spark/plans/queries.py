@@ -7769,6 +7769,11 @@ from ..operators import sketches as _sketches  # noqa: E402
 _HLL_M = _sketches.HLL_M
 _HLL_RHO_MAX = _sketches.HLL_RHO_MAX
 _HLL_ALPHA_PPM = _sketches.HLL_ALPHA_PPM
+# exact integer twins of the estimator's power terms — DuckDB's `**`
+# returns DOUBLE, whose 53-bit mantissa cannot carry alpha*m^2*2^55
+# (~1e26); these literals keep the oracle arithmetic HUGEINT-exact
+_HLL_POW55 = 1 << _HLL_RHO_MAX
+_HLL_EST_NUM = _HLL_ALPHA_PPM * _HLL_M * _HLL_M * _HLL_POW55
 
 _HLL_HEX2INT = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (15 - 1 - i)}"
@@ -7795,20 +7800,19 @@ _HLL_HEX2INT = " + ".join(
     ),
     reg AS (SELECT bucket, MAX(rho) AS m FROM rr GROUP BY bucket),
     s AS (
-        SELECT SUM(CAST(2 AS BIGINT) ** ({_HLL_RHO_MAX} - m)) AS s55,
+        SELECT SUM(1::BIGINT << ({_HLL_RHO_MAX} - m)) AS s55,
                COUNT(*) AS n_present
         FROM reg
     ),
     ex AS (SELECT COUNT(*) AS exact_distinct FROM sh),
     est AS (
-        SELECT CAST(s.s55 + ({_HLL_M} - s.n_present) * (CAST(2 AS HUGEINT) ** {_HLL_RHO_MAX}) AS HUGEINT) AS s_total,
+        SELECT CAST(s.s55 + ({_HLL_M} - s.n_present) * {_HLL_POW55}::HUGEINT AS HUGEINT) AS s_total,
                CAST({_HLL_M} - s.n_present AS BIGINT) AS n_zero_registers
         FROM s
     ),
     fin AS (
         SELECT CAST(s_total AS BIGINT) AS s55_total, n_zero_registers,
-               CAST(CAST({_HLL_ALPHA_PPM} AS HUGEINT) * {_HLL_M * _HLL_M}
-                    * (CAST(2 AS HUGEINT) ** {_HLL_RHO_MAX})
+               CAST({_HLL_EST_NUM}::HUGEINT
                     // CAST(1000000 * s_total AS HUGEINT) AS BIGINT) AS est_distinct
         FROM est
     )
@@ -8400,3 +8404,162 @@ def q166_image_near_dup_64bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "q167_hll_overlap_matrix",
+    f"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    ),
+    hv AS (SELECT source, ({_HLL_HEX2INT}) AS v FROM (SELECT source, md5(g) AS h FROM sh)),
+    rr AS (
+        SELECT source, v % {_HLL_M} AS bucket,
+               CASE WHEN v // {_HLL_M} = 0 THEN {_HLL_RHO_MAX}
+                    ELSE {_HLL_RHO_MAX} - length(bin(v // {_HLL_M})) END AS rho
+        FROM hv
+    ),
+    reg AS (SELECT source, bucket, MAX(rho) AS m FROM rr GROUP BY source, bucket),
+    est_src AS (
+        SELECT source,
+               CAST({_HLL_EST_NUM}::HUGEINT
+                    // CAST(1000000 * (SUM(1::BIGINT << ({_HLL_RHO_MAX} - m))
+                         + ({_HLL_M} - COUNT(*)) * {_HLL_POW55}::HUGEINT) AS HUGEINT)
+                    AS BIGINT) AS est
+        FROM reg GROUP BY source
+    ),
+    srcs AS (SELECT DISTINCT source FROM sh),
+    prs AS (SELECT a.source AS src_a, b.source AS src_b FROM srcs a, srcs b WHERE a.source < b.source),
+    ureg AS (
+        SELECT src_a, src_b, bucket, MAX(m) AS m
+        FROM (
+            SELECT p.src_a, p.src_b, r.bucket, r.m FROM prs p JOIN reg r ON r.source = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, r.bucket, r.m FROM prs p JOIN reg r ON r.source = p.src_b
+        ) GROUP BY src_a, src_b, bucket
+    ),
+    est_u AS (
+        SELECT src_a, src_b,
+               CAST({_HLL_EST_NUM}::HUGEINT
+                    // CAST(1000000 * (SUM(1::BIGINT << ({_HLL_RHO_MAX} - m))
+                         + ({_HLL_M} - COUNT(*)) * {_HLL_POW55}::HUGEINT) AS HUGEINT)
+                    AS BIGINT) AS est_union
+        FROM ureg GROUP BY src_a, src_b
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    common AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (g)
+        WHERE a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT e.src_a, e.src_b,
+           ea.est AS est_a, eb.est AS est_b, e.est_union,
+           CAST(ea.est + eb.est - e.est_union AS BIGINT) AS est_inter,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS exact_inter,
+           CAST(sa.n + sb.n - COALESCE(c.n_common, 0) AS BIGINT) AS exact_union,
+           CAST(GREATEST(ea.est + eb.est - e.est_union, 0)
+                * 1000000 // e.est_union AS BIGINT) AS jaccard_est_ppm,
+           CAST(COALESCE(c.n_common, 0) * 1000000
+                // (sa.n + sb.n - COALESCE(c.n_common, 0)) AS BIGINT) AS jaccard_ppm
+    FROM est_u e
+    JOIN est_src ea ON ea.source = e.src_a
+    JOIN est_src eb ON eb.source = e.src_b
+    JOIN sizes sa ON sa.source = e.src_a
+    JOIN sizes sb ON sb.source = e.src_b
+    LEFT JOIN common c ON c.src_a = e.src_a AND c.src_b = e.src_b
+    ORDER BY e.src_a, e.src_b
+    """,
+    "Sketch-level dataset-overlap matrix — the 'how much does dump A "
+    "duplicate dump B' pre-mix question answered from SKETCHES instead "
+    "of the corpus: per-source HLL registers (hll_registers_by — ONE "
+    "keyed max bounded at 64 x |sources| rows at any corpus size), "
+    "pair-union estimates by re-maxing each pair's two register sets "
+    "(the mergeable-sketch property: union needs NO re-scan), and "
+    "intersection by inclusion-exclusion est_a + est_b - est_union. At "
+    "100 TB only the register relation is computed once per source "
+    "shard and every pairwise number falls out of 64-row merges — the "
+    "exact sides (q88's machinery) run here as the registry-scale "
+    "calibration twin, committing realized sketch-vs-exact Jaccard in "
+    "ppm. Inclusion-exclusion can go negative on sketch noise: "
+    "est_inter is committed raw, the ppm clamps at 0",
+)
+def q167_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", T.tokens(F.col("text")).alias("__toks"))
+        .select(
+            "source", F.explode(T.shingles_from_tokens(F.col("__toks"), 3)).alias("g")
+        )
+        # shingles_from_tokens dedupes per DOC; the source-level relation
+        # needs (source, g) distinct across a source's documents or the
+        # exact sizes/common counts would count repeats
+        .distinct()
+        .localCheckpoint()  # feeds registers + both exact-join sides
+    )
+    reg = _sketches.hll_registers_by(sh, ["source"], "g").localCheckpoint()
+    est_src = _sketches.hll_estimate_by(reg, ["source"]).withColumnRenamed(
+        "est_distinct", "est"
+    )
+    srcs = reg.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(F.broadcast(srcs.select(F.col("source").alias("src_b"))))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    ureg = (
+        prs.join(F.broadcast(reg), F.col("source") == F.col("src_a"))
+        .select("src_a", "src_b", "bucket", "m")
+        .unionByName(
+            prs.join(F.broadcast(reg), F.col("source") == F.col("src_b")).select(
+                "src_a", "src_b", "bucket", "m"
+            )
+        )
+        .groupBy("src_a", "src_b", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    est_u = _sketches.hll_estimate_by(ureg, ["src_a", "src_b"]).withColumnRenamed(
+        "est_distinct", "est_union"
+    )
+    # exact calibration twin: sizes + pairwise common over the distinct
+    # (source, shingle) relation — 64-bit hash join keys (oracle joins
+    # the strings; collision odds ~2^-64/pair, the q21/q88 device)
+    shh = sh.select("source", F.xxhash64("g").alias("hs"))
+    sizes = shh.groupBy("source").agg(F.count("*").alias("n"))
+    common = (
+        shh.alias("a")
+        .join(shh.alias("b"), "hs")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        est_u.join(F.broadcast(est_src.select(F.col("source").alias("src_a"), F.col("est").alias("est_a"))), "src_a")
+        .join(F.broadcast(est_src.select(F.col("source").alias("src_b"), F.col("est").alias("est_b"))), "src_b")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
+        .join(F.broadcast(common), ["src_a", "src_b"], "left")
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.expr("est_a + est_b - est_union").cast("long").alias("est_inter"),
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("exact_inter"),
+        F.expr("n_a + n_b - coalesce(n_common, 0)").cast("long").alias("exact_union"),
+        F.expr(
+            "cast(greatest(est_a + est_b - est_union, 0) * 1000000 div est_union as bigint)"
+        ).alias("jaccard_est_ppm"),
+        F.expr(
+            "cast(coalesce(n_common, 0) * 1000000"
+            " div (n_a + n_b - coalesce(n_common, 0)) as bigint)"
+        ).alias("jaccard_ppm"),
+    ).orderBy("src_a", "src_b")

@@ -2374,6 +2374,51 @@ def test_sketch_merges_equal_whole_input_sketches(spark):
     assert cm_merged == cm_whole
 
 
+def test_grouped_hll_registers_match_per_group_and_union_remax(spark):
+    # hll_registers_by == hll_registers run per group, and re-maxing two
+    # groups' registers == registers of the groups' union — the two
+    # equalities q167's inclusion-exclusion overlap matrix rests on
+    import random
+
+    from otokuna_spark.operators import sketches
+
+    rng = random.Random(17)
+    rows = [(f"s{rng.randint(0, 2)}", f"g{rng.randint(0, 300)}") for _ in range(1500)]
+    df = spark.createDataFrame(rows, "source string, g string")
+    grouped = {
+        (r["source"], r["bucket"]): r["m"]
+        for r in sketches.hll_registers_by(df, ["source"], "g").collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        per = {
+            (s, r["bucket"]): r["m"]
+            for r in sketches.hll_registers(df.where(F.col("source") == s), "g").collect()
+        }
+        assert {k: v for k, v in grouped.items() if k[0] == s} == per
+    # union re-max for the (s0, s1) pair
+    both = df.where(F.col("source").isin("s0", "s1"))
+    union_regs = {
+        (r["bucket"], r["m"]) for r in sketches.hll_registers(both, "g").collect()
+    }
+    remax = {}
+    for (s, b), m in grouped.items():
+        if s in ("s0", "s1"):
+            remax[b] = max(remax.get(b, -1), m)
+    assert {(b, m) for b, m in remax.items()} == union_regs
+    # grouped estimate == ungrouped estimate on each group's registers
+    ests = {
+        r["source"]: r["est_distinct"]
+        for r in sketches.hll_estimate_by(
+            sketches.hll_registers_by(df, ["source"], "g"), ["source"]
+        ).collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        solo = sketches.hll_estimate(
+            sketches.hll_registers(df.where(F.col("source") == s), "g")
+        ).collect()[0]["est_distinct"]
+        assert ests[s] == solo, s
+
+
 def test_log2_histogram_merge_and_quantile_brackets(spark):
     # the third mergeable sketch: (1) bucket arithmetic is exact
     # floor(log2) with 0 -> -1; (2) merge(h(A), h(B)) == h(A u B);
