@@ -8563,3 +8563,119 @@ def q167_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_a + n_b - coalesce(n_common, 0)) as bigint)"
         ).alias("jaccard_ppm"),
     ).orderBy("src_a", "src_b")
+
+
+@register(
+    "q168_trigram_lm_interpolated",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY w1, w2, w3),
+    x2 AS (SELECT w1, w2, COUNT(*) AS x2 FROM tri GROUP BY w1, w2),
+    c2 AS (SELECT w2, w3, COUNT(*) AS c2 FROM tri GROUP BY w2, w3),
+    x1 AS (SELECT w2, COUNT(*) AS x1 FROM tri GROUP BY w2),
+    c1 AS (SELECT w3, COUNT(*) AS c1 FROM tri GROUP BY w3),
+    nn AS (SELECT COUNT(*) AS n FROM tri),
+    sc AS (
+        SELECT t.doc_id,
+               (5 * (CAST(c3.c3 AS HUGEINT) * 1000000 // x2.x2)
+                + 3 * (CAST(c2.c2 AS HUGEINT) * 1000000 // x1.x1)
+                + 2 * (CAST(c1.c1 AS HUGEINT) * 1000000 // nn.n)) // 10 AS interp_ppm,
+               CAST(c3.c3 AS HUGEINT) * 1000000 // x2.x2 AS p3_ppm,
+               CAST(c1.c1 AS HUGEINT) * 1000000 // nn.n AS p1_ppm
+        FROM tri t
+        JOIN c3 USING (w1, w2, w3) JOIN x2 USING (w1, w2)
+        JOIN c2 USING (w2, w3) JOIN x1 USING (w2)
+        JOIN c1 USING (w3), nn
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(interp_ppm) AS BIGINT) AS sum_interp_ppm,
+           CAST(SUM(interp_ppm) // COUNT(*) AS BIGINT) AS mean_interp_ppm,
+           CAST(SUM(p3_ppm) // COUNT(*) AS BIGINT) AS mean_p3_ppm,
+           CAST(SUM(p1_ppm) // COUNT(*) AS BIGINT) AS mean_p1_ppm
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+    "Interpolated trigram LM fluency score — q149's exact-ppm bigram "
+    "machinery extended to the CCNet perplexity-bucketing shape: "
+    "Jelinek-Mercer interpolation p = 0.5*p(w3|w1w2) + 0.3*p(w3|w2) + "
+    "0.2*p(w3), every component an MLE over the SAME trigram-occurrence "
+    "relation (so each conditional sums to 1 and the oracle mirrors one "
+    "relation, not three tokenizations), fixed lambdas in exact integer "
+    "ppm: interp = (5*p3_ppm + 3*p2_ppm + 2*p1_ppm) div 10. Scale shape "
+    "is q149's: five count tables aggregate straight from occurrences "
+    "(map-side partials bound every Zipf key's shuffle), the per-doc "
+    "relation pre-aggregates (doc, w1, w2, w3) BEFORE the join-backs so "
+    "the head trigram's corpus share never funnels through one join "
+    "key, and cnt-weighted sums recover the occurrence-level totals "
+    "exactly. Low mean_interp with high mean_p1 marks disfluent text "
+    "over common vocabulary — the signal a unigram score cannot see; "
+    "lambda tuning (EM held-out) is a training-time concern, documented "
+    "out of scope",
+)
+def q168_trigram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 3
+    )
+    occ3 = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2,"
+                " element_at(t, i + 2) as w3))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2", "b.w3")
+    # all five count tables aggregate straight from the occurrences (the
+    # q149 rationale: map-side partials bound the per-key shuffle; a
+    # perdoc-derived count would recompute the exchange per consumer)
+    c3 = occ3.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    x2 = occ3.groupBy("w1", "w2").agg(F.count("*").alias("x2"))
+    c2 = occ3.groupBy("w2", "w3").agg(F.count("*").alias("c2"))
+    x1 = occ3.groupBy("w2").agg(F.count("*").alias("x1"))
+    c1 = occ3.groupBy("w3").agg(F.count("*").alias("c1"))
+    nn = occ3.agg(F.count("*").alias("n"))
+    perdoc = occ3.groupBy("doc_id", "w1", "w2", "w3").agg(F.count("*").alias("cnt"))
+    sc = (
+        perdoc.join(c3, ["w1", "w2", "w3"])
+        .join(x2, ["w1", "w2"])
+        .join(c2, ["w2", "w3"])
+        .join(x1, ["w2"])
+        .join(c1, ["w3"])
+        .crossJoin(F.broadcast(nn))  # 1-row scalar
+        .select(
+            "doc_id",
+            "cnt",
+            F.expr(
+                "(5 * (cast(c3 as decimal(38,0)) * 1000000 div x2)"
+                " + 3 * (cast(c2 as decimal(38,0)) * 1000000 div x1)"
+                " + 2 * (cast(c1 as decimal(38,0)) * 1000000 div n)) div 10"
+            ).alias("interp_ppm"),
+            F.expr("cast(c3 as decimal(38,0)) * 1000000 div x2").alias("p3_ppm"),
+            F.expr("cast(c1 as decimal(38,0)) * 1000000 div n").alias("p1_ppm"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_trigrams"),
+            F.sum(F.col("cnt") * F.col("interp_ppm")).alias("sum_interp_ppm"),
+            F.sum(F.col("cnt") * F.col("p3_ppm")).alias("sum_p3"),
+            F.sum(F.col("cnt") * F.col("p1_ppm")).alias("sum_p1"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.col("sum_interp_ppm").cast("long").alias("sum_interp_ppm"),
+            F.expr("cast(sum_interp_ppm div n_trigrams as bigint)").alias("mean_interp_ppm"),
+            F.expr("cast(sum_p3 div n_trigrams as bigint)").alias("mean_p3_ppm"),
+            F.expr("cast(sum_p1 div n_trigrams as bigint)").alias("mean_p1_ppm"),
+        )
+        .orderBy("doc_id")
+    )
