@@ -63,6 +63,11 @@ CASES = [
     # round-9: new curation signals
     "q150_rep3_degeneracy",     # row-local HOFs: output order only
     "q152_snapshot_novelty",    # hashed-shingle anti-join, 8-byte keys
+    # round-11: mergeable sketches + production near-dup + trigram LM
+    "q165_log2_quantile_sketch",   # <=65-row histogram; exact side bounded
+    "q166_image_near_dup_64bit",   # banded chunk joins; media bytes never move
+    "q167_hll_overlap_matrix",     # 64 x sources registers + exact calibration
+    "q168_trigram_lm_interpolated",  # count tables + Zipf-safe pre-agg join-backs
 ]
 
 
