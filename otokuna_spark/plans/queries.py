@@ -29,8 +29,9 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions import parsers as P
+from ..functions import zorder as Z
 from ..io import read_table, register_views
-from ..operators import asof, dedup, outliers, sampling, similarity, topk
+from ..operators import asof, decay, dedup, outliers, sampling, similarity, topk
 
 
 @dataclass(frozen=True)
@@ -8618,6 +8619,13 @@ def q167_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "out of scope",
 )
 def q168_trigram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _trigram_lm_doc_scores(spark, sf_dir).orderBy("doc_id")
+
+
+def _trigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc interpolated-trigram-LM score relation (q168's body,
+    unordered) — shared with q170's perplexity bucketing so both attest
+    the same scoring plan."""
     docs = read_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
         F.size("t") >= 3
@@ -8677,5 +8685,294 @@ def q168_trigram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(sum_p3 div n_trigrams as bigint)").alias("mean_p3_ppm"),
             F.expr("cast(sum_p1 div n_trigrams as bigint)").alias("mean_p1_ppm"),
         )
+    )
+
+
+@register(
+    "q169_dup_bigram_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    d AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+    occ AS (
+        SELECT doc_id, i AS pos, t[i] || ' ' || t[i+1] AS g
+        FROM d, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    rep AS (SELECT doc_id, g FROM occ GROUP BY doc_id, g HAVING COUNT(*) > 1),
+    cov AS (
+        SELECT o.doc_id, COUNT(DISTINCT p) AS covered_tokens
+        FROM occ o JOIN rep USING (doc_id, g), UNNEST([o.pos, o.pos + 1]) AS v(p)
+        GROUP BY o.doc_id
+    )
+    SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(cov.covered_tokens, 0) * 1000000 // len(d.t) AS BIGINT) AS coverage_ppm
+    FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id
+    """,
+    "Duplicate-bigram token COVERAGE per doc — the Gopher 'duplicate "
+    "n-gram character fraction' repetition rule (Rae et al. 2021 Table "
+    "A1), the positional complement of q150's occurrence fraction: the "
+    "fraction of token POSITIONS lying inside at least one occurrence "
+    "of a within-doc repeated bigram, exact ppm. (Coverage and "
+    "occurrence count genuinely diverge: 'a b a b a b' repeats 2 of 5 "
+    "bigram occurrences distinctly but covers ALL 6 positions.) Scale "
+    "shape: positional bigrams explode once, the repeated-gram set is "
+    "one keyed agg on (doc_id, gram) — every key carries doc_id, so "
+    "Zipf-head grams never funnel through one reducer — and coverage "
+    "is a (doc_id, position) distinct-count; all exchanges are keyed "
+    "by doc, linear in corpus size, no windows, no corpus-cardinality "
+    "single partition",
+)
+def q169_dup_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 2
+    )
+    n_tok = d.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> struct(i as pos,"
+                " concat(element_at(t, i), ' ', element_at(t, i + 1)) as g))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.pos", "b.g")
+    rep = (
+        occ.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .where("c > 1")
+        .select("doc_id", "g")
+    )
+    cov = (
+        occ.join(rep, ["doc_id", "g"])
+        .select("doc_id", F.explode(F.array("pos", F.col("pos") + F.lit(1))).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered"))
+    )
+    return (
+        n_tok.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("covered_tokens"),
+            F.expr(
+                "cast(coalesce(covered, 0) * 1000000 div n_tokens as bigint)"
+            ).alias("coverage_ppm"),
+        )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q170_perplexity_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY w1, w2, w3),
+    x2 AS (SELECT w1, w2, COUNT(*) AS x2 FROM tri GROUP BY w1, w2),
+    c2 AS (SELECT w2, w3, COUNT(*) AS c2 FROM tri GROUP BY w2, w3),
+    x1 AS (SELECT w2, COUNT(*) AS x1 FROM tri GROUP BY w2),
+    c1 AS (SELECT w3, COUNT(*) AS c1 FROM tri GROUP BY w3),
+    nn AS (SELECT COUNT(*) AS n FROM tri),
+    sc AS (
+        SELECT t.doc_id,
+               (5 * (CAST(c3.c3 AS HUGEINT) * 1000000 // x2.x2)
+                + 3 * (CAST(c2.c2 AS HUGEINT) * 1000000 // x1.x1)
+                + 2 * (CAST(c1.c1 AS HUGEINT) * 1000000 // nn.n)) // 10 AS interp_ppm
+        FROM tri t
+        JOIN c3 USING (w1, w2, w3) JOIN x2 USING (w1, w2)
+        JOIN c2 USING (w2, w3) JOIN x1 USING (w2)
+        JOIN c1 USING (w3), nn
+    ),
+    doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(SUM(interp_ppm) // COUNT(*) AS BIGINT) AS mean_interp_ppm
+        FROM sc GROUP BY doc_id
+    ),
+    n2 AS (SELECT COUNT(*) AS n FROM doc),
+    ranked AS (
+        SELECT mean_interp_ppm AS v,
+               ROW_NUMBER() OVER (ORDER BY mean_interp_ppm DESC) AS rn
+        FROM doc
+    ),
+    t1 AS (SELECT v FROM ranked, n2 WHERE rn = (n + 2) // 3),
+    t2 AS (SELECT v FROM ranked, n2 WHERE rn = (2 * n + 2) // 3),
+    b AS (
+        SELECT doc_id, n_trigrams, mean_interp_ppm,
+               CASE WHEN mean_interp_ppm >= (SELECT v FROM t1) THEN 1
+                    WHEN mean_interp_ppm >= (SELECT v FROM t2) THEN 2
+                    ELSE 3 END AS bucket
+        FROM doc
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_trigrams) AS BIGINT) AS sum_trigrams,
+           CAST(MIN(mean_interp_ppm) AS BIGINT) AS min_score_ppm,
+           CAST(MAX(mean_interp_ppm) AS BIGINT) AS max_score_ppm
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "CCNet-style perplexity bucketing (head/middle/tail): docs split at "
+    "the exact tercile ORDER STATISTICS of q168's interpolated-trigram-"
+    "LM fluency score (bucket 1 = most fluent). The cuts are values at "
+    "DESC ranks ceil(n/3) and ceil(2n/3) — computed by q120's "
+    "histogram-refinement k-th selection (scalable_kth_smallest) over "
+    "the localCheckpointed score relation, NEVER a corpus-wide sort or "
+    "ntile window: a 100 TB corpus finds its thresholds in three "
+    "bounded-state scans, then buckets map-side by comparison against "
+    "two broadcast scalars. Threshold semantics are pure "
+    "value-comparison (score >= cut), so ties make bucket sizes "
+    "deviate from n/3 deterministically on both engines; the oracle "
+    "recomputes the cuts with a ROW_NUMBER rank (value-at-rank in a "
+    "multiset is tie-order-free)",
+)
+def q170_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = (
+        _trigram_lm_doc_scores(spark, sf_dir)
+        .select("doc_id", "n_trigrams", "mean_interp_ppm")
+        .localCheckpoint()  # one doc-cardinality relation feeds count + 2 selections + bucketing
+    )
+    n = scores.count()
+    k1 = (n + 2) // 3  # DESC rank of the head/middle cut
+    k2 = (2 * n + 2) // 3
+    t1 = outliers.scalable_kth_smallest(scores, "mean_interp_ppm", n - k1 + 1)
+    t2 = outliers.scalable_kth_smallest(scores, "mean_interp_ppm", n - k2 + 1)
+    return (
+        scores.select(
+            "n_trigrams",
+            "mean_interp_ppm",
+            F.when(F.col("mean_interp_ppm") >= t1, F.lit(1))
+            .when(F.col("mean_interp_ppm") >= t2, F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_trigrams").cast("long").alias("sum_trigrams"),
+            F.min("mean_interp_ppm").cast("long").alias("min_score_ppm"),
+            F.max("mean_interp_ppm").cast("long").alias("max_score_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q171_zorder_pruning",
+    """
+    WITH pts AS (
+        SELECT ((epoch_us(ts) // 60000000) % 1440) * 45 AS x,
+               CAST(ROUND(value * 100.0, 0) AS BIGINT) AS y
+        FROM events
+        WHERE CAST(ROUND(value * 100.0, 0) AS BIGINT) BETWEEN 0 AND 65535
+    ),
+    xy AS (SELECT DISTINCT x, y FROM pts),
+    z AS (
+        SELECT x, y,
+               SUM(((x // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))
+                 + ((y // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i+1))) AS morton
+        FROM xy, UNNEST(generate_series(0, 15)) AS u(i)
+        GROUP BY x, y
+    ),
+    pz AS (
+        SELECT p.x, p.y, z.morton // (1::BIGINT << 22) AS bucket,
+               CASE WHEN p.x BETWEEN 21600 AND 24299
+                     AND p.y BETWEEN 1000 AND 4999 THEN 1 ELSE 0 END AS in_box
+        FROM pts p JOIN z USING (x, y)
+    ),
+    bk AS (SELECT bucket, COUNT(*) AS cnt, SUM(in_box) AS box_cnt FROM pz GROUP BY bucket)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(SUM(box_cnt) AS BIGINT) AS match_rows,
+           CAST(COUNT(*) AS BIGINT) AS buckets_total,
+           CAST(SUM(CASE WHEN box_cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+           CAST(SUM(CASE WHEN box_cnt > 0 THEN cnt ELSE 0 END) AS BIGINT) AS scanned_rows,
+           CAST((SUM(cnt) - SUM(CASE WHEN box_cnt > 0 THEN cnt ELSE 0 END)) * 1000000 // SUM(cnt) AS BIGINT) AS pruned_ppm
+    FROM bk
+    """,
+    "Z-order (Morton) layout pruning audit — the Delta/Iceberg Z-ORDER "
+    "clustering trick quantified: events map to a 32-bit Morton key "
+    "over (minute-of-day scaled to 16 bits, value cents), cells are the "
+    "key's top 10 bits (the 'files' a layout writer would emit via "
+    "repartitionByRange on the key), and a 1-hour x $10-$50 box query "
+    "reports how many cells/rows survive min/max pruning (~96% of rows "
+    "pruned at sf0.01, 6 of ~420 cells touched). The interleave is a "
+    "pure codegen'd integer fold (functions/zorder.py — no UDF, no "
+    "shuffle before the cell agg); cell stats are one keyed agg bounded "
+    "by 1024 rows, then a scalar rollup. At 100 TB the identical plan "
+    "IS the layout decision: write with repartitionByRange(morton) and "
+    "the same box predicate scans scanned_rows/total_rows of the data",
+)
+def q171_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.expr("((ts_us div 60000000) % 1440) * cast(45 as bigint)").alias("x"),
+        F.expr("cast(round(value * 100.0, 0) as bigint)").alias("y"),
+    ).where("y >= 0 and y <= 65535")
+    pz = pts.select(
+        (Z.morton16("x", "y") / F.lit(1 << 22)).cast("long").alias("bucket"),
+        F.expr(
+            "cast(x between 21600 and 24299 and y between 1000 and 4999 as int)"
+        ).alias("in_box"),
+    )
+    bk = pz.groupBy("bucket").agg(
+        F.count("*").alias("cnt"), F.sum("in_box").alias("box_cnt")
+    )
+    return bk.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.sum("box_cnt").cast("long").alias("match_rows"),
+        F.count("*").cast("long").alias("buckets_total"),
+        F.sum(F.expr("cast(box_cnt > 0 as bigint)")).cast("long").alias("buckets_touched"),
+        F.sum(F.expr("case when box_cnt > 0 then cnt else 0 end"))
+        .cast("long")
+        .alias("scanned_rows"),
+        F.expr(
+            "cast((sum(cnt) - sum(case when box_cnt > 0 then cnt else 0 end))"
+            " * 1000000 div sum(cnt) as bigint)"
+        ).alias("pruned_ppm"),
+    )
+
+
+@register(
+    "q172_decayed_engagement",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               CAST(ROUND(value * 100.0, 0) AS BIGINT) AS vc
+        FROM events
+    ),
+    dp AS (SELECT user_id, day, SUM(vc) AS v FROM ev GROUP BY user_id, day),
+    mx AS (SELECT MAX(day) AS dmax FROM dp),
+    w AS (
+        SELECT user_id, v * (1::BIGINT << (20 - CAST(dmax - day AS INTEGER))) AS w
+        FROM dp, mx WHERE day > dmax - 21
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days_recent,
+           CAST(SUM(w) AS BIGINT) AS decayed_scaled,
+           CAST(SUM(w) * 1000 // (1::BIGINT << 20) AS BIGINT) AS decayed_milli
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+    "Exponentially time-decayed engagement score per user — the "
+    "freshness-weighted rollup feature pipelines run over event "
+    "history: sum(value * 2^-age_days), one-day half-life, truncated "
+    "at 20 days (exactly the scaled-integer underflow point, so the "
+    "cutoff is the arithmetic, not a knob; the 30-day event span makes "
+    "the truncation path live). Integer-exact end to end: cents in, "
+    "2^(20-age) weights, milli-unit fixed-point out "
+    "(operators/decay.py). Scale shape: one keyed agg to (user, day) "
+    "partials — map-side combine collapses each task to users x days "
+    "rows — a 1-row max-day broadcast, one keyed agg to users; the "
+    "partial relation is sum-MERGEABLE (merge-equals-whole property "
+    "tested), which is what the streaming twin "
+    "(stream_decayed_scores) maintains incrementally with state "
+    "prunable to users x 21 rows",
+)
+def q172_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return decay.decayed_scores(decay.day_partials(ev)).orderBy("user_id")

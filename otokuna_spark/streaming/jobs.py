@@ -1428,3 +1428,75 @@ def ingest_hist_batch(
     report = sketches.histogram_quantile_bounds(merged, percents)
     report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
     hist.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+
+def stream_decayed_scores(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    report_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    k_cap: int | None = None,
+) -> None:
+    """Streaming twin of q172's time-decayed engagement score: maintain
+    per-user freshness-weighted sums incrementally. The decayed sum
+    itself is NOT mergeable (every shard would need the global max
+    day), but the ``(user_id, day) -> sum(value_cents)`` day-partial
+    relation IS sum-mergeable (operators/decay.py), so each batch
+    contributes its own partial rows and the cumulative score is one
+    sum-merge + a broadcast-scalar decay projection — never an event
+    re-scan, and state prunable to users x (k_cap + 1) rows because
+    older days carry weight 0 forever (dmax only moves forward).
+
+    Reports land under ``report_path/batch=<id>`` (one row per user:
+    cumulative n_days_recent/decayed_scaled/decayed_milli, equal to the
+    batch query over all events so far — batch-equivalence tested); the
+    store under ``store_path/batch=<id>`` carries the batch's OWN
+    day partials. Replay-idempotent via the module's standard device:
+    a replayed batch excludes its own ``batch=<id>`` partition from the
+    store scan and overwrites its own partitions."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_decay_batch(batch_df, batch_id, report_path, store_path, k_cap)
+
+    q = (
+        events_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_decay_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    report_path: str,
+    store_path: str,
+    k_cap: int | None = None,
+) -> None:
+    """One idempotent micro-batch of ``stream_decayed_scores`` (the
+    foreachBatch body, callable directly for replay testing/backfills).
+    Accepts events with either a ``ts_us`` epoch-micros BIGINT or a
+    naive ``ts`` TIMESTAMP column."""
+    from ..operators import decay
+
+    k = decay.DECAY_K_CAP if k_cap is None else k_cap
+    sp = batch_df.sparkSession
+    _check_store_orphans(sp, report_path, store_path, batch_id, "day-partial")
+    ev = batch_df
+    if "ts_us" not in ev.columns:
+        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    # <= users x days-in-batch rows however large the batch
+    dp = decay.day_partials(ev).localCheckpoint()
+    if _fs_nonempty(sp, store_path):
+        old = sp.read.parquet(store_path)
+        if "batch" in old.columns:
+            old = old.where(F.col("batch") != batch_id)
+        old = old.select("user_id", "day", "v")
+    else:
+        old = sp.createDataFrame([], "user_id bigint, day bigint, v bigint")
+    merged = decay.merge_day_partials(old.unionByName(dp))
+    report = decay.decayed_scores(merged, k)
+    report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
+    dp.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")

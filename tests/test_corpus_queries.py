@@ -483,3 +483,106 @@ def test_mixed_language_known_answer(spark, tmp_path):
     assert out[1]["mixed"] == 0 and out[1]["lang_head"] == "en"
     assert out[2]["mixed"] == 1 and (out[2]["lang_head"], out[2]["lang_tail"]) == ("en", "de")
     assert out[3]["mixed"] == 0 and out[3]["lang_head"] == "und"
+
+
+def test_dup_bigram_coverage_known_answers(spark, tmp_path):
+    # 'a b a b a b': both bigrams repeat -> every position covered;
+    # 'x y x y z w': only 'x y' repeats (pos 1,3) -> tokens 1..4 of 6;
+    # 'c d e': no repeats -> zero coverage
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a b a b a b", "en", "s0", 11),
+        (2, "x y x y z w", "en", "s0", 11),
+        (3, "c d e", "en", "s0", 5),
+    ])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["coverage_ppm"])
+        for r in REGISTRY["q169_dup_bigram_coverage"].fn(spark, sf).collect()
+    }
+    assert out[1] == (6, 6, 1_000_000)
+    assert out[2] == (6, 4, 4 * 1_000_000 // 6)
+    assert out[3] == (3, 0, 0)
+
+
+def test_dup_bigram_coverage_diverges_from_occurrence_fraction(spark, tmp_path):
+    # the metric q150 cannot see: 'a b a b a b' has 5 bigram occurrences
+    # of 2 distinct grams (occurrence repeat fraction 3/5) but coverage
+    # is TOTAL — every token sits inside a repeated bigram
+    sf = _write_docs(spark, tmp_path, [(1, "a b a b a b", "en", "s0", 11)])
+    cov = REGISTRY["q169_dup_bigram_coverage"].fn(spark, sf).collect()[0]
+    assert cov["coverage_ppm"] == 1_000_000
+    rep = REGISTRY["q150_rep3_degeneracy"].fn(spark, sf).collect()[0]
+    assert rep["rep_ppm"] < 1_000_000  # occurrence fraction stays partial
+
+
+def test_perplexity_buckets_partition_and_order(spark):
+    rows = REGISTRY["q170_perplexity_buckets"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["bucket"] for r in rows] == [1, 2, 3]
+    # threshold semantics: bucket scores are disjoint and ordered
+    assert rows[0]["min_score_ppm"] > rows[1]["max_score_ppm"] or (
+        rows[0]["min_score_ppm"] >= rows[1]["max_score_ppm"]
+    )
+    assert rows[1]["min_score_ppm"] > rows[2]["max_score_ppm"] or (
+        rows[1]["min_score_ppm"] >= rows[2]["max_score_ppm"]
+    )
+    # buckets partition the scored docs: head holds >= ceil(n/3) (ties
+    # can only grow it), and every bucket is non-empty at this corpus
+    n = sum(r["n_docs"] for r in rows)
+    assert rows[0]["n_docs"] >= (n + 2) // 3
+    assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_zorder_pruning_known_layout(spark, tmp_path):
+    import datetime
+
+    def ts(minute):
+        return datetime.datetime(2024, 1, 1, minute // 60, minute % 60, 0)
+
+    # two in-box points (minute 480-539, cents 1000-4999) in one z-cell,
+    # two far-away points in other cells
+    rows = [
+        (0, ts(500), 1, "a", 20.00, "{}"),   # in box
+        (1, ts(500), 1, "a", 20.01, "{}"),   # in box, same cell (x equal, y +1)
+        (2, ts(0), 2, "a", 0.50, "{}"),      # origin cell
+        (3, ts(1400), 3, "a", 600.00, "{}"), # far cell
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["q171_zorder_pruning"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["total_rows"] == 4 and out["match_rows"] == 2
+    assert out["buckets_touched"] == 1          # both box rows share a cell
+    assert out["scanned_rows"] == 2             # and nothing else shares it
+    assert out["pruned_ppm"] == 2 * 1_000_000 // 4
+    assert out["buckets_total"] == 3
+
+
+def test_decayed_engagement_known_answer_and_cutoff(spark, tmp_path):
+    import datetime
+
+    def day(d, h=0):
+        return datetime.datetime(2024, 1, 1 + d, h, 0, 0)
+
+    rows = [
+        # user 1: 1.00 on dmax and 1.00 on dmax-1 -> 100 + 50 cents/milli
+        (0, day(30), 1, "a", 1.00, "{}"),
+        (1, day(29), 1, "a", 1.00, "{}"),
+        # user 2: only an ancient event (age 30 > k_cap=20) -> excluded
+        (2, day(0), 2, "a", 9.99, "{}"),
+        # user 3: two events same day sum before weighting
+        (3, day(30), 3, "a", 0.25, "{}"),
+        (4, day(30, 12), 3, "a", 0.75, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: (r["n_days_recent"], r["decayed_scaled"], r["decayed_milli"])
+        for r in REGISTRY["q172_decayed_engagement"].fn(spark, str(tmp_path)).collect()
+    }
+    assert 2 not in out                          # truncated, not down-weighted
+    assert out[1] == (2, 100 * (1 << 20) + 100 * (1 << 19), 150_000)
+    assert out[3] == (1, 100 * (1 << 20), 100_000)

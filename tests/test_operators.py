@@ -2467,3 +2467,74 @@ def test_log2_histogram_merge_and_quantile_brackets(spark):
         assert r["lo"] <= exact <= r["hi"], (r["p"], r["lo"], exact, r["hi"])
         # the bracket really is the 2x band of one bucket
         assert r["hi"] <= 2 * max(r["lo"], 1) - 1
+
+
+def test_morton16_matches_python_reference(spark):
+    import random
+
+    from otokuna_spark.functions.zorder import morton16
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(171)
+    pts = [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 0), (0, 1)]
+    pts += [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select("x", "y", morton16("x", "y").alias("z")).collect()
+    for r in got:
+        assert r["z"] == ref(r["x"], r["y"]), (r["x"], r["y"])
+    # locality sanity: adjacent x at equal y differ only in low interleave bits
+    assert ref(3, 5) == 39
+
+
+def test_decay_partials_merge_prune_and_score(spark):
+    import random
+
+    from otokuna_spark.operators import decay
+
+    rng = random.Random(172)
+    rows = [
+        (rng.randrange(5), rng.randrange(19700, 19740) * decay.US_PER_DAY
+         + rng.randrange(decay.US_PER_DAY), round(rng.uniform(0, 50), 2))
+        for _ in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    whole = decay.day_partials(ev)
+    # merge-equals-whole over an arbitrary split
+    a = ev.where("ts_us % 3 = 0")
+    b = ev.where("ts_us % 3 != 0")
+    merged = decay.merge_day_partials(
+        decay.day_partials(a).unionByName(decay.day_partials(b))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+    # prune commutes with scoring (dropped days carry zero weight)
+    scored = {tuple(r) for r in decay.decayed_scores(whole).collect()}
+    scored_pruned = {
+        tuple(r) for r in decay.decayed_scores(decay.prune_day_partials(whole)).collect()
+    }
+    assert scored == scored_pruned
+    # python reference on the exact integer arithmetic
+    part = {}
+    for u, ts_us, v in rows:
+        d = ts_us // decay.US_PER_DAY
+        part[(u, d)] = part.get((u, d), 0) + round(v * 100)
+    dmax = max(d for _, d in part)
+    exp = {}
+    for (u, d), v in part.items():
+        if dmax - d <= decay.DECAY_K_CAP:
+            n, s = exp.get(u, (0, 0))
+            exp[u] = (n + 1, s + v * (1 << (decay.DECAY_K_CAP - (dmax - d))))
+    got = {
+        r["user_id"]: (r["n_days_recent"], r["decayed_scaled"], r["decayed_milli"])
+        for r in decay.decayed_scores(whole).collect()
+    }
+    assert got == {
+        u: (n, s, s * 1000 // (1 << decay.DECAY_K_CAP)) for u, (n, s) in exp.items()
+    }

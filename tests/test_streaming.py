@@ -1173,3 +1173,91 @@ def test_hist_stream_matches_batch_histogram_and_brackets(spark, tmp_path):
     rep2 = {r["p"]: (r["n"], r["k"], r["bucket"]) for r in spark.read.parquet(f"{report}/batch=1").collect()}
     assert rep2 == {p: (r["n"], r["k"], r["bucket"]) for p, r in rep.items()}
     assert spark.read.parquet(f"{store}/batch=1").count() <= 65
+
+
+def test_decay_stream_matches_batch_and_replays(spark, tmp_path):
+    # batch-equivalence: the report after batch N equals the batch
+    # operator over the union of batches 0..N (including a dmax advance
+    # that re-weights batch-0 days); replay leaves both unchanged
+    from otokuna_spark.operators import decay
+
+    report = str(tmp_path / "decay_report")
+    store = str(tmp_path / "decay_store")
+    day0 = 19_700
+    b0 = spark.createDataFrame(
+        [
+            (1, day0 * decay.US_PER_DAY + 5, 1.00),
+            (2, day0 * decay.US_PER_DAY + 9, 2.50),
+        ],
+        "user_id long, ts_us long, value double",
+    )
+    # batch 1 advances dmax by 2 days -> batch-0 contributions halve twice
+    b1 = spark.createDataFrame(
+        [
+            (1, (day0 + 2) * decay.US_PER_DAY + 1, 1.00),
+            (3, (day0 - 30) * decay.US_PER_DAY + 1, 9.99),  # ancient: pruned by cutoff
+        ],
+        "user_id long, ts_us long, value double",
+    )
+    jobs.ingest_decay_batch(b0, 0, report, store)
+    r0 = {
+        r["user_id"]: (r["n_days_recent"], r["decayed_scaled"])
+        for r in spark.read.parquet(f"{report}/batch=0").collect()
+    }
+    k = decay.DECAY_K_CAP
+    assert r0[1] == (1, 100 * (1 << k)) and r0[2] == (1, 250 * (1 << k))
+
+    jobs.ingest_decay_batch(b1, 1, report, store)
+    got = {
+        r["user_id"]: (r["n_days_recent"], r["decayed_scaled"], r["decayed_milli"])
+        for r in spark.read.parquet(f"{report}/batch=1").collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_days_recent"], r["decayed_scaled"], r["decayed_milli"])
+        for r in decay.decayed_scores(
+            decay.day_partials(b0.unionByName(b1))
+        ).collect()
+    }
+    assert got == exp
+    assert 3 not in got                       # beyond k_cap of the new dmax
+    s1 = 100 * (1 << k) + 100 * (1 << (k - 2))
+    assert got[1] == (2, s1, s1 * 1000 // (1 << k))
+    # replay idempotence: re-ingesting batch 1 changes nothing
+    jobs.ingest_decay_batch(b1, 1, report, store)
+    again = {
+        r["user_id"]: (r["n_days_recent"], r["decayed_scaled"], r["decayed_milli"])
+        for r in spark.read.parquet(f"{report}/batch=1").collect()
+    }
+    assert again == got
+    # store partitions carry only their own day partials
+    assert spark.read.parquet(f"{store}/batch=0").count() == 2
+
+
+def test_stream_decayed_scores_wrapper_end_to_end(spark, tmp_path):
+    import json
+
+    from otokuna_spark.operators import decay
+
+    src = tmp_path / "decay_src"
+    src.mkdir()
+    report = str(tmp_path / "decay2_report")
+    store = str(tmp_path / "decay2_store")
+    ckpt = str(tmp_path / "decay2_ckpt")
+    day0 = 19_800
+
+    def run(rows, name):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "user_id BIGINT, ts_us BIGINT, value DOUBLE"
+        ).json(str(src))
+        jobs.stream_decayed_scores(spark, stream, report, store, ckpt)
+
+    run([{"user_id": 7, "ts_us": day0 * decay.US_PER_DAY, "value": 4.00}], "b0.json")
+    run([{"user_id": 7, "ts_us": (day0 + 1) * decay.US_PER_DAY, "value": 4.00}], "b1.json")
+    r1 = {
+        r["user_id"]: (r["n_days_recent"], r["decayed_milli"])
+        for r in spark.read.parquet(f"{report}/batch=1").collect()
+    }
+    assert r1[7] == (2, 400_000 + 200_000)    # 4.00 fresh + 4.00 one day old

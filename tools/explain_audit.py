@@ -154,6 +154,21 @@ EXPECT = {
     "q154_audio_fingerprint_dedup": ["BroadcastHashJoin"],
     # all six expectations ride ONE conditional-sum aggregate
     "q155_data_contract_report": ["partial_count", "partial_sum"],
+    # the within-doc repeated-gram relation joins back onto the
+    # positional occurrences — broadcast at this SF; on a larger corpus
+    # AQE's SMJ outcome is correct (both sides arrive partitioned on
+    # (doc_id, g) from the producing agg)
+    "q169_dup_bigram_coverage": ["BroadcastHashJoin", "partial_count"],
+    # bucketing compares against two broadcast threshold scalars over
+    # the checkpointed score relation: one bucket agg + output order,
+    # never a corpus-wide rank window
+    "q170_perplexity_buckets": ["partial_count"],
+    # the Morton fold is a pure projection: no join strategy at all,
+    # and the scan prunes to the two layout dimensions
+    "q171_zorder_pruning": ["ReadSchema: struct<ts:timestamp_ntz,value:double>", "partial_count"],
+    # the global max-day rides as a broadcast 1-row relation onto the
+    # day partials; both aggs combine map-side
+    "q172_decayed_engagement": ["BroadcastNestedLoopJoin", "partial_sum"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -390,6 +405,10 @@ MAX_SHUFFLES = {
     "q153_image_ahash_dedup": 2,  # hash-group agg + output order; the group relation joins back broadcast, media bytes never shuffle
     "q154_audio_fingerprint_dedup": 2,  # same shape as q153 over the WAV fingerprint
     "q155_data_contract_report": 1,  # ONE keyless two-phase agg for all six rules + map-only stack; 6-row tail
+    "q169_dup_bigram_coverage": 4,  # (doc,g) repeat agg + coverage distinct agg + n_tok join rides broadcast + output order; AQE SMJ on a bigger corpus adds its exchanges — revisit the cap, not the operator
+    "q170_perplexity_buckets": 2,  # post-checkpoint: bucket agg + output order; the 3-scan threshold selection runs inside scalable_kth_smallest
+    "q171_zorder_pruning": 2,  # cell agg (<= 1024 keys) + keyless scalar rollup; the Morton fold is map-only
+    "q172_decayed_engagement": 4,  # (user, day) partial agg + 1-row max-day agg + user agg + output order
 }
 
 

@@ -68,6 +68,10 @@ CASES = [
     "q166_image_near_dup_64bit",   # banded chunk joins; media bytes never move
     "q167_hll_overlap_matrix",     # 64 x sources registers + exact calibration
     "q168_trigram_lm_interpolated",  # count tables + Zipf-safe pre-agg join-backs
+    # round-11 second wave: repetition coverage, layout, decay
+    "q169_dup_bigram_coverage",    # doc-keyed repeat agg + coverage distinct
+    "q171_zorder_pruning",         # map-only Morton fold; <=1024-row cell agg
+    "q172_decayed_engagement",     # (user, day) partials; 1-row dmax broadcast
 ]
 
 
