@@ -261,3 +261,32 @@ def histogram_quantile_bounds(hist: DataFrame, percents: list[int]) -> DataFrame
             ).alias("hi"),
         )
     )
+
+
+def cm_inner_product(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """1-row (cm_est): the Count-Min inner-product estimate of the
+    equi-join size |A join B| from the two sides' counter relations —
+    ``min_salt sum_col cA[salt, col] * cB[salt, col]`` (Alon-Matias-
+    Szegedy / Cormode-Muthukrishnan). NEVER an underestimate: each
+    row's sum counts every true key pairing plus non-negative collision
+    cross-terms, so ``cm_est >= |A join B|`` holds per salt and for the
+    min (property-tested).
+
+    The join-planning use: both counter relations are <= CM_D * CM_W
+    rows and sum-mergeable per side, so a planner can keep a counter
+    sketch per table/partition-column and price a candidate join's
+    fan-out with a broadcast-sized product — no scan of either table.
+    Missing cells are zero: the per-salt sums ride a LEFT join from the
+    CM_D salt spine, so a salt with no overlapping cells correctly
+    estimates 0 instead of vanishing from the min."""
+    sp = ca.sparkSession
+    salts = sp.createDataFrame([(i,) for i in range(CM_D)], "salt int")
+    prod = (
+        ca.join(cb.withColumnRenamed("c", "c2"), ["salt", "col"])
+        .groupBy("salt")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("ip"))
+    )
+    per_salt = salts.join(prod, "salt", "left").select(
+        "salt", F.coalesce(F.col("ip"), F.lit(0)).cast("long").alias("ip")
+    )
+    return per_salt.agg(F.min("ip").alias("cm_est"))

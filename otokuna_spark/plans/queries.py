@@ -8976,3 +8976,138 @@ def q171_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q172_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return decay.decayed_scores(decay.day_partials(ev)).orderBy("user_id")
+
+
+@register(
+    "q173_cm_join_size",
+    f"""
+    WITH a AS (SELECT user_id AS k FROM events),
+    b AS (SELECT o_custkey AS k FROM orders),
+    posa AS (
+        SELECT salt, ({_HLL_HEX2INT}) % {_CM_W} AS col
+        FROM (SELECT js.salt AS salt, md5(js.salt || ':' || k) AS h
+              FROM a, UNNEST([0, 1, 2, 3]) AS js(salt))
+    ),
+    cma AS (SELECT salt, col, COUNT(*) AS c FROM posa GROUP BY salt, col),
+    posb AS (
+        SELECT salt, ({_HLL_HEX2INT}) % {_CM_W} AS col
+        FROM (SELECT js.salt AS salt, md5(js.salt || ':' || k) AS h
+              FROM b, UNNEST([0, 1, 2, 3]) AS js(salt))
+    ),
+    cmb AS (SELECT salt, col, COUNT(*) AS c FROM posb GROUP BY salt, col),
+    ipx AS (
+        SELECT cma.salt, SUM(cma.c * cmb.c) AS ip
+        FROM cma JOIN cmb USING (salt, col) GROUP BY cma.salt
+    ),
+    per AS (
+        SELECT s.salt, COALESCE(ipx.ip, 0) AS ip
+        FROM (VALUES (0), (1), (2), (3)) s(salt) LEFT JOIN ipx USING (salt)
+    ),
+    est AS (SELECT MIN(ip) AS cm_est FROM per),
+    ex AS (SELECT COUNT(*) AS exact_pairs FROM a JOIN b USING (k))
+    SELECT CAST(ex.exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(est.cm_est AS BIGINT) AS cm_est,
+           CAST((est.cm_est - ex.exact_pairs) * 1000000 // ex.exact_pairs AS BIGINT) AS over_ppm
+    FROM ex, est
+    """,
+    "Count-Min JOIN-SIZE estimation (AMS/Cormode-Muthukrishnan inner "
+    "product) — the optimizer-adjacent capability the sketch family "
+    "was built for: |events join orders ON user_id = o_custkey| priced "
+    "from the two sides' <= 2048-row counter relations as min_salt "
+    "sum_col cA*cB, never an underestimate (every true pairing counts, "
+    "collision cross-terms only add). A 100 TB planner keeps one "
+    "sum-mergeable counter sketch per table's join column and prices "
+    "any candidate join broadcast-side in O(CM_D x CM_W); the exact "
+    "join count rides alongside as registry-scale calibration with the "
+    "committed over_ppm surplus. Per-salt sums ride a LEFT join from "
+    "the 4-salt spine so an empty overlap estimates 0 instead of "
+    "dropping out of the min (the q163-ADVICE missing-cell class, "
+    "handled at birth)",
+)
+def q173_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _events(spark, sf_dir).select(F.col("user_id").alias("k"))
+    b = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    est = _sketches.cm_inner_product(
+        _sketches.cm_counters(a, "k"), _sketches.cm_counters(b, "k")
+    )
+    exact = a.join(b, "k").agg(F.count("*").alias("exact_pairs"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_pairs").cast("long").alias("exact_pairs"),
+        F.col("cm_est").cast("long").alias("cm_est"),
+        F.expr(
+            "cast((cm_est - exact_pairs) * 1000000 div exact_pairs as bigint)"
+        ).alias("over_ppm"),
+    )
+
+
+@register(
+    "q174_video_frame_sample",
+    """
+    WITH p AS (
+        SELECT doc_id, 4 + doc_id % 9 AS n_frames
+        FROM documents WHERE doc_id < 200
+    ),
+    fr AS (
+        SELECT doc_id, i AS frame_idx
+        FROM p, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+        WHERE i % 3 = 0
+    ),
+    by AS (
+        SELECT doc_id, frame_idx,
+               (doc_id * 11 + (frame_idx * 1024 + j) * 5) % 256 AS v
+        FROM fr, UNNEST(generate_series(0, 1023)) AS w(j)
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(1024 AS BIGINT) AS frame_len,
+           CAST(SUM(v) AS BIGINT) AS byte_sum
+    FROM by GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+    """,
+    "Video frame-sampling plumbing end-to-end: deterministic 'video' "
+    "payloads (n_frames = 4 + id%9 frames of 1024 bytes, byte j = "
+    "(id*11 + j*5) % 256) expand 1 media row -> every-3rd-frame rows "
+    "through multimodal.frame_sample (mapInPandas — the 1->N expansion "
+    "that drives partition sizing for real codecs), then a vectorized "
+    "Arrow-batched byte-sum feature per frame; the oracle recomputes "
+    "frame indices, lengths, and exact byte sums from the synthesis "
+    "arithmetic, so wrong slicing offsets, stride, or frame-count "
+    "truncation all hash-mismatch. Media bytes move Arrow-batch-at-a-"
+    "time and never shuffle: sampling and features are map-only, the "
+    "only exchanges aggregate (media_id, frame_idx) stats",
+)
+def q174_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import multimodal
+
+    media = _synth_video_media(spark, sf_dir)
+    frames = multimodal.frame_sample(media, every_n=3)
+    return (
+        frames.select(
+            F.col("media_id").alias("doc_id"),
+            "frame_idx",
+            F.length("frame_bytes").cast("long").alias("frame_len"),
+            multimodal.byte_sum(F.col("frame_bytes")).alias("byte_sum"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def _synth_video_media(spark: SparkSession, sf_dir: str, max_doc_id: int = 200) -> DataFrame:
+    """Deterministic 'video' payloads from doc_id arithmetic
+    (n_frames = 4 + id%9 frames x 1024 bytes, byte j = (id*11 + j*5)
+    % 256) — the frame_sample/feature oracle recomputes every stat
+    from the same arithmetic (the q86/_synth_bmp_media device)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for did in ids:
+                n = (4 + int(did) % 9) * 1024
+                payloads.append(
+                    (((int(did) * 11 + np.arange(n) * 5) % 256).astype(np.uint8)).tobytes()
+                )
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < max_doc_id)
+    return docs.select("doc_id").mapInPandas(gen, schema="media_id long, data binary")

@@ -144,6 +144,23 @@ def _decode_image_stub(data: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, pixels
 
 
+def byte_sum(col):
+    """Column helper: sum of unsigned bytes in a binary payload — the
+    minimal per-frame 'feature extraction' stage a real video pipeline
+    would run (vectorized Arrow batches, one frombuffer+sum per row,
+    never a per-row Python UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sum_u8(payload: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(np.frombuffer(b, dtype=np.uint8).sum()) for b in payload],
+            dtype="int64",
+        )
+
+    return _sum_u8(col)
+
+
 def sum_pcm16(col):
     """Column helper: sum of 16-bit LE PCM samples in a binary payload
     (vectorized Arrow batches, one frombuffer+sum per row)."""

@@ -2538,3 +2538,56 @@ def test_decay_partials_merge_prune_and_score(spark):
     assert got == {
         u: (n, s, s * 1000 // (1 << decay.DECAY_K_CAP)) for u, (n, s) in exp.items()
     }
+
+
+def test_cm_inner_product_never_underestimates_and_merges(spark):
+    import random
+
+    from otokuna_spark.operators import sketches
+
+    rng = random.Random(173)
+    akeys = [rng.randrange(40) for _ in range(500)]
+    bkeys = [rng.randrange(60) for _ in range(300)]
+    a = spark.createDataFrame([(k,) for k in akeys], "k long")
+    b = spark.createDataFrame([(k,) for k in bkeys], "k long")
+    ca = sketches.cm_counters(a, "k")
+    cb = sketches.cm_counters(b, "k")
+    est = sketches.cm_inner_product(ca, cb).collect()[0]["cm_est"]
+    from collections import Counter
+
+    na, nb = Counter(akeys), Counter(bkeys)
+    exact = sum(na[k] * nb.get(k, 0) for k in na)
+    assert est >= exact > 0
+    # side counters sum-merge: halves of A estimate like whole A
+    a1 = spark.createDataFrame([(k,) for k in akeys[:250]], "k long")
+    a2 = spark.createDataFrame([(k,) for k in akeys[250:]], "k long")
+    merged = sketches.merge_counters(
+        sketches.cm_counters(a1, "k").unionByName(sketches.cm_counters(a2, "k"))
+    )
+    est2 = sketches.cm_inner_product(merged, cb).collect()[0]["cm_est"]
+    assert est2 == est
+    # disjoint key spaces: the spine keeps empty-overlap salts in the
+    # min, so the estimate degrades to collisions only (and 0 stays
+    # representable), never a dropped row
+    c = spark.createDataFrame([(k + 1_000_000,) for k in bkeys], "k long")
+    est3 = sketches.cm_inner_product(ca, sketches.cm_counters(c, "k")).collect()[0]["cm_est"]
+    assert est3 >= 0
+
+
+def test_frame_sample_stride_and_byte_sum(spark):
+    from otokuna_spark.sources import multimodal
+
+    payload = bytes(range(256)) * 12  # 3 frames x 1024 bytes
+    df = spark.createDataFrame([(1, payload)], "media_id long, data binary")
+    rows = {
+        r["frame_idx"]: r
+        for r in multimodal.frame_sample(df, every_n=2)
+        .select("media_id", "frame_idx",
+                multimodal.byte_sum(F.col("frame_bytes")).alias("s"),
+                F.length("frame_bytes").alias("n"))
+        .collect()
+    }
+    assert set(rows) == {0, 2}                    # every-2nd of frames 0..2
+    assert all(r["n"] == 1024 for r in rows.values())
+    assert rows[0]["s"] == sum(range(256)) * 4    # 4 repeats of 0..255
+    assert rows[2]["s"] == sum(range(256)) * 4

@@ -169,6 +169,12 @@ EXPECT = {
     # the global max-day rides as a broadcast 1-row relation onto the
     # day partials; both aggs combine map-side
     "q172_decayed_engagement": ["BroadcastNestedLoopJoin", "partial_sum"],
+    # the <=2048-row counter relations meet in a broadcast join; the
+    # 1-row estimate rides BNLJ onto the 1-row exact count
+    "q173_cm_join_size": ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "partial_count"],
+    # sampling + byte-sum features are map-only (mapInPandas + Arrow
+    # pandas_udf); the only exchange is the output order
+    "q174_video_frame_sample": ["ReadSchema: struct<doc_id:bigint>"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -409,6 +415,8 @@ MAX_SHUFFLES = {
     "q170_perplexity_buckets": 2,  # post-checkpoint: bucket agg + output order; the 3-scan threshold selection runs inside scalable_kth_smallest
     "q171_zorder_pruning": 2,  # cell agg (<= 1024 keys) + keyless scalar rollup; the Morton fold is map-only
     "q172_decayed_engagement": 4,  # (user, day) partial agg + 1-row max-day agg + user agg + output order
+    "q173_cm_join_size": 5,  # 2 bounded counter aggs + the exact-calibration join's key exchanges + 2 keyless scalar aggs
+    "q174_video_frame_sample": 1,  # synth+sample+features are maps; output order only
 }
 
 
