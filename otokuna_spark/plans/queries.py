@@ -3279,6 +3279,8 @@ def q88_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-element chunk below 65 sources, more chunks beyond (the round-8
     # judge's >60-source ask; pretraining catalogs run to hundreds).
     sources = [r["source"] for r in docs.select("source").distinct().orderBy("source").collect()]
+    if not sources:
+        raise ValueError("source overlap needs >= 1 source, got an empty documents table")
     src_arr = F.array(*[F.lit(s) for s in sources])
     code = F.array_position(src_arr, F.col("source")) - 1
     nbits = len(sources)
@@ -7820,8 +7822,8 @@ _HLL_HEX2INT = " + ".join(
     SELECT CAST({_HLL_M} AS BIGINT) AS m, n_zero_registers, s55_total,
            est_distinct,
            CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
-           CAST(ABS(est_distinct - ex.exact_distinct)
-                * 1000000 // ex.exact_distinct AS BIGINT) AS err_ppm
+           CAST(CASE WHEN ex.exact_distinct > 0 THEN ABS(est_distinct - ex.exact_distinct)
+                * 1000000 // ex.exact_distinct ELSE 0 END AS BIGINT) AS err_ppm
     FROM fin, ex
     """,
     "HLL-style distinct-cardinality sketch, integer-exact cross-engine — "
@@ -7857,8 +7859,9 @@ def q160_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_distinct",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
             F.expr(
-                "cast(abs(est_distinct - exact_distinct)"
-                " * 1000000 div exact_distinct as bigint)"
+                "cast(case when exact_distinct > 0 then abs(est_distinct"
+                " - exact_distinct) * 1000000 div exact_distinct"
+                " else 0 end as bigint)"
             ).alias("err_ppm"),
         )
     )
@@ -9007,7 +9010,7 @@ def q172_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT COUNT(*) AS exact_pairs FROM a JOIN b USING (k))
     SELECT CAST(ex.exact_pairs AS BIGINT) AS exact_pairs,
            CAST(est.cm_est AS BIGINT) AS cm_est,
-           CAST((est.cm_est - ex.exact_pairs) * 1000000 // ex.exact_pairs AS BIGINT) AS over_ppm
+           CAST(CASE WHEN ex.exact_pairs > 0 THEN (est.cm_est - ex.exact_pairs) * 1000000 // ex.exact_pairs ELSE 0 END AS BIGINT) AS over_ppm
     FROM ex, est
     """,
     "Count-Min JOIN-SIZE estimation (AMS/Cormode-Muthukrishnan inner "
@@ -9035,7 +9038,8 @@ def q173_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_pairs").cast("long").alias("exact_pairs"),
         F.col("cm_est").cast("long").alias("cm_est"),
         F.expr(
-            "cast((cm_est - exact_pairs) * 1000000 div exact_pairs as bigint)"
+            "cast(case when exact_pairs > 0 then (cm_est - exact_pairs)"
+            " * 1000000 div exact_pairs else 0 end as bigint)"
         ).alias("over_ppm"),
     )
 

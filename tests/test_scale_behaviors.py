@@ -177,3 +177,26 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_zero_row_tables_fail_designed_or_return_clean(spark, tmp_path):
+    # the degenerate-input contract on the queries with division/agg
+    # edges: schema-only tables either return cleanly or raise a
+    # DESIGNED ValueError — never a cryptic assertion or ANSI
+    # divide-by-zero (the q88/q160/q173 empty-input regression class)
+    import pytest
+
+    from otokuna_spark.plans.queries import REGISTRY
+
+    src = "/root/testdata/sf0.001"
+    for t in ["documents", "events", "orders"]:
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{t}.parquet"))
+    sf = str(tmp_path)
+    with pytest.raises(ValueError, match="source"):
+        REGISTRY["q88_source_overlap"].fn(spark, sf).collect()
+    hll = REGISTRY["q160_hll_distinct_sketch"].fn(spark, sf).collect()
+    assert len(hll) == 1 and hll[0]["exact_distinct"] == 0 and hll[0]["err_ppm"] == 0
+    cm = REGISTRY["q173_cm_join_size"].fn(spark, sf).collect()
+    assert len(cm) == 1 and cm[0]["exact_pairs"] == 0 and cm[0]["over_ppm"] == 0
