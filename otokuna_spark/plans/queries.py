@@ -9115,3 +9115,85 @@ def _synth_video_media(spark: SparkSession, sf_dir: str, max_doc_id: int = 200) 
 
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < max_doc_id)
     return docs.select("doc_id").mapInPandas(gen, schema="media_id long, data binary")
+
+
+@register(
+    "q175_group_split",
+    """
+    WITH g AS (
+        SELECT source || ':' || lang AS grp, COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars
+        FROM documents GROUP BY source || ':' || lang
+    ),
+    s AS (
+        SELECT grp, n_docs, sum_chars,
+               CASE WHEN substr(md5(grp), 1, 6) < 'b33333' THEN 'train'
+                    WHEN substr(md5(grp), 1, 6) < 'd99999' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM g
+    ),
+    leak AS (
+        SELECT COUNT(*) AS leak_groups FROM (
+            SELECT grp FROM s GROUP BY grp HAVING COUNT(DISTINCT split) > 1
+        )
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(sum_chars) AS BIGINT) AS sum_chars,
+           CAST(leak.leak_groups AS BIGINT) AS leak_groups
+    FROM s, leak GROUP BY split, leak.leak_groups ORDER BY split
+    """,
+    "Leakage-safe GROUP-wise train/val/test split — the GroupShuffleSplit "
+    "semantics every contamination-aware corpus needs: the split unit is "
+    "the (source, lang) group, assigned 70/15/15 by an md5-prefix "
+    "threshold on the GROUP key (q64's engine-portable device), so "
+    "near-duplicate documents from one origin can never straddle train "
+    "and eval — the leakage channel q10's row-wise split cannot close. "
+    "The report commits the guarantee as evidence: leak_groups counts "
+    "groups observed in >1 split (structurally 0 because the split is a "
+    "pure function of the group key — COMPUTED from the assignment, not "
+    "asserted). Scale shape: one keyed agg to group granularity "
+    "(map-side partials), then everything downstream is group-"
+    "cardinality (a dataset catalog, not data); the leakage check rides "
+    "a 1-row broadcast",
+)
+def q175_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            F.concat_ws(":", F.col("source"), F.col("lang")).alias("grp"),
+            "n_chars",
+        )
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .localCheckpoint()  # group-cardinality; feeds both the split report and the leakage check without re-scanning the corpus
+    )
+    s = g.select(
+        "grp",
+        "n_docs",
+        "sum_chars",
+        F.when(F.substring(F.md5("grp"), 1, 6) < "b33333", F.lit("train"))
+        .when(F.substring(F.md5("grp"), 1, 6) < "d99999", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leak = (
+        s.groupBy("grp")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where("ns > 1")
+        .agg(F.count("*").alias("leak_groups"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_chars").cast("long").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(leak))  # 1-row computed guarantee
+        .select(
+            "split", "n_groups", "n_docs", "sum_chars",
+            F.col("leak_groups").cast("long").alias("leak_groups"),
+        )
+        .orderBy("split")
+    )

@@ -586,3 +586,19 @@ def test_decayed_engagement_known_answer_and_cutoff(spark, tmp_path):
     assert 2 not in out                          # truncated, not down-weighted
     assert out[1] == (2, 100 * (1 << 20) + 100 * (1 << 19), 150_000)
     assert out[3] == (1, 100 * (1 << 20), 100_000)
+
+
+def test_group_split_never_leaks_and_partitions(spark, tmp_path):
+    # every doc of one (source, lang) group lands in exactly one split,
+    # whatever the doc mix; totals partition the corpus
+    rows = []
+    for i in range(120):
+        rows.append((i, "w%d x y" % i, ["en", "de", "fr"][i % 3], "s%d" % (i % 10), 5 + i % 7))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = REGISTRY["q175_group_split"].fn(spark, sf).collect()
+    assert sum(r["n_docs"] for r in out) == 120
+    assert all(r["leak_groups"] == 0 for r in out)
+    assert sum(r["n_groups"] for r in out) == 30  # 10 sources x 3 langs
+    # determinism: a second run assigns identically
+    out2 = REGISTRY["q175_group_split"].fn(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -175,6 +175,9 @@ EXPECT = {
     # sampling + byte-sum features are map-only (mapInPandas + Arrow
     # pandas_udf); the only exchange is the output order
     "q174_video_frame_sample": ["ReadSchema: struct<doc_id:bigint>"],
+    # the computed leakage guarantee rides a 1-row broadcast onto the
+    # group-cardinality split report
+    "q175_group_split": ["BroadcastNestedLoopJoin", "partial_count"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -417,6 +420,7 @@ MAX_SHUFFLES = {
     "q172_decayed_engagement": 4,  # (user, day) partial agg + 1-row max-day agg + user agg + output order
     "q173_cm_join_size": 5,  # 2 bounded counter aggs + the exact-calibration join's key exchanges + 2 keyless scalar aggs
     "q174_video_frame_sample": 1,  # synth+sample+features are maps; output order only
+    "q175_group_split": 5,  # post-checkpoint tails over the ~100-row group relation (split agg, leak grp agg + scalar, order); the ONE corpus agg materializes at the checkpoint
 }
 
 
