@@ -59,9 +59,12 @@ def decayed_scores(partials: DataFrame, k_cap: int = DECAY_K_CAP) -> DataFrame:
     ``2^(k_cap - (dmax - day))``, dropping days older than ``k_cap``.
 
     ``decayed_scaled`` is the exact ``2^k_cap``-scaled decayed sum;
-    ``decayed_milli`` its milli-unit fixed-point projection. Headroom:
-    with day sums < 2^40 cents the scaled sum stays < 2^60 * n_days —
-    far inside BIGINT for any k_cap <= 20 deployment.
+    ``decayed_milli`` its milli-unit fixed-point projection (computed in
+    decimal(38,0) so the *1000 can never wrap BIGINT — the DuckDB twin
+    sums in HUGEINT). Headroom: the reported ``decayed_scaled`` itself
+    is BIGINT, safe while the geometric sum < 2^63, i.e. per-user day
+    sums below ~2^42 cents (~$44B/user/day) at k_cap=20 — the decay
+    series converges, so n_days does not multiply the bound.
 
     The global max day is a 1-row broadcast scalar (like q168's ``nn``),
     never a window over the corpus."""
@@ -84,9 +87,13 @@ def decayed_scores(partials: DataFrame, k_cap: int = DECAY_K_CAP) -> DataFrame:
             "user_id",
             "n_days_recent",
             F.col("decayed_scaled").cast("long").alias("decayed_scaled"),
-            F.expr(f"cast(decayed_scaled * 1000 div shiftleft(cast(1 as bigint), {k_cap}) as bigint)").alias(
-                "decayed_milli"
-            ),
+            # decimal(38,0) before the *1000: a BIGINT product would wrap
+            # past decayed_scaled ~ 2^63/1000 while the DuckDB twin's
+            # HUGEINT sum stays exact
+            F.expr(
+                f"cast(cast(decayed_scaled as decimal(38,0)) * 1000"
+                f" div shiftleft(cast(1 as bigint), {k_cap}) as bigint)"
+            ).alias("decayed_milli"),
         )
     )
 

@@ -152,7 +152,11 @@ def scalable_kth_smallest(
     histogram refinement as ``scalable_quantile_disc`` (which delegates
     here) — takes the RANK directly, so callers that derive it with
     integer arithmetic (e.g. ``(p*(n-1)) div 100 + 1`` for ppm/percent
-    quantiles) stay float-free end to end."""
+    quantiles) stay float-free end to end. Raises a designed ValueError
+    for out-of-range ranks (rank < 1, or rank > row count — validated
+    against the histogram's own total, no extra scan)."""
+    if rank < 1:
+        raise ValueError(f"rank must be >= 1, got {rank}")
     c = F.col(col)
     if lo is None or hi is None:
         lo, hi = df.agg(F.min(c), F.max(c)).first()
@@ -167,6 +171,9 @@ def scalable_kth_smallest(
         .orderBy("b")
         .collect()  # bounded: <= n_buckets rows
     )
+    total = sum(row["cnt"] for row in hist)
+    if rank > total:
+        raise ValueError(f"rank {rank} out of range for {total} rows")
     cum = 0
     for row in hist:
         if cum + row["cnt"] >= rank:

@@ -8300,14 +8300,25 @@ def q164_mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q165_log2_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    vals = docs.select(T.token_count(F.col("text")).alias("v"))
+    # tokenize ONCE: the doc-cardinality count relation feeds the
+    # histogram, the row count, and five exact selections (each up to 3
+    # jobs) — an uncached plan would re-scan and re-tokenize the corpus
+    # per job (the q170 checkpoint rationale)
+    vals = docs.select(T.token_count(F.col("text")).alias("v")).localCheckpoint()
     hist = _sketches.log2_histogram(vals, "v")
     bounds = _sketches.histogram_quantile_bounds(hist, [25, 50, 75, 90, 99])
     # calibration side: exact k-th smallest per probe via histogram
-    # refinement — integer ranks shared with the sketch, no floats
+    # refinement — integer ranks shared with the sketch, no floats;
+    # lo/hi from ONE shared agg instead of one min/max scan per probe
     n = vals.count()
+    lo, hi = vals.agg(F.min("v"), F.max("v")).first()
     exact_rows = [
-        (p, outliers.scalable_kth_smallest(vals, "v", (p * (n - 1)) // 100 + 1))
+        (
+            p,
+            outliers.scalable_kth_smallest(
+                vals, "v", (p * (n - 1)) // 100 + 1, lo=lo, hi=hi
+            ),
+        )
         for p in (25, 50, 75, 90, 99)
     ]
     exact = spark.createDataFrame(exact_rows, "p int, exact long")
@@ -8849,8 +8860,13 @@ def q170_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = scores.count()
     k1 = (n + 2) // 3  # DESC rank of the head/middle cut
     k2 = (2 * n + 2) // 3
-    t1 = outliers.scalable_kth_smallest(scores, "mean_interp_ppm", n - k1 + 1)
-    t2 = outliers.scalable_kth_smallest(scores, "mean_interp_ppm", n - k2 + 1)
+    lo, hi = scores.agg(F.min("mean_interp_ppm"), F.max("mean_interp_ppm")).first()
+    t1 = outliers.scalable_kth_smallest(
+        scores, "mean_interp_ppm", n - k1 + 1, lo=lo, hi=hi
+    )
+    t2 = outliers.scalable_kth_smallest(
+        scores, "mean_interp_ppm", n - k2 + 1, lo=lo, hi=hi
+    )
     return (
         scores.select(
             "n_trigrams",
@@ -8924,10 +8940,15 @@ def q171_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(round(value * 100.0, 0) as bigint)").alias("y"),
     ).where("y >= 0 and y <= 65535")
     pz = pts.select(
-        (Z.morton16("x", "y") / F.lit(1 << 22)).cast("long").alias("bucket"),
+        Z.morton16("x", "y").alias("m"),
         F.expr(
             "cast(x between 21600 and 24299 and y between 1000 and 4999 as int)"
         ).alias("in_box"),
+    ).select(
+        # integer div, not float '/': exact at any Morton width (float
+        # division only happens to be exact below 2^53)
+        F.expr(f"m div {1 << 22}").cast("long").alias("bucket"),
+        "in_box",
     )
     bk = pz.groupBy("bucket").agg(
         F.count("*").alias("cnt"), F.sum("in_box").alias("box_cnt")

@@ -1486,9 +1486,27 @@ def ingest_decay_batch(
     _check_store_orphans(sp, report_path, store_path, batch_id, "day-partial")
     ev = batch_df
     if "ts_us" not in ev.columns:
-        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
-    # <= users x days-in-batch rows however large the batch
-    dp = decay.day_partials(ev).localCheckpoint()
+        # UTC interpretation for the ntz->timestamp cast (the
+        # ingest_lateness_batch device, and the same pin the batch query
+        # gets from plans.queries._events): a session-local zone would
+        # shift events near midnight onto the wrong epoch day and break
+        # batch-equivalence with q172
+        prev_tz = sp.conf.get("spark.sql.session.timeZone", None)
+        sp.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            ev = ev.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            # the checkpoint below materializes under the pinned zone
+            dp = decay.day_partials(ev).localCheckpoint()
+        finally:
+            if prev_tz is None:
+                sp.conf.unset("spark.sql.session.timeZone")
+            else:
+                sp.conf.set("spark.sql.session.timeZone", prev_tz)
+    else:
+        # <= users x days-in-batch rows however large the batch
+        dp = decay.day_partials(ev).localCheckpoint()
     if _fs_nonempty(sp, store_path):
         old = sp.read.parquet(store_path)
         if "batch" in old.columns:

@@ -2591,3 +2591,31 @@ def test_frame_sample_stride_and_byte_sum(spark):
     assert all(r["n"] == 1024 for r in rows.values())
     assert rows[0]["s"] == sum(range(256)) * 4    # 4 repeats of 0..255
     assert rows[2]["s"] == sum(range(256)) * 4
+
+
+def test_kth_smallest_rejects_out_of_range_ranks(spark):
+    from otokuna_spark.operators import outliers
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    assert outliers.scalable_kth_smallest(df, "v", 1) == 0
+    assert outliers.scalable_kth_smallest(df, "v", 10) == 9
+    import pytest
+
+    with pytest.raises(ValueError, match="rank"):
+        outliers.scalable_kth_smallest(df, "v", 0)
+    with pytest.raises(ValueError, match="out of range"):
+        outliers.scalable_kth_smallest(df, "v", 11)
+
+
+def test_decayed_milli_survives_bigint_scale_sums(spark):
+    # decayed_scaled near 2^62: the *1000 must go through decimal, a
+    # BIGINT product would wrap negative (the DuckDB twin sums HUGEINT)
+    from otokuna_spark.operators import decay
+
+    big = 1 << 42  # cents on the freshest day -> scaled = big << 20 = 2^62
+    partials = spark.createDataFrame(
+        [(1, 19700, big)], "user_id long, day long, v long"
+    )
+    out = decay.decayed_scores(partials).collect()[0]
+    assert out["decayed_scaled"] == big << 20
+    assert out["decayed_milli"] == big * 1000  # exact, positive

@@ -1261,3 +1261,37 @@ def test_stream_decayed_scores_wrapper_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(f"{report}/batch=1").collect()
     }
     assert r1[7] == (2, 400_000 + 200_000)    # 4.00 fresh + 4.00 one day old
+
+
+def test_decay_ingest_pins_utc_for_ntz_timestamps(spark, tmp_path):
+    # an event 1h after UTC midnight, ingested under a session zone 5h
+    # behind: a session-local cast would land it on the PREVIOUS epoch
+    # day and halve its weight vs the batch query's UTC pin
+    import datetime
+
+    from otokuna_spark.operators import decay
+
+    report = str(tmp_path / "tz_report")
+    store = str(tmp_path / "tz_store")
+    b = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 2, 1, 0, 0), 1.00),   # day d0+1 in UTC
+            (2, datetime.datetime(2024, 1, 1, 12, 0, 0), 1.00),  # day d0
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        jobs.ingest_decay_batch(b, 0, report, store)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    got = {
+        r["user_id"]: r["decayed_milli"]
+        for r in spark.read.parquet(f"{report}/batch=0").collect()
+    }
+    k = decay.DECAY_K_CAP
+    assert got[1] == 100_000            # freshest day, full weight
+    assert got[2] == 50_000             # exactly one day older
+    # and the session zone was restored
+    assert spark.conf.get("spark.sql.session.timeZone") == prev
