@@ -237,6 +237,80 @@ def main() -> None:
     scan["full_dup_spans"] = {"spans": n5, "seconds": s5}
     result["exactsubstr_window_scan"] = scan
 
+    # --- round-11 scale probes: synthetic 10M-row / 200k-sig volumes ----
+    # the registry attests these operators at sf0.1 (1e5 rows); these
+    # probes run the SAME code 100-2000x bigger so the 100 TB linearity
+    # claims are measured, not extrapolated from the small slice
+    from otokuna_spark.functions import zorder as Z
+    from otokuna_spark.operators import decay, sketches
+
+    probes: dict[str, dict] = {}
+    n_rows = 10_000_000
+
+    # Morton fold + cell agg: pure codegen, no Python boundary
+    pts = spark.range(n_rows).select(
+        (F.col("id") % 65536).alias("x"),
+        ((F.col("id") * 2654435761) % 65536).alias("y"),
+    )
+    _, s = timed(
+        lambda: pts.select(Z.morton16("x", "y").alias("m"))
+        .select(F.expr(f"m div {1 << 22}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*"))
+        .count()
+    )
+    probes["zorder_fold_10m_rows"] = {
+        "seconds": s, "rows_per_second": int(n_rows / s)
+    }
+
+    # decay partials + scores over 10M events x 100k users x 30 days
+    ev = spark.range(n_rows).select(
+        (F.col("id") % 100_000).alias("user_id"),
+        ((19_700 + F.col("id") % 30) * decay.US_PER_DAY
+         + F.col("id") % decay.US_PER_DAY).alias("ts_us"),
+        (F.col("id") % 5_000 / 100.0).alias("value"),
+    )
+    nr, s = timed(lambda: decay.decayed_scores(decay.day_partials(ev)).count())
+    probes["decay_10m_events_100k_users"] = {
+        "seconds": s, "events_per_second": int(n_rows / s), "users_out": nr
+    }
+
+    # 64-bit Hamming banding at 200k signatures (1000x the registry's
+    # attested image count) with planted near-duplicates
+    n_sigs = 200_000
+    sigs = spark.range(n_sigs).select(
+        F.col("id").alias("sid"),
+        F.when(
+            F.col("id") % 100 == 99,
+            # planted: equals the previous id's hash with 1 bit flipped
+            F.xxhash64((F.col("id") - 1).cast("string")).bitwiseXOR(F.lit(1)),
+        )
+        .otherwise(F.xxhash64(F.col("id").cast("string")))
+        .alias("sig"),
+    )
+    np_, s = timed(
+        lambda: dedup.hamming_near_pairs(
+            sigs, "sid", "sig", bits=64, max_hamming=6
+        ).count()
+    )
+    probes["hamming64_banding_200k_sigs"] = {
+        "seconds": s, "pairs": np_, "planted": n_sigs // 100,
+        "sigs_per_second": int(n_sigs / s),
+    }
+
+    # CM join-size estimate across two 10M-row sides: bounded counters,
+    # never a join of the tables themselves
+    a = spark.range(n_rows).select((F.col("id") % 500_000).alias("k"))
+    b = spark.range(n_rows).select((F.col("id") % 750_000).alias("k"))
+    est, s = timed(
+        lambda: sketches.cm_inner_product(
+            sketches.cm_counters(a, "k"), sketches.cm_counters(b, "k")
+        ).first()["cm_est"]
+    )
+    probes["cm_join_size_10m_x_10m"] = {"seconds": s, "cm_est": int(est)}
+
+    result["round11_scale_probes"] = probes
+
     result["notes"] = (
         "ANN wall times at this SF are dominated by fixed costs (centroid "
         "train, codebook train, extra joins) that amortize with corpus "
