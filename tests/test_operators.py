@@ -2619,3 +2619,25 @@ def test_decayed_milli_survives_bigint_scale_sums(spark):
     out = decay.decayed_scores(partials).collect()[0]
     assert out["decayed_scaled"] == big << 20
     assert out["decayed_milli"] == big * 1000  # exact, positive
+
+
+def test_daily_cumulative_hll_is_monotone_and_prefix_merge_exact(spark):
+    # prefix max-merge property: the cumulative register for day d equals
+    # hll_registers over the union of days <= d, so the estimate curve is
+    # monotone non-decreasing and the final point equals the whole-corpus
+    # single-sketch estimate
+    from otokuna_spark.operators import sketches
+    from otokuna_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["q176_hll_daily_cumulative"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    est = [r["est_cum_distinct"] for r in rows]
+    exact = [r["exact_cum_distinct"] for r in rows]
+    assert est == sorted(est) and exact == sorted(exact)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    whole = sketches.hll_estimate(sketches.hll_registers(ev, "u")).collect()[0]
+    assert rows[-1]["est_cum_distinct"] == whole["est_distinct"]
+    assert rows[-1]["exact_cum_distinct"] == ev.distinct().count()

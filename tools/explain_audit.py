@@ -178,6 +178,9 @@ EXPECT = {
     # the computed leakage guarantee rides a 1-row broadcast onto the
     # group-cardinality split report
     "q175_group_split": ["BroadcastNestedLoopJoin", "partial_count"],
+    # per-day registers max-merge map-side; the triangular prefix joins
+    # ride broadcast over the day-cardinality relations
+    "q176_hll_daily_cumulative": ["partial_max", "BroadcastNestedLoopJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -421,6 +424,7 @@ MAX_SHUFFLES = {
     "q173_cm_join_size": 5,  # 2 bounded counter aggs + the exact-calibration join's key exchanges + 2 keyless scalar aggs
     "q174_video_frame_sample": 1,  # synth+sample+features are maps; output order only
     "q175_group_split": 5,  # post-checkpoint tails over the ~100-row group relation (split agg, leak grp agg + scalar, order); the ONE corpus agg materializes at the checkpoint
+    "q176_hll_daily_cumulative": 8,  # 2 corpus aggs (per-day registers, first-seen users) + day-cardinality triangular merges/sums + final join + order
 }
 
 

@@ -73,6 +73,7 @@ CASES = [
     "q171_zorder_pruning",         # map-only Morton fold; <=1024-row cell agg
     "q172_decayed_engagement",     # (user, day) partials; 1-row dmax broadcast
     "q173_cm_join_size",           # 2x <=2048-row counters; exact join is calibration
+    "q176_hll_daily_cumulative",   # 64 x days registers; prefixes never re-scan events
 ]
 
 
