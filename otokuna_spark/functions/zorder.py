@@ -44,13 +44,17 @@ def _spread_bits(v: Column) -> Column:
 
 def morton16(x: str, y: str, bits: int = 16) -> Column:
     """Morton-interleave two non-negative integer columns of at most
-    ``bits`` bits each into a ``2*bits``-bit BIGINT key. Callers own the
-    domain guard (values must be < 2^bits; q171 clamps/filters first).
+    ``bits`` bits each into a ``2*bits``-bit BIGINT key. Inputs are
+    masked to the low ``bits`` bits before spreading, so the key is
+    GUARANTEED inside the documented ``2*bits``-bit range; callers still
+    own the domain guard if wrap-on-overflow is unacceptable (q171
+    clamps/filters first, making the mask a no-op there).
 
     Bit i of x lands at position 2i, bit i of y at 2i+1 — identical to
     the per-bit arithmetic definition the q171 oracle replays."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
-    sx = _spread_bits(F.col(x).cast("long"))
-    sy = _spread_bits(F.col(y).cast("long"))
+    dom = F.lit((1 << bits) - 1)
+    sx = _spread_bits(F.col(x).cast("long").bitwiseAND(dom))
+    sy = _spread_bits(F.col(y).cast("long").bitwiseAND(dom))
     return sx.bitwiseOR(F.shiftleft(sy, 1))

@@ -16,10 +16,11 @@ ASC), so the learned merge sequence is a pure function of the corpus —
 independent of partitioning, order, and parallelism (asserted against a
 reference implementation in tests).
 
-Not SQL-expressible (iterative argmax-dependent recursion), so the
-registry entry for the encode step records a rows-only driver check
-instead of a DuckDB oracle — the exact-match evidence lives in the
-reference-implementation test instead.
+The registry entry (q100) carries a FULL DuckDB oracle since round 11:
+the iterative Sennrich merge loop is replayed as one recursive CTE
+(per-round pair-stat argmax + greedy left-to-right merge via run-parity
+windows), hash-matched against this implementation; the
+reference-implementation test pins the merge sequence independently.
 """
 
 from __future__ import annotations

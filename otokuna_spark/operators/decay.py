@@ -59,12 +59,14 @@ def decayed_scores(partials: DataFrame, k_cap: int = DECAY_K_CAP) -> DataFrame:
     ``2^(k_cap - (dmax - day))``, dropping days older than ``k_cap``.
 
     ``decayed_scaled`` is the exact ``2^k_cap``-scaled decayed sum;
-    ``decayed_milli`` its milli-unit fixed-point projection (computed in
-    decimal(38,0) so the *1000 can never wrap BIGINT — the DuckDB twin
-    sums in HUGEINT). Headroom: the reported ``decayed_scaled`` itself
-    is BIGINT, safe while the geometric sum < 2^63, i.e. per-user day
-    sums below ~2^42 cents (~$44B/user/day) at k_cap=20 — the decay
-    series converges, so n_days does not multiply the bound.
+    ``decayed_milli`` its milli-unit fixed-point projection. BOTH are
+    computed from a decimal(38,0) sum (matching the DuckDB twin's
+    HUGEINT), and the BIGINT projection of ``decayed_scaled`` FAILS
+    LOUDLY past 2^63 (decimal->long overflow nulls in non-ANSI mode;
+    the coalesce arm raises) instead of silently wrapping — the bound
+    is per-user day sums below ~2^42 cents (~$44B/user/day) at
+    k_cap=20; the decay series converges, so n_days does not multiply
+    it.
 
     The global max day is a 1-row broadcast scalar (like q168's ``nn``),
     never a window over the corpus."""
@@ -81,18 +83,25 @@ def decayed_scores(partials: DataFrame, k_cap: int = DECAY_K_CAP) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_days_recent"),
-            F.sum("w").alias("decayed_scaled"),
+            # sum in decimal(38,0), never BIGINT: a long sum would wrap
+            # SILENTLY past 2^63 while the DuckDB twin's HUGEINT stays
+            # exact and hash-mismatches only later
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("s"),
         )
         .select(
             "user_id",
             "n_days_recent",
-            F.col("decayed_scaled").cast("long").alias("decayed_scaled"),
-            # decimal(38,0) before the *1000: a BIGINT product would wrap
-            # past decayed_scaled ~ 2^63/1000 while the DuckDB twin's
-            # HUGEINT sum stays exact
+            # loud overflow: out-of-range decimal->long is NULL (non-ANSI),
+            # and s is never NULL for a grouped row, so the raise_error arm
+            # fires exactly on overflow
             F.expr(
-                f"cast(cast(decayed_scaled as decimal(38,0)) * 1000"
-                f" div shiftleft(cast(1 as bigint), {k_cap}) as bigint)"
+                "coalesce(cast(s as bigint), cast(raise_error("
+                "'decayed_scaled overflows BIGINT — per-user scaled decay sum"
+                " exceeded 2^63') as bigint))"
+            ).alias("decayed_scaled"),
+            F.expr(
+                f"cast(s * 1000 div shiftleft(cast(1 as bigint), {k_cap})"
+                " as bigint)"
             ).alias("decayed_milli"),
         )
     )

@@ -9147,9 +9147,11 @@ def _synth_video_media(spark: SparkSession, sf_dir: str, max_doc_id: int = 200) 
     "q175_group_split",
     """
     WITH g AS (
-        SELECT source || ':' || lang AS grp, COUNT(*) AS n_docs,
+        SELECT coalesce(source, '') || ':' || coalesce(lang, '') AS grp,
+               COUNT(*) AS n_docs,
                SUM(n_chars) AS sum_chars
-        FROM documents GROUP BY source || ':' || lang
+        FROM documents
+        GROUP BY coalesce(source, '') || ':' || coalesce(lang, '')
     ),
     s AS (
         SELECT grp, n_docs, sum_chars,
@@ -9187,7 +9189,14 @@ def q175_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     g = (
         docs.select(
-            F.concat_ws(":", F.col("source"), F.col("lang")).alias("grp"),
+            # coalesce BEFORE concat: concat_ws silently skips NULLs while
+            # the oracle's || propagates them — a NULL source/lang must map
+            # to the same group identity ('' slot kept) on both engines
+            F.concat_ws(
+                ":",
+                F.coalesce(F.col("source"), F.lit("")),
+                F.coalesce(F.col("lang"), F.lit("")),
+            ).alias("grp"),
             "n_chars",
         )
         .groupBy("grp")
@@ -9321,4 +9330,132 @@ def q176_hll_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "q177_zorder_realized_pruning",
+    """
+    WITH pts AS (
+        SELECT ((epoch_us(ts) // 60000000) % 1440) * 45 AS x,
+               CAST(ROUND(value * 100.0, 0) AS BIGINT) AS y
+        FROM events
+        WHERE CAST(ROUND(value * 100.0, 0) AS BIGINT) BETWEEN 0 AND 65535
+    ),
+    xy AS (SELECT DISTINCT x, y FROM pts),
+    z AS (
+        SELECT x, y,
+               SUM(((x // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))
+                 + ((y // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i+1))) AS morton
+        FROM xy, UNNEST(generate_series(0, 15)) AS u(i)
+        GROUP BY x, y
+    ),
+    pz AS (
+        SELECT z.morton // (1::BIGINT << 22) AS zcell,
+               CASE WHEN p.x BETWEEN 21600 AND 24299
+                     AND p.y BETWEEN 1000 AND 4999 THEN 1 ELSE 0 END AS in_box
+        FROM pts p JOIN z USING (x, y)
+    ),
+    deint AS (
+        SELECT c,
+               SUM(((c // (1::BIGINT << (2*i))) % 2) * (1::BIGINT << i)) AS cx,
+               SUM(((c // (1::BIGINT << (2*i+1))) % 2) * (1::BIGINT << i)) AS cy
+        FROM UNNEST(generate_series(0, 1023)) AS t(c),
+             UNNEST(generate_series(0, 4)) AS u(i)
+        GROUP BY c
+    ),
+    cand AS (
+        SELECT c AS zcell FROM deint
+        WHERE cx * 2048 <= 24299 AND (cx + 1) * 2048 > 21600
+          AND cy * 2048 <= 4999 AND (cy + 1) * 2048 > 1000
+    ),
+    cells AS (SELECT zcell, COUNT(*) AS cnt, SUM(in_box) AS box_cnt FROM pz GROUP BY zcell),
+    f AS (
+        SELECT SUM(cnt) AS total_rows, COUNT(*) AS files_total,
+               SUM(box_cnt) AS match_full
+        FROM cells
+    ),
+    s AS (
+        SELECT COALESCE(SUM(cnt), 0) AS rows_scanned,
+               COUNT(*) AS files_scanned,
+               COALESCE(SUM(box_cnt), 0) AS match_rows
+        FROM cells JOIN cand USING (zcell)
+    )
+    SELECT CAST(f.total_rows AS BIGINT) AS total_rows,
+           CAST(s.match_rows AS BIGINT) AS match_rows,
+           CAST(f.files_total AS BIGINT) AS files_total,
+           CAST(s.files_scanned AS BIGINT) AS files_scanned,
+           CAST(s.rows_scanned AS BIGINT) AS rows_scanned,
+           CAST((f.total_rows - s.rows_scanned) * 1000000 // f.total_rows AS BIGINT) AS realized_pruned_ppm,
+           CAST(CASE WHEN s.match_rows = f.match_full THEN 1 ELSE 0 END AS BIGINT) AS pruning_lossless
+    FROM f, s
+    """,
+    "Z-order layout WRITER, realized — q171's prediction closed into "
+    "end-to-end evidence: the same event points are WRITTEN as a "
+    "Z-cell-partitioned parquet layout (operators/layout.py — one file "
+    "per Morton-prefix cell, hive `zcell=` directories, deterministic "
+    "file set), then the same 1-hour x $10-$50 box query RE-READS it "
+    "with the closed-form candidate-cell set (a Z-cell is a rectangle "
+    "in (x, y), so candidates are pure arithmetic, no data scan) as a "
+    "PARTITION filter — Spark prunes non-candidate directories at "
+    "file-LISTING time. The report row is the realized bill: files "
+    "actually listed (count distinct input_file_name over the full "
+    "read), files actually scanned (same over the candidate-filtered "
+    "read), rows scanned vs total, realized pruned_ppm, and a COMPUTED "
+    "losslessness bit (box rows found in the pruned read == box rows "
+    "in the full table). The DuckDB oracle replays the cell assignment "
+    "and the candidate deinterleave arithmetically — matching means "
+    "the materialized file set IS the pure function the optimizer "
+    "reasons about. At 100 TB the identical writer (or its "
+    "repartitionByRange sibling for skew-balanced file sizes) makes "
+    "every such box query scan files_scanned/files_total of the data",
+)
+def q177_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import layout as _layout
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.expr("((ts_us div 60000000) % 1440) * cast(45 as bigint)").alias("x"),
+        F.expr("cast(round(value * 100.0, 0) as bigint)").alias("y"),
+    ).where("y >= 0 and y <= 65535")
+    path = _layout.layout_scratch_dir("zcells", sf_dir)
+    _layout.write_cell_layout(pts, path, "x", "y")  # eager: materialize the layout
+
+    x_lo, x_hi, y_lo, y_hi = 21600, 24299, 1000, 4999
+    in_box = F.expr(
+        f"cast(x between {x_lo} and {x_hi} and y between {y_lo} and {y_hi}"
+        " as bigint)"
+    ).alias("in_box")
+    cand = _layout.box_candidate_cells(x_lo, x_hi, y_lo, y_hi)
+
+    full = spark.read.parquet(path).select(
+        F.input_file_name().alias("fn"), "x", "y", in_box
+    )
+    scanned = (
+        spark.read.parquet(path)
+        .where(F.col("zcell").isin(cand))  # PartitionFilter: pruned before I/O
+        .select(F.input_file_name().alias("fn"), "x", "y", in_box)
+    )
+    f = full.agg(
+        F.count("*").alias("total_rows"),
+        F.count_distinct("fn").alias("files_total"),
+        F.sum("in_box").alias("match_full"),
+    )
+    s = scanned.agg(
+        F.count("*").alias("rows_scanned"),
+        F.count_distinct("fn").alias("files_scanned"),
+        F.sum("in_box").alias("match_rows"),
+    )
+    return f.crossJoin(F.broadcast(s)).select(  # two 1-row reports
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.col("match_rows").cast("long").alias("match_rows"),
+        F.col("files_total").cast("long").alias("files_total"),
+        F.col("files_scanned").cast("long").alias("files_scanned"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+        F.expr(
+            "cast((total_rows - rows_scanned) * 1000000 div total_rows as bigint)"
+        ).alias("realized_pruned_ppm"),
+        F.expr(
+            "cast(case when match_rows = match_full then 1 else 0 end as bigint)"
+        ).alias("pruning_lossless"),
     )

@@ -520,12 +520,10 @@ def test_perplexity_buckets_partition_and_order(spark):
     ).collect()
     assert [r["bucket"] for r in rows] == [1, 2, 3]
     # threshold semantics: bucket scores are disjoint and ordered
-    assert rows[0]["min_score_ppm"] > rows[1]["max_score_ppm"] or (
-        rows[0]["min_score_ppm"] >= rows[1]["max_score_ppm"]
-    )
-    assert rows[1]["min_score_ppm"] > rows[2]["max_score_ppm"] or (
-        rows[1]["min_score_ppm"] >= rows[2]["max_score_ppm"]
-    )
+    # strict: bucket-2 scores are < t1 while bucket-1's min is >= t1
+    # (and likewise at the t2 cut), so equality would mean a broken cut
+    assert rows[0]["min_score_ppm"] > rows[1]["max_score_ppm"]
+    assert rows[1]["min_score_ppm"] > rows[2]["max_score_ppm"]
     # buckets partition the scored docs: head holds >= ceil(n/3) (ties
     # can only grow it), and every bucket is non-empty at this corpus
     n = sum(r["n_docs"] for r in rows)

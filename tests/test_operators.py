@@ -2641,3 +2641,94 @@ def test_daily_cumulative_hll_is_monotone_and_prefix_merge_exact(spark):
     whole = sketches.hll_estimate(sketches.hll_registers(ev, "u")).collect()[0]
     assert rows[-1]["est_cum_distinct"] == whole["est_distinct"]
     assert rows[-1]["exact_cum_distinct"] == ev.distinct().count()
+
+
+# ---------------------------------------------------------------------
+# Z-order layout writer (operators/layout.py)
+# ---------------------------------------------------------------------
+
+
+def test_box_candidate_cells_sound_and_tight():
+    from otokuna_spark.operators import layout
+
+    bits, cell_bits = 4, 4  # 16x16 domain, 16 cells of side 4
+    box = (3, 9, 5, 6)
+    cand = set(layout.box_candidate_cells(*box, bits=bits, cell_bits=cell_bits))
+
+    def cell_of(x, y):
+        m = 0
+        for i in range(bits):
+            m |= ((x >> i) & 1) << (2 * i)
+            m |= ((y >> i) & 1) << (2 * i + 1)
+        return m >> (2 * bits - cell_bits)
+
+    # sound: every in-box point's cell is a candidate
+    for x in range(box[0], box[1] + 1):
+        for y in range(box[2], box[3] + 1):
+            assert cell_of(x, y) in cand
+    # tight: every candidate cell contains at least one in-box point
+    covered = {
+        cell_of(x, y)
+        for x in range(box[0], box[1] + 1)
+        for y in range(box[2], box[3] + 1)
+    }
+    assert cand == covered
+
+
+def test_cell_layout_one_file_per_cell_and_partition_pruning(spark, tmp_path):
+    import os
+
+    from otokuna_spark.operators import layout
+
+    rows = [(x * 97 % 256, y * 53 % 256) for x in range(64) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    path = str(tmp_path / "zcells")
+    layout.write_cell_layout(df, path, "x", "y", bits=8, cell_bits=4)
+
+    # exactly one parquet file per non-empty cell directory (what makes
+    # files_total oracle-replayable in q177)
+    for d in os.listdir(path):
+        if d.startswith("zcell="):
+            files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+    box = (10, 80, 10, 80)
+    pruned = layout.read_box_pruned(spark, path, *box, bits=8, cell_bits=4)
+    # correctness: pruned read finds exactly the direct filter's rows
+    direct = df.where(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[1])
+        & (F.col("y") >= box[2]) & (F.col("y") <= box[3])
+    )
+    assert pruned.count() == direct.count()
+    # the candidate-cell predicate must reach the scan as a PARTITION
+    # filter (pruned at file-listing time, not post-I/O)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "zcell" in scan[0].split("PartitionFilters")[1][:200]
+
+
+def test_range_layout_narrow_file_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+
+    from otokuna_spark.operators import layout
+
+    rows = [((i * 193) % 1024, (i * 389) % 1024) for i in range(20000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    path = str(tmp_path / "zrange")
+    layout.write_range_layout(df, path, "x", "y", bits=10, n_files=16)
+
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) >= 8  # range splits are sampled; most of n_files materialize
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = min(md.row_group(g).column(col["morton"]).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col["morton"]).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    # morton ranges of distinct files never overlap (repartitionByRange +
+    # sortWithinPartitions): min/max footer stats alone can prune a z-range
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
