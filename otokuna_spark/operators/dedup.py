@@ -854,46 +854,66 @@ def hamming_near_pairs(
 # ------------------------------------------------------ clustering
 
 
-def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    driver_edge_limit: int = 200_000,
+) -> DataFrame:
     """Connected components over near-dup pairs -> (node, cluster) where
     cluster = min node id of the component (the canonical id).
 
-    Iterative min-label propagation with POINTER DOUBLING: each round every
-    node takes the min label among itself and its neighbors, then shortcuts
-    through its label's label (cluster <- min(cluster, cluster(cluster))),
-    so convergence is O(log diameter) rounds even for chain-shaped
-    components — a 2^20-long chain converges in ~20 rounds, not 2^20.
-    Each round is two joins + one agg; lineage is cut with localCheckpoint
-    so the plan doesn't grow exponentially.
+    Two execution paths, SAME result (asserted equal in tests — both
+    compute exact min-label components):
 
-    Raises RuntimeError if labels still changed after ``max_iter`` rounds —
-    silently returning split clusters would corrupt downstream dedup.
+    - **driver path** (<= ``driver_edge_limit`` forward pairs): collect
+      the pair list and run path-compressed union-find on the driver.
+      The pair graph after LSH banding + verification is usually
+      MINUSCULE relative to the corpus (hundreds of edges at sf0.1), and
+      the distributed loop's per-round scheduling overhead (2 jobs x
+      O(log diameter) rounds) dwarfs the actual work — the same
+      bounded-collect rationale as bpe.py's ``driver_vocab_limit``. The
+      collect is hard-capped by an up-front count, never speculative.
+    - **distributed path** (bigger graphs, or ``driver_edge_limit=0``):
+      iterative min-label propagation with POINTER DOUBLING — each round
+      every node takes the min label among itself and its neighbors,
+      then shortcuts through its label's label (cluster <- min(cluster,
+      cluster(cluster))), so convergence is O(log diameter) rounds even
+      for chain-shaped components. Each round is two joins + one agg;
+      lineage is cut with localCheckpoint so the plan doesn't grow
+      exponentially. Raises RuntimeError if labels still changed after
+      ``max_iter`` rounds — silently returning split clusters would
+      corrupt downstream dedup.
 
     The propagation loop pins its exchange widths with EXPLICIT per-plan
     hash repartitions (edges on src once; labels on node per round) —
     no session-global ``spark.sql.shuffle.partitions`` writes, so the
-    operator is safe on shared sessions with concurrent queries. Each
-    round has the same exchange count a default-width plan would, just
-    right-sized to the (tiny, already-LSH-verified) pair graph instead
-    of paying hundreds of near-empty tasks per round in a vanilla
-    200-partition session.
+    operator is safe on shared sessions with concurrent queries.
     """
     # materialize the (possibly very expensive) pair relation ONCE before
     # anything references it twice — the forward/reverse union below and
     # every propagation round would otherwise re-run the upstream pipeline
     # (an LSH + verify chain for near-dup inputs) per reference
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint()
-    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
-    # the pair graph is usually tiny relative to the corpus — right-size
-    # its partitioning or each label-propagation round pays full-width
-    # task-scheduling overhead for near-empty partitions. Hash-partition
-    # on src so every round's edge-side join exchange is already done.
-    n_edges = edges.count()
-    parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
-    small = edges.repartition(parts, "src").persist()
-    small.count()
-    edges.unpersist()
-    edges = small
+    n_fwd = fwd.count()
+
+    if n_fwd <= driver_edge_limit:
+        return _driver_union_find(fwd)
+
+    # the pair graph is small relative to the corpus even past the driver
+    # cap — right-size its partitioning or each label-propagation round
+    # pays full-width task-scheduling overhead for near-empty partitions.
+    # One sizing count on the checkpointed forward relation (already done
+    # above); the symmetrized relation is built, hash-partitioned on src,
+    # and cached in a single pass — its materialization rides the eager
+    # labels checkpoint below instead of a dedicated warm-up job.
+    parts = max(1, min(fwd.rdd.getNumPartitions(), 2 * n_fwd // 50_000 + 1))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(parts, "src")
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -902,6 +922,42 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_
     labels = _propagate_labels(edges, labels, max_iter, parts)
     edges.unpersist()
     return labels
+
+
+def _driver_union_find(fwd: DataFrame) -> DataFrame:
+    """Exact min-label connected components of a BOUNDED edge list via
+    path-compressed union-find on the driver (callers gate the collect
+    with a count). Returns (node, cluster) with the input id dtype."""
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    for r in fwd.collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        if root not in comp_min or n < comp_min[root]:
+            comp_min[root] = n
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = fwd.schema.fields[0].dataType
+    schema = StructType(
+        [StructField("node", id_type), StructField("cluster", id_type)]
+    )
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return fwd.sparkSession.createDataFrame(rows, schema)
 
 
 def _propagate_labels(

@@ -402,9 +402,11 @@ def test_asof_join_right_tie_deterministic(spark):
 
 def test_cluster_pairs_chain_converges_via_pointer_doubling(spark):
     # a 200-node chain has diameter 200 — plain min-label propagation needs
-    # ~200 rounds; pointer doubling must land it well inside max_iter=12
+    # ~200 rounds; pointer doubling must land it well inside max_iter=12.
+    # driver_edge_limit=0 forces the DISTRIBUTED path (the production-scale
+    # one the driver union-find shortcut would otherwise absorb in tests)
     pairs = spark.createDataFrame([(i, i + 1) for i in range(200)], ["id_a", "id_b"])
-    labels = dedup.cluster_pairs(pairs, max_iter=12)
+    labels = dedup.cluster_pairs(pairs, max_iter=12, driver_edge_limit=0)
     clusters = {r.cluster for r in labels.collect()}
     assert clusters == {0}
 
@@ -414,7 +416,32 @@ def test_cluster_pairs_raises_on_non_convergence(spark):
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.cluster_pairs(pairs, max_iter=1)
+        dedup.cluster_pairs(pairs, max_iter=1, driver_edge_limit=0)
+
+
+def test_cluster_pairs_driver_and_distributed_paths_agree(spark):
+    # two components with distinct shapes (a chain and a triangle+tail),
+    # plus string ids to pin dtype fidelity of the driver path's
+    # createDataFrame
+    int_pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (1, 2), (2, 4), (4, 1), (8, 2)], ["id_a", "id_b"]
+    )
+    via_driver = {
+        (r.node, r.cluster) for r in dedup.cluster_pairs(int_pairs).collect()
+    }
+    via_dist = {
+        (r.node, r.cluster)
+        for r in dedup.cluster_pairs(int_pairs, driver_edge_limit=0).collect()
+    }
+    assert via_driver == via_dist
+    assert {c for _, c in via_driver} == {1, 3}
+
+    str_pairs = spark.createDataFrame(
+        [("img_b", "img_a"), ("img_c", "img_b")], ["id_a", "id_b"]
+    )
+    out = dedup.cluster_pairs(str_pairs)
+    assert dict(out.dtypes) == {"node": "string", "cluster": "string"}
+    assert {r.cluster for r in out.collect()} == {"img_a"}
 
 
 def test_remove_outliers_inf_window_matches_pandas(spark):
