@@ -196,9 +196,10 @@ def cm_estimates(counters: DataFrame, probes: DataFrame, value_col: str) -> Data
 # ------------------------------------------------- log2 quantile sketch
 
 LOG2_MAX_BUCKETS = 65  # bucket -1 (value 0) + buckets 0..63
+LOG2_REFINED_MAX_BUCKETS = 130  # -1, 0, and two half-buckets per 1..63
 
 
-def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
+def log2_histogram(df: DataFrame, value_col: str, refined: bool = False) -> DataFrame:
     """(bucket, c): power-of-2 histogram of a NON-NEGATIVE integer
     column — the bounded-state DISTRIBUTION sketch completing the
     mergeable family (distinct = HLL max-merge, frequency = CM
@@ -210,10 +211,31 @@ def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
     as ``length(bin(v)) - 1`` — both engines' ``bin()`` drops leading
     zeros, the same cross-engine device as the HLL rho. Bucket b >= 0
     covers [2^b, 2^(b+1)), so any quantile is bracketed within a 2x
-    multiplicative band."""
-    b = F.when(F.col(value_col) <= 0, F.lit(-1)).otherwise(
-        F.length(F.expr(f"bin({value_col})")) - 1
-    )
+    multiplicative band.
+
+    ``refined=True`` splits every bucket b >= 1 at its MIDPOINT using
+    the value's second-most-significant bit, encoded order-preservingly
+    as ``bucket = 2*b + bit`` (-1 and 0 keep their exact single-value
+    cells): state doubles to <= ``LOG2_REFINED_MAX_BUCKETS`` rows —
+    still calendar-class, still a pure function of v, so sum-merge
+    semantics are unchanged — and every quantile band HALVES to a 1.5x
+    multiplicative bracket. (One more bit per round is the general
+    trade; one bit is the committed configuration.)"""
+    if refined:
+        b = (
+            F.when(F.col(value_col) <= 0, F.lit(-1))
+            .when(F.col(value_col) == 1, F.lit(0))
+            .otherwise(
+                F.expr(
+                    f"2 * (length(bin({value_col})) - 1)"
+                    f" + ({value_col} div shiftleft(1L, length(bin({value_col})) - 2)) % 2"
+                )
+            )
+        )
+    else:
+        b = F.when(F.col(value_col) <= 0, F.lit(-1)).otherwise(
+            F.length(F.expr(f"bin({value_col})")) - 1
+        )
     return df.select(b.cast("int").alias("bucket")).groupBy("bucket").agg(
         F.count("*").alias("c")
     )
@@ -226,16 +248,22 @@ def merge_histograms(hists: DataFrame) -> DataFrame:
     return hists.groupBy("bucket").agg(F.sum("c").alias("c"))
 
 
-def histogram_quantile_bounds(hist: DataFrame, percents: list[int]) -> DataFrame:
-    """(p, n, k, bucket, lo, hi) per requested percent: the 2x bracket
-    the sketch guarantees for the value at 1-based rank
+def histogram_quantile_bounds(
+    hist: DataFrame, percents: list[int], refined: bool = False
+) -> DataFrame:
+    """(p, n, k, bucket, lo, hi) per requested percent: the bracket the
+    sketch guarantees for the value at 1-based rank
     ``k = (p*(n-1)) div 100 + 1`` (DuckDB ``quantile_disc`` rank
     convention, integer arithmetic only). Fully relational over the
-    <= ``LOG2_MAX_BUCKETS``-row histogram: cumulative counts via a tiny
-    triangular self-join (both sides broadcast-sized), target bucket =
-    min bucket whose cumulative count reaches k, bounds re-derived
-    arithmetically (lo = 2^b, hi = 2^(b+1) - 1; bucket -1 -> [0, 0]) —
-    no window over a single partition, no collect."""
+    bounded histogram: cumulative counts via a tiny triangular
+    self-join (both sides broadcast-sized), target bucket = min bucket
+    whose cumulative count reaches k, bounds re-derived arithmetically
+    — no window over a single partition, no collect.
+
+    Plain buckets decode to the 2x band [2^b, 2^(b+1) - 1] (bucket -1
+    -> [0, 0]); ``refined=True`` decodes the half-bucket encoding
+    (bucket = 2*b + bit) to the 1.5x band [2^b + bit*2^(b-1),
+    lo + 2^(b-1) - 1], with -1 -> [0, 0] and 0 -> [1, 1] exact."""
     cum = (
         hist.alias("a")
         .join(F.broadcast(hist.alias("b")), F.col("b.bucket") <= F.col("a.bucket"))
@@ -246,20 +274,26 @@ def histogram_quantile_bounds(hist: DataFrame, percents: list[int]) -> DataFrame
     probes = tot.select(
         F.explode(F.array(*[F.lit(int(p)) for p in percents])).alias("p"), "n"
     ).select("p", "n", F.expr("p * (n - 1) div 100 + 1").alias("k"))
+    if refined:
+        lo_expr = (
+            "CASE WHEN bucket <= -1 THEN 0 WHEN bucket = 0 THEN 1"
+            " ELSE shiftleft(1L, bucket div 2)"
+            " + (bucket % 2) * shiftleft(1L, bucket div 2 - 1) END"
+        )
+        hi_expr = (
+            "CASE WHEN bucket <= -1 THEN 0 WHEN bucket = 0 THEN 1"
+            " ELSE shiftleft(1L, bucket div 2)"
+            " + (bucket % 2) * shiftleft(1L, bucket div 2 - 1)"
+            " + shiftleft(1L, bucket div 2 - 1) - 1 END"
+        )
+    else:
+        lo_expr = "CASE WHEN bucket = -1 THEN 0 ELSE shiftleft(1L, bucket) END"
+        hi_expr = "CASE WHEN bucket = -1 THEN 0 ELSE shiftleft(1L, bucket + 1) - 1 END"
     return (
         probes.join(F.broadcast(cum), F.col("cum") >= F.col("k"))
         .groupBy("p", "n", "k")
         .agg(F.min("bucket").alias("bucket"))
-        .select(
-            "p",
-            "n",
-            "k",
-            "bucket",
-            F.expr("CASE WHEN bucket = -1 THEN 0 ELSE shiftleft(1L, bucket) END").alias("lo"),
-            F.expr(
-                "CASE WHEN bucket = -1 THEN 0 ELSE shiftleft(1L, bucket + 1) - 1 END"
-            ).alias("hi"),
-        )
+        .select("p", "n", "k", "bucket", F.expr(lo_expr).alias("lo"), F.expr(hi_expr).alias("hi"))
     )
 
 

@@ -8251,7 +8251,10 @@ def q164_mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     hist AS (
-        SELECT CAST(CASE WHEN v <= 0 THEN -1 ELSE LENGTH(bin(v)) - 1 END AS INTEGER) AS bucket,
+        SELECT CAST(CASE WHEN v <= 0 THEN -1 WHEN v = 1 THEN 0
+                    ELSE 2 * (LENGTH(bin(v)) - 1)
+                         + (v // (1::BIGINT << (LENGTH(bin(v)) - 2))) % 2
+               END AS INTEGER) AS bucket,
                COUNT(*) AS c
         FROM v GROUP BY 1
     ),
@@ -8269,34 +8272,46 @@ def q164_mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ks.p, ks.n, ks.k
     ),
     ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
-    ex AS (SELECT ks.p, CAST(r.v AS BIGINT) AS exact FROM ks JOIN ranked r ON r.rn = ks.k)
-    SELECT tb.p, tb.n, tb.k, tb.bucket,
-           CAST(CASE WHEN tb.bucket = -1 THEN 0 ELSE 1::BIGINT << tb.bucket END AS BIGINT) AS lo,
-           CAST(CASE WHEN tb.bucket = -1 THEN 0 ELSE (1::BIGINT << (tb.bucket + 1)) - 1 END AS BIGINT) AS hi,
-           ex.exact,
-           CAST((CASE WHEN tb.bucket = -1 THEN 0 ELSE (1::BIGINT << (tb.bucket + 1)) - 1 END
-                 - CASE WHEN tb.bucket = -1 THEN 0 ELSE 1::BIGINT << tb.bucket END)
-                * 1000000 // GREATEST(ex.exact, 1) AS BIGINT) AS band_ppm
-    FROM tb JOIN ex ON tb.p = ex.p
-    ORDER BY tb.p
+    ex AS (SELECT ks.p, CAST(r.v AS BIGINT) AS exact FROM ks JOIN ranked r ON r.rn = ks.k),
+    dec AS (
+        SELECT p, n, k, bucket,
+               CAST(CASE WHEN bucket <= -1 THEN 0 WHEN bucket = 0 THEN 1
+                    ELSE (1::BIGINT << (bucket // 2))
+                         + (bucket % 2) * (1::BIGINT << (bucket // 2 - 1))
+               END AS BIGINT) AS lo,
+               CAST(CASE WHEN bucket <= -1 THEN 0 WHEN bucket = 0 THEN 1
+                    ELSE (1::BIGINT << (bucket // 2))
+                         + (bucket % 2) * (1::BIGINT << (bucket // 2 - 1))
+                         + (1::BIGINT << (bucket // 2 - 1)) - 1
+               END AS BIGINT) AS hi
+        FROM tb
+    )
+    SELECT dec.p, dec.n, dec.k, dec.bucket, dec.lo, dec.hi, ex.exact,
+           CAST((dec.hi - dec.lo) * 1000000 // GREATEST(ex.exact, 1) AS BIGINT) AS band_ppm
+    FROM dec JOIN ex ON dec.p = ex.p
+    ORDER BY dec.p
     """,
     "Bounded-state quantile sketch completing the mergeable family "
     "(distinct = HLL max-merge q160, frequency = Count-Min sum-merge "
-    "q163, distribution = THIS): a power-of-2 histogram of per-doc "
-    "token counts — ONE keyed count bounded at 65 rows at any corpus "
-    "size (bucket = length(bin(v)) - 1, the same integer-exact "
-    "cross-engine device as the HLL rho), sum-mergeable across shards "
-    "and batches. Each requested percentile (rank k = (p*(n-1)) div "
-    "100 + 1, the q120 quantile_disc convention, pure integer "
-    "arithmetic) is bracketed in the 2x band [2^b, 2^(b+1)) of the "
-    "bucket where the cumulative count reaches k — cumsum via a "
-    "triangular self-join of the 65-row relation (both sides "
-    "broadcast), NO single-partition window, no collect in the sketch "
-    "path. The exact side (histogram-refinement k-th smallest, "
-    "operators/outliers.py scalable_kth_smallest) is the calibration "
-    "twin at registry scale; the committed invariant lo <= exact <= hi "
-    "and realized band width in ppm are what a production run would "
-    "monitor. Streaming twin: streaming.jobs.stream_log2_quantiles",
+    "q163, distribution = THIS): a REFINED power-of-2 histogram of "
+    "per-doc token counts — each log2 bucket split at its midpoint by "
+    "the value's second MSB (order-preserving encoding 2*b + bit, "
+    "integer-exact on both engines via length(bin(v)) like the HLL "
+    "rho), ONE keyed count bounded at 130 rows at any corpus size, "
+    "sum-mergeable across shards and batches. Each requested "
+    "percentile (rank k = (p*(n-1)) div 100 + 1, the q120 "
+    "quantile_disc convention, pure integer arithmetic) is bracketed "
+    "in the 1.5x HALF-bucket band — the round-11 2x band cut in half "
+    "at doubled-but-still-calendar-class state, the committed point on "
+    "the one-more-bit-per-halving trade — via the same triangular "
+    "cumsum over the broadcast-sized relation, NO single-partition "
+    "window, no collect in the sketch path. The exact side "
+    "(histogram-refinement k-th smallest, operators/outliers.py "
+    "scalable_kth_smallest) is the calibration twin at registry scale; "
+    "the committed invariant lo <= exact <= hi and realized band_ppm "
+    "are what a production run would monitor. Streaming twin: "
+    "streaming.jobs.stream_log2_quantiles (refined histograms in the "
+    "store, same sum-merge)",
 )
 def q165_log2_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -8305,8 +8320,8 @@ def q165_log2_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs) — an uncached plan would re-scan and re-tokenize the corpus
     # per job (the q170 checkpoint rationale)
     vals = docs.select(T.token_count(F.col("text")).alias("v")).localCheckpoint()
-    hist = _sketches.log2_histogram(vals, "v")
-    bounds = _sketches.histogram_quantile_bounds(hist, [25, 50, 75, 90, 99])
+    hist = _sketches.log2_histogram(vals, "v", refined=True)
+    bounds = _sketches.histogram_quantile_bounds(hist, [25, 50, 75, 90, 99], refined=True)
     # calibration side: exact k-th smallest per probe via histogram
     # refinement — integer ranks shared with the sketch, no floats;
     # lo/hi from ONE shared agg instead of one min/max scan per probe

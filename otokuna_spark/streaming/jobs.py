@@ -1363,16 +1363,17 @@ def stream_log2_quantiles(
 ) -> None:
     """Streaming twin of q165's log2 quantile sketch: maintain the
     corpus's per-doc token-count DISTRIBUTION incrementally — histogram
-    buckets are sum-mergeable (operators/sketches.py), so each batch
-    contributes its own <= 65-row histogram and the cumulative quantile
-    brackets are one sum-merge + the triangular cumsum, never a corpus
-    re-scan. Completes the streaming sketch family next to
+    buckets are sum-mergeable (operators/sketches.py; REFINED
+    half-bucket encoding matching q165's 1.5x bands), so each batch
+    contributes its own <= 130-row histogram and the cumulative
+    quantile brackets are one sum-merge + the triangular cumsum, never
+    a corpus re-scan. Completes the streaming sketch family next to
     ``stream_hll_distinct`` (max-merge) and ``stream_countmin_freq``
     (sum-merge counters).
 
     Reports land under ``report_path/batch=<id>`` (one row per probed
     percent: cumulative (p, n, k, bucket, lo, hi)); the store under
-    ``store_path/batch=<id>`` carries the batch's OWN histogram (<= 65
+    ``store_path/batch=<id>`` carries the batch's OWN histogram (<= 130
     rows per batch — the store grows with the batch count, not the
     corpus).
 
@@ -1413,8 +1414,8 @@ def ingest_hist_batch(
     sp = batch_df.sparkSession
     _check_store_orphans(sp, report_path, store_path, batch_id, "histogram")
     vals = batch_df.select(T.token_count(F.col(text_col)).alias("v"))
-    # <= 65 rows however large the batch
-    hist = sketches.log2_histogram(vals, "v").localCheckpoint()
+    # <= 130 rows however large the batch (refined half-bucket encoding)
+    hist = sketches.log2_histogram(vals, "v", refined=True).localCheckpoint()
     if _fs_nonempty(sp, store_path):
         old = sp.read.parquet(store_path)
         if "batch" in old.columns:
@@ -1425,7 +1426,7 @@ def ingest_hist_batch(
     merged = sketches.merge_histograms(
         old.unionByName(hist.select("bucket", "c"))
     )
-    report = sketches.histogram_quantile_bounds(merged, percents)
+    report = sketches.histogram_quantile_bounds(merged, percents, refined=True)
     report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
     hist.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
 

@@ -2495,6 +2495,37 @@ def test_log2_histogram_merge_and_quantile_brackets(spark):
         # the bracket really is the 2x band of one bucket
         assert r["hi"] <= 2 * max(r["lo"], 1) - 1
 
+    # REFINED mode: half-bucket encoding still merges exactly, still
+    # brackets every probe, and every band is at most half the plain one
+    merged_r = {
+        (r["bucket"], r["c"])
+        for r in sketches.merge_histograms(
+            sketches.log2_histogram(a, "v", refined=True).unionByName(
+                sketches.log2_histogram(b, "v", refined=True)
+            )
+        ).collect()
+    }
+    whole_r = {
+        (r["bucket"], r["c"])
+        for r in sketches.log2_histogram(u, "v", refined=True).collect()
+    }
+    assert merged_r == whole_r
+    assert len(whole_r) <= sketches.LOG2_REFINED_MAX_BUCKETS
+    plain = {r["p"]: r for r in bounds}
+    refined = sketches.histogram_quantile_bounds(
+        sketches.log2_histogram(u, "v", refined=True), [25, 50, 75, 90, 99],
+        refined=True,
+    ).collect()
+    for r in refined:
+        k = (r["p"] * (len(vals) - 1)) // 100 + 1
+        exact = srt[k - 1]
+        assert r["lo"] <= exact <= r["hi"], (r["p"], r["lo"], exact, r["hi"])
+        pl = plain[r["p"]]
+        # strictly tighter: the refined band is nested inside the plain
+        # band and at most half its width
+        assert pl["lo"] <= r["lo"] and r["hi"] <= pl["hi"]
+        assert (r["hi"] - r["lo"]) * 2 <= max(pl["hi"] - pl["lo"], 1)
+
 
 def test_morton16_matches_python_reference(spark):
     import random

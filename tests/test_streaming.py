@@ -1151,7 +1151,7 @@ def test_hist_stream_matches_batch_histogram_and_brackets(spark, tmp_path):
     )
     exp = {
         (r["bucket"], r["c"])
-        for r in sketches.log2_histogram(union_vals, "v").collect()
+        for r in sketches.log2_histogram(union_vals, "v", refined=True).collect()
     }
     got = {
         (r["bucket"], r["c"])
@@ -1172,7 +1172,7 @@ def test_hist_stream_matches_batch_histogram_and_brackets(spark, tmp_path):
     jobs.ingest_hist_batch(b1, 1, report, store)
     rep2 = {r["p"]: (r["n"], r["k"], r["bucket"]) for r in spark.read.parquet(f"{report}/batch=1").collect()}
     assert rep2 == {p: (r["n"], r["k"], r["bucket"]) for p, r in rep.items()}
-    assert spark.read.parquet(f"{store}/batch=1").count() <= 65
+    assert spark.read.parquet(f"{store}/batch=1").count() <= 130
 
 
 def test_decay_stream_matches_batch_and_replays(spark, tmp_path):
