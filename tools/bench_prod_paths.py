@@ -311,6 +311,47 @@ def main() -> None:
 
     result["round11_scale_probes"] = probes
 
+    # --- round-12 scale probes -------------------------------------------
+    probes12: dict[str, dict] = {}
+
+    # distributed BPE at a 2.2M-word vocabulary — past the 1M driver cap,
+    # so the per-round Spark path (pair explode -> keyed histogram ->
+    # 1-row argmax -> Arrow merge application) is the one measured. Words
+    # are synthetic base-7 letter strings: ~2.2M DISTINCT words over a
+    # 7-letter alphabet, so pair statistics are dense and every round
+    # performs a real merge (driver/distributed sequence equality is
+    # pinned separately in tests on a shared corpus).
+    from otokuna_spark.operators import bpe
+
+    n_words = 2_200_000
+    letters = "abcdefg"
+    word_expr = F.concat_ws(
+        "",
+        *[
+            F.substring(
+                F.lit(letters),
+                (F.expr(f"id div {7 ** i}") % 7 + 1).cast("int"),
+                1,
+            )
+            for i in range(8)
+        ],
+    )
+    wdocs = spark.range(n_words).select(word_expr.alias("text")).localCheckpoint()
+    n_merges_probe = 8
+    merges, s = timed(
+        lambda: bpe.bpe_train(
+            wdocs, "text", n_merges=n_merges_probe, driver_vocab_limit=0
+        )
+    )
+    probes12["bpe_distributed_2m2_vocab"] = {
+        "seconds": s,
+        "vocab_words": n_words,
+        "merge_rounds": len(merges),
+        "seconds_per_round": round(s / max(1, len(merges)), 3),
+        "merges": ["".join(m) for m in merges],
+    }
+    result["round12_scale_probes"] = probes12
+
     result["notes"] = (
         "ANN wall times at this SF are dominated by fixed costs (centroid "
         "train, codebook train, extra joins) that amortize with corpus "
