@@ -90,7 +90,25 @@ def write_bucketed(
     WRITE time so repeated joins/aggregations on those keys skip the
     shuffle entirely — the 100 TB play for fact-fact joins that recur
     (e.g. orders x lineitem on orderkey every night). Sorted buckets also
-    enable shuffle-free sort-merge joins."""
+    enable shuffle-free sort-merge joins.
+
+    Overwrite is made safe ACROSS sessions: with the default in-memory
+    catalog a previous session's managed-table location survives on disk
+    while the new catalog has never heard of the table, and saveAsTable
+    refuses the orphaned directory (LOCATION_ALREADY_EXISTS) — so drop
+    the table if known, then clear a local orphan location if present."""
+    if mode == "overwrite":
+        sp = df.sparkSession
+        sp.sql(f"DROP TABLE IF EXISTS {table_name}")
+        from urllib.parse import urlparse
+
+        u = urlparse(sp.conf.get("spark.sql.warehouse.dir"))
+        if u.scheme in ("", "file"):
+            orphan = os.path.join(u.path, table_name.lower())
+            if os.path.exists(orphan):
+                import shutil
+
+                shutil.rmtree(orphan, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

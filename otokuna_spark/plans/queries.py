@@ -9762,3 +9762,160 @@ def q179_hll_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_a", "day_b")
     )
+
+
+@register(
+    "q180_bucketed_colocated_join",
+    """
+    SELECT c.c_mktsegment AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(1 AS BIGINT) AS colocated
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+    """,
+    "Bucketed CO-LOCATED join, attested end-to-end — the shuffle-"
+    "elimination twin of q177's pruning round trip and the 100 TB play "
+    "for fact joins that recur nightly: orders and customer are WRITTEN "
+    "as bucketed tables (io.write_bucketed — hash(custkey) into 16 "
+    "sorted buckets at write time), re-read from the catalog, and "
+    "joined WITHOUT any Exchange (Spark matches the two bucketing "
+    "specs; sorted buckets make it a zero-shuffle sort-merge join). "
+    "The report aggregates revenue per market segment, and the "
+    "`colocated` bit is COMPUTED from the executed plan "
+    "(io.bucketed_join_is_shuffle_free — no node prints as a bare "
+    "Exchange): the oracle expects 1, so a silent regression to a "
+    "shuffled join hash-mismatches the gate instead of just running "
+    "slower. Write cost amortizes across every downstream join/agg on "
+    "the bucket key; at 100 TB this is the difference between moving "
+    "the fact table nightly and never moving it",
+)
+def q180_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from .. import io as _io
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_o, t_c = f"b12_orders_{tag}", f"b12_customer_{tag}"
+    _io.write_bucketed(
+        orders.select("o_custkey", "o_totalprice"),
+        t_o,
+        ["o_custkey"],
+        n_buckets=16,
+        sort_cols=["o_custkey"],
+    )
+    _io.write_bucketed(
+        cust.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        t_c,
+        ["o_custkey"],
+        n_buckets=16,
+        sort_cols=["o_custkey"],
+    )
+    colocated = int(_io.bucketed_join_is_shuffle_free(spark, t_o, t_c, "o_custkey"))
+    return (
+        spark.table(t_o)
+        .join(spark.table(t_c), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.expr("cast(round(o_totalprice * 100.0, 0) as bigint)"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .withColumn("colocated", F.lit(colocated).cast("long"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q181_salted_hot_key_agg",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "SALTED two-phase aggregation attested against the plain result — "
+    "the skew device AQE cannot apply (it splits skewed JOINS only, "
+    "never skewed aggregation keys): per-language corpus stats over "
+    "documents, where lang is the textbook hot key (a handful of values "
+    "holding the whole corpus, so a plain groupBy funnels everything "
+    "through that many reducers at 100 TB). operators/skew.py "
+    "salted_agg groups by (lang, salt16) first — every hot key spreads "
+    "over 16 reducers, map-side combine bounds each partial — then "
+    "re-aggregates per lang. The oracle runs the PLAIN aggregation: a "
+    "hash match is the associativity proof that salting changed the "
+    "exchange topology and nothing else (count/sum/max re-aggregate as "
+    "sum/sum/max). The diagnostic that decides WHEN to salt is q119's "
+    "skew_report; this row attests the mitigation itself at the gate",
+)
+def q181_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew as _skew
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return _skew.salted_agg(
+        docs,
+        ["lang"],
+        partial_aggs=[
+            F.count("*").alias("pc"),
+            F.sum("n_chars").alias("ps"),
+            F.max("n_chars").alias("pm"),
+        ],
+        final_aggs=lambda: [
+            F.sum("pc").cast("long").alias("n_docs"),
+            F.sum("ps").cast("long").alias("sum_chars"),
+            F.max("pm").cast("long").alias("max_chars"),
+        ],
+        n_salts=16,
+    ).orderBy("lang")
+
+
+@register(
+    "q182_salted_skew_join",
+    """
+    WITH dim AS (
+        SELECT DISTINCT lang, substr(md5(lang), 1, 2) AS lang_tag FROM documents
+    )
+    SELECT d.lang_tag AS lang_tag,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc.n_chars) AS BIGINT) AS sum_chars
+    FROM documents doc JOIN dim d USING (lang)
+    GROUP BY d.lang_tag ORDER BY lang_tag
+    """,
+    "SALTED skew join attested against the plain result — q181's twin "
+    "for the JOIN side, covering the a-priori-skew case where you "
+    "don't want to rely on AQE's runtime split: documents (big side, "
+    "lang is the hot key — every row carries one of a handful of "
+    "values) joined to a language dimension via operators/skew.py "
+    "salted_join — the big side takes a random salt in [0, 8), the "
+    "8-row-per-key replicated dimension matches on (lang, salt), so "
+    "each hot key's rows spread over 8 tasks instead of one reducer. "
+    "The salt is routing only: the oracle runs the PLAIN join + "
+    "aggregate, and the hash match proves the replication changed the "
+    "exchange topology and nothing else (rand-seeded salts may differ "
+    "per partitioning; joined VALUES cannot). The n_salts x dim-size "
+    "replication budget is the documented cost knob",
+)
+def q182_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew as _skew
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    dim = (
+        docs.select("lang")
+        .distinct()
+        .select("lang", F.substring(F.md5("lang"), 1, 2).alias("lang_tag"))
+    )
+    return (
+        _skew.salted_join(docs, dim, "lang", n_salts=8)
+        .groupBy("lang_tag")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang_tag")
+    )

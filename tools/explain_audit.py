@@ -181,6 +181,16 @@ EXPECT = {
     # per-day registers max-merge map-side; the triangular prefix joins
     # ride broadcast over the day-cardinality relations
     "q176_hll_daily_cumulative": ["partial_max", "BroadcastNestedLoopJoin"],
+    # realized layout pruning: the candidate-cell predicate must reach the
+    # written layout's scan as a PARTITION filter (pruned at listing time)
+    "q177_zorder_realized_pruning": ["PartitionFilters: [z", "partial_count", "BroadcastNestedLoopJoin"],
+    "q178_heldout_lm_scoring": ["Scan ExistingRDD"],  # checkpointed score relation feeds bucket/order tail
+    "q179_hll_range_query": ["partial_max", "partial_count"],
+    # both sides must scan as bucketed tables (the co-location evidence the
+    # oracle-checked `colocated` bit derives from)
+    "q180_bucketed_colocated_join": ["Bucketed: true", "partial_count"],
+    "q181_salted_hot_key_agg": ["partial_sum", "partial_max"],  # two-phase: (key, salt) partials re-aggregate per key
+    "q182_salted_skew_join": ["partial_sum"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -425,6 +435,12 @@ MAX_SHUFFLES = {
     "q174_video_frame_sample": 1,  # synth+sample+features are maps; output order only
     "q175_group_split": 5,  # post-checkpoint tails over the ~100-row group relation (split agg, leak grp agg + scalar, order); the ONE corpus agg materializes at the checkpoint
     "q176_hll_daily_cumulative": 8,  # 2 corpus aggs (per-day registers, first-seen users) + day-cardinality triangular merges/sums + final join + order
+    "q177_zorder_realized_pruning": 4,  # full-read scalar agg + pruned-read scalar agg (2 each incl. the distinct-file counts); cell write happens before the audited plan
+    "q178_heldout_lm_scoring": 1,  # post-checkpoint: output order only (bucketing is two broadcast-scalar comparisons); the LM train/score stages materialize at the checkpoint
+    "q179_hll_range_query": 7,  # register agg + (u, day) distinct + window max-merges/estimates/exact sums over calendar-bounded relations + final join/order
+    "q180_bucketed_colocated_join": 2,  # segment agg + output order; the custkey join itself is exchange-free (bucketed scans)
+    "q181_salted_hot_key_agg": 3,  # (lang, salt) partial agg + lang final agg + output order — the one extra exchange IS the salting trade
+    "q182_salted_skew_join": 3,  # (lang, salt) join exchanges collapse to a broadcast at this SF; tag agg + order + dim distinct
 }
 
 

@@ -74,6 +74,13 @@ CASES = [
     "q172_decayed_engagement",     # (user, day) partials; 1-row dmax broadcast
     "q173_cm_join_size",           # 2x <=2048-row counters; exact join is calibration
     "q176_hll_daily_cumulative",   # 64 x days registers; prefixes never re-scan events
+    # round-12: realized layout pruning, held-out scoring, range sketches
+    "q177_zorder_realized_pruning",  # partition-pruned re-read: scanned bytes ~ candidate cells only
+    "q178_heldout_lm_scoring",     # train count tables + Zipf-safe eval join-backs
+    "q179_hll_range_query",        # 64 x days registers x calendar windows; events scanned twice only
+    "q180_bucketed_colocated_join",  # bucketed scans: only the segment agg exchanges
+    "q181_salted_hot_key_agg",     # hot key spread over 16 salts; partials only
+    "q182_salted_skew_join",       # 8x replicated dim; big side moves once
 ]
 
 
