@@ -1,0 +1,197 @@
+"""Distributed Lloyd's k-means over embedding columns, integer-exact.
+
+The engine's ANN family (operators/similarity.py) picks its IVF/semantic-
+dedup centroids as a one-pass deterministic sample — "k-means-lite". This
+module adds the real thing: iterative Lloyd refinement (assign to nearest
+centroid, recompute centroids as cluster means, repeat), the training
+loop behind IVF cell quality at scale (Johnson et al., "Billion-scale
+similarity search with GPUs", the FAISS IVF recipe) and SemDeDup-style
+cluster-then-dedup pipelines (Abbas et al. 2023).
+
+Why integer-exact: float centroid means are sums whose reduction order
+differs between engines (and between runs of the same engine), so a
+hash-matched DuckDB oracle would be impossible and the learned model
+would depend on partitioning. Instead every vector is quantized ONCE to
+``floor(v * 1e6)`` BIGINTs (per-row double math — IEEE-deterministic
+across engines when the expression tree is identical), squared-L2
+distances are exact BIGINT sums (|q| <= ~1.1e6 per dim, d=64 ->
+max dist ~7.2e13, far inside int64), and centroid means are exact FLOOR
+divisions of integer sums. The whole model state — and therefore every
+assignment — is a pure function of the corpus, independent of
+partitioning, order, and parallelism (asserted in tests via repartition
+invariance + a numpy reference implementation).
+
+Scale shape (the 100 TB story):
+- Assignment is MAP-ONLY: the k x d centroid table travels as a
+  broadcast 1-row array<struct> column (same device as
+  similarity._with_centroid_scores — literal expressions of that size
+  janino-compile quadratically) and each row computes k higher-order-
+  function distance folds. No shuffle, no Python.
+- The per-iteration update is one keyed aggregation producing exactly
+  k*(d+2) driver rows: posexplode to (cluster, dim, x) feeds
+  partial_sum map-side combine, so the exchange carries k*d
+  pre-aggregated cells per task, never vectors. The bounded collect is
+  the same device as the BPE argmax (operators/bpe.py) — model state is
+  O(k*d), corpus never reaches the driver.
+- T iterations = T scans of the quantized base (localCheckpoint'd once;
+  re-reading parquet would also be fine — the lineage is cut so
+  iteration t does NOT replay iterations 1..t-1).
+
+Reference anchor: the reference has no clustering at all (its ML surface
+is svm/ml/train.py's GBT regression); this is a §2.13 pipeline-extension
+component in SURVEY.md's sense, with q84/q92 (IVF, semantic dedup) as
+the downstream consumers a trained codebook would feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000
+
+
+def quantize(df: DataFrame, vec_col: str, out_col: str = "__q") -> DataFrame:
+    """``floor(v * 1e6)`` per component -> array<bigint>.
+
+    Per-row double multiply+floor is bit-identical across engines (the
+    float->double widening is exact; the product rounds once under
+    IEEE-754); only cross-row SUM order is engine-dependent, and from
+    here on every cross-row reduction is integer."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * F.lit(float(SCALE))).cast("long"),
+        ),
+    )
+
+
+def _floor_div(s: int, n: int) -> int:
+    """Exact floor(s/n) for n > 0 — Python ``//`` IS floor division; the
+    oracle replays it as ``(s - ((s % n) + n) % n) // n`` because DuckDB
+    ``//`` truncates toward zero and ``%`` follows the dividend's sign;
+    subtracting the canonical non-negative mod first makes the numerator
+    exactly divisible, where truncation == floor."""
+    return s // n
+
+
+def _assign_expr(k: int):
+    """array<struct<dist,cid>> over the broadcast ``__cents`` column; the
+    argmin is lexicographic struct min — (min dist, then min cid), so
+    ties break toward the LOWEST centroid id, matching the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY dist, cid)``."""
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("__q"), c["cvec"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return best["cid"].alias("cluster"), best["dist"].alias("dist")
+
+
+def _attach_centroids(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    spark = df.sparkSession
+    rows = [{"cid": cid, "cvec": [int(x) for x in cvec]} for cid, cvec in enumerate(centroids)]
+    cdf = spark.createDataFrame([(rows,)], "__cents array<struct<cid:int,cvec:array<bigint>>>")
+    return df.crossJoin(F.broadcast(cdf))
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iters: int = 3,
+) -> tuple[DataFrame, list[dict]]:
+    """Run ``n_iters`` Lloyd rounds; return (final assignment DataFrame
+    with columns (id_col, cluster, dist), history rows).
+
+    Init: the k lowest-``id_col`` vectors (deterministic; the house
+    convention from similarity._centroids_from_sample). Iteration t
+    assigns under the current centroids, then recomputes each centroid
+    as the exact floor-mean of its members; a cluster that loses all
+    members keeps its previous centroid (the oracle replays this with a
+    COALESCE against the prior round's table).
+
+    History row t (1-based): ``n_moved`` (vs the previous round's
+    assignment; round 1 counts every vector), ``inertia`` (exact BIGINT
+    sum of squared quantized L2 distances), ``n_clusters_used``.
+    Lloyd's guarantees inertia is non-increasing — under EXACT
+    arithmetic that holds here too (asserted in tests and visible in
+    q184's committed history).
+    """
+    base = quantize(df.select(F.col(id_col), F.col(vec_col)), vec_col).select(
+        id_col, "__q"
+    )
+    base = base.localCheckpoint()  # cut lineage: iteration t never replays 1..t-1
+
+    init = base.orderBy(F.col(id_col)).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(init)}")
+    centroids = [list(r["__q"]) for r in init]
+    d = len(centroids[0])
+
+    prev_assign: DataFrame | None = None
+    history: list[dict] = []
+    assigned: DataFrame | None = None
+
+    for t in range(1, n_iters + 1):
+        cluster, dist = _assign_expr(k)
+        assigned = (
+            _attach_centroids(base, centroids)
+            .select(F.col(id_col), F.col("__q"), cluster, dist)
+            .localCheckpoint()
+        )
+
+        # ---- history metrics (one keyed agg; k rows to the driver) ----
+        stats = {
+            int(r["cluster"]): (int(r["n"]), int(r["inertia"]))
+            for r in assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n"), F.sum("dist").alias("inertia"))
+            .collect()
+        }
+        if prev_assign is None:
+            n_moved = sum(n for n, _ in stats.values())
+        else:
+            n_moved = (
+                assigned.alias("a")
+                .join(prev_assign.alias("p"), on=id_col)
+                .filter(F.col("a.cluster") != F.col("p.cluster"))
+                .count()
+            )
+        history.append(
+            {
+                "iter": t,
+                "n_moved": int(n_moved),
+                "inertia": int(sum(i for _, i in stats.values())),
+                "n_clusters_used": len(stats),
+            }
+        )
+        prev_assign = assigned.select(id_col, "cluster")
+
+        # ---- centroid update (skip after the last assignment) ----
+        if t == n_iters:
+            break
+        sums = (
+            assigned.select("cluster", F.posexplode("__q").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )  # exactly k*d pre-aggregated rows — model state, not data
+        acc: dict[int, list[int]] = {c: [0] * d for c in stats}
+        for r in sums:
+            acc[int(r["cluster"])][int(r["dim"])] = int(r["s"])
+        centroids = [
+            [_floor_div(acc[c][j], stats[c][0]) for j in range(d)]
+            if c in stats
+            else centroids[c]  # empty cluster: keep previous centroid
+            for c in range(k)
+        ]
+
+    return assigned.select(id_col, "cluster", "dist"), history

@@ -855,3 +855,68 @@ def pq_adc_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------
+# Scalar quantization (SQ8): int8-per-dim compressed vectors
+# ---------------------------------------------------------------------
+
+
+def sq8_train_minmax(df: DataFrame, vec_col: str, scale: int = 1_000_000) -> list[tuple[int, int]]:
+    """Per-dimension (min, max) over ``floor(v * scale)``-quantized
+    components — the SQ8 codebook (d rows of model state; FAISS's
+    ScalarQuantizer QT_8bit trains the same per-dim affine bounds).
+
+    One posexplode -> groupBy(dim) pass: partial min/max combine
+    map-side, the exchange carries d rows per task, the driver collect
+    is exactly d rows. Integer-exact: min/max of integers is
+    order-independent, so the codebook is a pure function of the corpus."""
+    rows = (
+        df.select(
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col),
+                    lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long"),
+                )
+            ).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    out = [(0, 0)] * len(rows)
+    for r in rows:
+        out[int(r["dim"])] = (int(r["mn"]), int(r["mx"]))
+    return out
+
+
+def sq8_encode(df: DataFrame, vec_col: str, minmax: list[tuple[int, int]], out_col: str = "__codes", scale: int = 1_000_000) -> DataFrame:
+    """Attach ``out_col``: array<bigint> of 8-bit codes
+    ``(x - mn) * 255 // (mx - mn)`` (code 0 when the dim is constant).
+
+    Integer floor division is spelled ``(n - pmod(n, r)) / r`` with a
+    non-negative numerator (x >= mn by construction), which truncating
+    and flooring engines evaluate identically; the final double division
+    is exact because the adjusted numerator is exactly divisible and the
+    quotient is an integer <= 255. The (mn, rng) table travels as a
+    broadcast 1-row array column (the _with_centroid_scores device) —
+    encoding is map-only, 4x smaller vectors at the 100 TB design point
+    (64 codes vs 64 floats; the codes stay BIGINT here only because the
+    arithmetic downstream is BIGINT-exact)."""
+    spark = df.sparkSession
+    mn = [int(a) for a, _ in minmax]
+    rng = [int(b) - int(a) for a, b in minmax]
+    cdf = spark.createDataFrame([(mn, rng)], "__mn array<bigint>, __rng array<bigint>")
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    num = F.zip_with(q, F.col("__mn"), lambda x, m: (x - m) * F.lit(255).cast("long"))
+    codes = F.zip_with(
+        num,
+        F.col("__rng"),
+        lambda n, r: F.when(r == 0, F.lit(0).cast("long")).otherwise(
+            ((n - F.pmod(n, r)) / r).cast("long")
+        ),
+    )
+    return df.crossJoin(F.broadcast(cdf)).withColumn(out_col, codes).drop("__mn").drop("__rng")

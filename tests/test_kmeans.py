@@ -1,0 +1,123 @@
+"""Lloyd k-means + SQ8 scalar quantization: determinism, reference
+parity, and the exact-arithmetic invariants the oracles rely on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from otokuna_spark.operators import kmeans, similarity
+
+SEED_VECS = 40
+DIM = 6
+K = 4
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.uniform(-0.5, 0.5, DIM).astype(np.float32)])
+        for i in range(SEED_VECS)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _reference_lloyd(rows, k, n_iters):
+    """Independent numpy replay of the integer-exact contract: quantize
+    floor(v*1e6), init = k lowest ids, exact int squared-L2 argmin with
+    ties to the lowest cid, floor-mean updates, empty clusters frozen."""
+    ids = sorted(rows)
+    q = {i: np.floor(np.asarray(rows[i], dtype=np.float64) * 1e6).astype(object) for i in ids}
+    cents = [list(q[i]) for i in ids[:k]]
+    assign, hist = {}, []
+    for t in range(1, n_iters + 1):
+        prev = dict(assign)
+        for i in ids:
+            dists = [sum(int(a - b) ** 2 for a, b in zip(q[i], c)) for c in cents]
+            assign[i] = min(range(k), key=lambda c: (dists[c], c))
+        moved = len(ids) if t == 1 else sum(1 for i in ids if prev[i] != assign[i])
+        inertia = sum(
+            sum(int(a - b) ** 2 for a, b in zip(q[i], cents[assign[i]])) for i in ids
+        )
+        hist.append((t, moved, inertia, len(set(assign.values()))))
+        if t < n_iters:
+            for c in range(k):
+                members = [i for i in ids if assign[i] == c]
+                if members:
+                    cents[c] = [
+                        sum(int(q[i][j]) for i in members) // len(members)
+                        for j in range(DIM)
+                    ]
+    return assign, hist
+
+
+def test_lloyd_matches_numpy_reference(spark, emb_df):
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb_df.collect()}
+    ref_assign, ref_hist = _reference_lloyd(rows, K, 3)
+
+    out, hist = kmeans.lloyd_kmeans(emb_df, "vec_id", "embedding", k=K, n_iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got == ref_assign
+    assert [(h["iter"], h["n_moved"], h["inertia"], h["n_clusters_used"]) for h in hist] == ref_hist
+
+
+def test_lloyd_partitioning_invariant(spark, emb_df):
+    a1, h1 = kmeans.lloyd_kmeans(emb_df, "vec_id", "embedding", k=K, n_iters=3)
+    a2, h2 = kmeans.lloyd_kmeans(
+        emb_df.repartition(13, "vec_id"), "vec_id", "embedding", k=K, n_iters=3
+    )
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    assert h1 == h2
+
+
+def test_lloyd_inertia_monotone_nonincreasing(spark, emb_df):
+    _, hist = kmeans.lloyd_kmeans(emb_df, "vec_id", "embedding", k=K, n_iters=3)
+    inertias = [h["inertia"] for h in hist]
+    assert inertias == sorted(inertias, reverse=True)
+    assert all(h["n_clusters_used"] <= K for h in hist)
+    assert hist[0]["n_moved"] == SEED_VECS
+
+
+def test_sq8_codes_in_range_and_envelope_exact(spark, emb_df):
+    mm = similarity.sq8_train_minmax(emb_df, "embedding")
+    assert len(mm) == DIM and all(b >= a for a, b in mm)
+    enc = similarity.sq8_encode(emb_df, "embedding", mm)
+    rows = enc.select("vec_id", "__codes", "embedding").collect()
+    for r in rows:
+        codes = list(r["__codes"])
+        assert all(0 <= c <= 255 for c in codes)
+        # code reconstruction error is bounded by one quantization step
+        q = np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6).astype(int)
+        for j, (mn, mx) in enumerate(mm):
+            rng = mx - mn
+            if rng == 0:
+                assert codes[j] == 0
+            else:
+                assert codes[j] == (int(q[j]) - mn) * 255 // rng
+    # the min/max rows really are the envelope: some vector attains each
+    flat = {(j, int(v)) for r in rows for j, v in enumerate(
+        np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6).astype(int))}
+    for j, (mn, mx) in enumerate(mm):
+        assert (j, mn) in flat and (j, mx) in flat
+
+
+def test_sq8_encode_partitioning_invariant(spark, emb_df):
+    mm = similarity.sq8_train_minmax(emb_df, "embedding")
+    e1 = similarity.sq8_encode(emb_df, "embedding", mm).select("vec_id", "__codes").collect()
+    e2 = (
+        similarity.sq8_encode(emb_df.repartition(9), "embedding", mm)
+        .select("vec_id", "__codes")
+        .collect()
+    )
+    assert sorted((r["vec_id"], tuple(r["__codes"])) for r in e1) == sorted(
+        (r["vec_id"], tuple(r["__codes"])) for r in e2
+    )
+
+
+def test_lloyd_rejects_too_few_vectors(spark, emb_df):
+    with pytest.raises(ValueError, match="need >="):
+        kmeans.lloyd_kmeans(
+            emb_df.filter(F.col("vec_id") < 2), "vec_id", "embedding", k=K, n_iters=1
+        )

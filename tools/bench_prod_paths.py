@@ -350,6 +350,35 @@ def main() -> None:
         "seconds_per_round": round(s / max(1, len(merges)), 3),
         "merges": ["".join(m) for m in merges],
     }
+    # Lloyd k-means at 500k x d=16, k=16 — 250x the sf0.1 registry shape.
+    # Per-round cost is one map-only broadcast-centroid argmin scan plus a
+    # k*d-row keyed agg; rows/s per round is the linearity number the
+    # 100 TB claim rests on (model state stays k*(d+2) rows at any size).
+    from otokuna_spark.operators import kmeans as km
+
+    n_vecs, kd, kk, kiters = 500_000, 16, 16, 3
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (2654435761 * (j + 1) + 97)) % 2_000_001 - 1_000_000)
+                / 1_000_000.0
+                for j in range(kd)
+            ]
+        ).alias("embedding"),
+    ).localCheckpoint()
+    (_, hist), s = timed(
+        lambda: km.lloyd_kmeans(vecs, "vec_id", "embedding", k=kk, n_iters=kiters)
+    )
+    probes12["kmeans_lloyd_500k_d16_k16"] = {
+        "seconds": s,
+        "vectors": n_vecs,
+        "iterations": kiters,
+        "rows_per_second_per_round": int(n_vecs * kiters / s),
+        "inertia_curve": [h["inertia"] for h in hist],
+        "n_moved_curve": [h["n_moved"] for h in hist],
+    }
+
     result["round12_scale_probes"] = probes12
 
     result["notes"] = (

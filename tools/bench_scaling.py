@@ -73,6 +73,11 @@ CASES = {
     "repeat_coverage": "q169_dup_bigram_coverage",
     "zorder_fold": "q171_zorder_pruning",
     "decay_partials": "q172_decayed_engagement",
+    # round-12: iterative bounded-model training — T scans, each a
+    # map-only broadcast-centroid argmin plus one k*d-row keyed agg, so
+    # the step ratio should track the scan volume while the exchanged
+    # model state stays k*(d+2) rows at ANY corpus size
+    "iterative_training": "q183_kmeans_lloyd",
 }
 
 

@@ -191,6 +191,9 @@ EXPECT = {
     "q180_bucketed_colocated_join": ["Bucketed: true", "partial_count"],
     "q181_salted_hot_key_agg": ["partial_sum", "partial_max"],  # two-phase: (key, salt) partials re-aggregate per key
     "q182_salted_skew_join": ["partial_sum"],
+    "q183_kmeans_lloyd": ["Scan ExistingRDD"],  # checkpointed final assignment; the per-round argmin/update plans ran before the audited tail
+    "q184_kmeans_convergence": ["Scan ExistingRDD"],  # 3 driver-assembled history rows; the distributed aggs ran per round
+    "q185_sq8_recall": ["BroadcastNestedLoopJoin", "partial_sum"],  # broadcast query/codebook attach + recall agg
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -441,6 +444,9 @@ MAX_SHUFFLES = {
     "q180_bucketed_colocated_join": 2,  # segment agg + output order; the custkey join itself is exchange-free (bucketed scans)
     "q181_salted_hot_key_agg": 3,  # (lang, salt) partial agg + lang final agg + output order — the one extra exchange IS the salting trade
     "q182_salted_skew_join": 3,  # (lang, salt) join exchanges collapse to a broadcast at this SF; tag agg + order + dim distinct
+    "q183_kmeans_lloyd": 1,  # output order only — each Lloyd round is a map-only broadcast-centroid argmin + one k*d-row keyed agg, materialized at the checkpoint
+    "q184_kmeans_convergence": 1,  # 3-row history order; per-round metrics are k-row aggs + an id-keyed moved join upstream of the checkpoint
+    "q185_sq8_recall": 2,  # query_id window exchange (reused by the recall agg) + output order; pair scoring is map-only broadcast joins
 }
 
 

@@ -81,6 +81,9 @@ CASES = [
     "q180_bucketed_colocated_join",  # bucketed scans: only the segment agg exchanges
     "q181_salted_hot_key_agg",     # hot key spread over 16 salts; partials only
     "q182_salted_skew_join",       # 8x replicated dim; big side moves once
+    # round-12 second wave: in-engine model training + SQ8 compression
+    "q183_kmeans_lloyd",           # map-only broadcast-centroid argmin; k*d model rows exchange per round
+    "q185_sq8_recall",             # d-row codebook broadcast; probe pairs never carry raw text
 ]
 
 
