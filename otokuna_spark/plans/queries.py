@@ -9366,7 +9366,7 @@ def q176_hll_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY x, y
     ),
     pz AS (
-        SELECT z.morton // (1::BIGINT << 22) AS zcell,
+        SELECT z.morton // (1::BIGINT << 26) AS zcell,
                CASE WHEN p.x BETWEEN 21600 AND 24299
                      AND p.y BETWEEN 1000 AND 4999 THEN 1 ELSE 0 END AS in_box
         FROM pts p JOIN z USING (x, y)
@@ -9375,14 +9375,14 @@ def q176_hll_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c,
                SUM(((c // (1::BIGINT << (2*i))) % 2) * (1::BIGINT << i)) AS cx,
                SUM(((c // (1::BIGINT << (2*i+1))) % 2) * (1::BIGINT << i)) AS cy
-        FROM UNNEST(generate_series(0, 1023)) AS t(c),
-             UNNEST(generate_series(0, 4)) AS u(i)
+        FROM UNNEST(generate_series(0, 63)) AS t(c),
+             UNNEST(generate_series(0, 2)) AS u(i)
         GROUP BY c
     ),
     cand AS (
         SELECT c AS zcell FROM deint
-        WHERE cx * 2048 <= 24299 AND (cx + 1) * 2048 > 21600
-          AND cy * 2048 <= 4999 AND (cy + 1) * 2048 > 1000
+        WHERE cx * 8192 <= 24299 AND (cx + 1) * 8192 > 21600
+          AND cy * 8192 <= 4999 AND (cy + 1) * 8192 > 1000
     ),
     cells AS (SELECT zcell, COUNT(*) AS cnt, SUM(in_box) AS box_cnt FROM pz GROUP BY zcell),
     f AS (
@@ -9414,11 +9414,15 @@ def q176_hll_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in (x, y), so candidates are pure arithmetic, no data scan) as a "
     "PARTITION filter — Spark prunes non-candidate directories at "
     "file-LISTING time. The report row is the realized bill: files "
-    "actually listed (count distinct input_file_name over the full "
-    "read), files actually scanned (same over the candidate-filtered "
-    "read), rows scanned vs total, realized pruned_ppm, and a COMPUTED "
-    "losslessness bit (box rows found in the pruned read == box rows "
-    "in the full table). The DuckDB oracle replays the cell assignment "
+    "actually materialized (filesystem listing of the written layout), "
+    "files actually scanned (count distinct input_file_name over the "
+    "candidate-filtered read), rows scanned vs total, realized "
+    "pruned_ppm, and a COMPUTED losslessness bit (box rows found in "
+    "the pruned read == box rows in the pre-write relation). cell_bits "
+    "is SIZED TO THE DATA (6 -> 64 cells ~ 1.5k rows/file at sf0.1) "
+    "per the module's own guidance — the r11 shape (1024 cells for "
+    "100k rows) was the small-files anti-pattern and paid a 598-task "
+    "discovery job per read. The DuckDB oracle replays the cell assignment "
     "and the candidate deinterleave arithmetically — matching means "
     "the materialized file set IS the pure function the optimizer "
     "reasons about. At 100 TB the identical writer (or its "
@@ -9434,26 +9438,34 @@ def q177_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(round(value * 100.0, 0) as bigint)").alias("y"),
     ).where("y >= 0 and y <= 65535")
     path = _layout.layout_scratch_dir("zcells", sf_dir)
-    _layout.write_cell_layout(pts, path, "x", "y")  # eager: materialize the layout
+    # cell_bits sized to the data: 64 cells ~ 1.5k rows/file at sf0.1.
+    _layout.write_cell_layout(pts, path, "x", "y", cell_bits=6)
 
     x_lo, x_hi, y_lo, y_hi = 21600, 24299, 1000, 4999
     in_box = F.expr(
         f"cast(x between {x_lo} and {x_hi} and y between {y_lo} and {y_hi}"
         " as bigint)"
     ).alias("in_box")
-    cand = _layout.box_candidate_cells(x_lo, x_hi, y_lo, y_hi)
+    cand = _layout.box_candidate_cells(x_lo, x_hi, y_lo, y_hi, cell_bits=6)
 
-    full = spark.read.parquet(path).select(
-        F.input_file_name().alias("fn"), "x", "y", in_box
-    )
+    # files_total: the REALIZED file set, from the filesystem listing of
+    # the layout just written (one file per non-empty cell by the writer
+    # invariant — what makes it oracle-replayable). Totals/match_full come
+    # from the pre-write relation (identical rows by construction), so the
+    # only layout scan left is the partition-PRUNED one below.
+    import glob as _glob
+    import os as _os
+
+    files_total = len(_glob.glob(_os.path.join(path, "zcell=*", "*.parquet")))
+
     scanned = (
         spark.read.parquet(path)
         .where(F.col("zcell").isin(cand))  # PartitionFilter: pruned before I/O
         .select(F.input_file_name().alias("fn"), "x", "y", in_box)
     )
-    f = full.agg(
+    f = pts.select(in_box).agg(
         F.count("*").alias("total_rows"),
-        F.count_distinct("fn").alias("files_total"),
+        F.lit(files_total).cast("long").alias("files_total"),
         F.sum("in_box").alias("match_full"),
     )
     s = scanned.agg(
@@ -10154,4 +10166,243 @@ def q185_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("__hit") * F.lit(100000)).cast("long").alias("recall_ppm"),
         )
         .orderBy("query_id")
+    )
+
+
+@register(
+    "q186_semdedup",
+    _kmeans_oracle_ctes()
+    + """,
+    nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM q GROUP BY vec_id),
+    dots AS (
+        SELECT x.cid AS cluster, x.vec_id AS a_id, y.vec_id AS b_id,
+               SUM(qa.x * qb.x) AS dot
+        FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN q qa ON qa.vec_id = x.vec_id
+        JOIN q qb ON qb.vec_id = y.vec_id AND qb.dim = qa.dim
+        GROUP BY 1, 2, 3
+    ),
+    edges AS (
+        SELECT d.cluster, d.a_id, d.b_id
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.a_id
+        JOIN nrm nb ON nb.vec_id = d.b_id
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * 1000000
+              >= CAST(202500 AS HUGEINT) * na.n2 * nb.n2
+    ),
+    cstat AS (SELECT cid AS cluster, COUNT(*) AS n_vectors FROM a3 GROUP BY cid),
+    estat AS (
+        SELECT cluster, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT b_id) AS n_removed
+        FROM edges GROUP BY cluster
+    )
+    SELECT CAST(c.cluster AS INTEGER) AS cluster,
+           CAST(c.n_vectors AS BIGINT) AS n_vectors,
+           CAST(COALESCE(e.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(e.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(c.n_vectors - COALESCE(e.n_removed, 0) AS BIGINT) AS n_kept
+    FROM cstat c LEFT JOIN estat e USING (cluster)
+    ORDER BY cluster
+    """,
+    "SemDeDup (Abbas et al. 2023) — the composition q183's Lloyd loop "
+    "exists to feed: k-means clusters the embedding space, then "
+    "pairwise cosine near-dups are found ONLY within each cluster and "
+    "the higher vec_id of every duplicate pair is dropped (keep-first, "
+    "same rule as q07/q20). The cosine test is integer-exact without a "
+    "sqrt: cos >= tau iff dot > 0 AND dot^2 * 1e6 >= tau2_ppm * "
+    "|a|^2 * |b|^2 (tau = 0.45 -> tau2_ppm = 202500; products ~6e30 "
+    "ride decimal(38,0) / HUGEINT, never doubles), so the kept set is "
+    "a pure function of the corpus and the oracle replays kmeans + "
+    "pair test to the hash. Per-cluster report commits vectors, dup "
+    "pairs, removed, kept. 100 TB shape: clustering bounds the "
+    "quadratic to sum_c C(g_c, 2) — k is CHOSEN so g_c stays near the "
+    "target block size (k ~ N / g_target), each block is one shuffle "
+    "partition of pre-normed vectors, and the known trade (cross-"
+    "cluster dups are invisible) is the published accuracy/cost knob",
+)
+def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans.lloyd_kmeans(emb, "vec_id", "embedding", k=8, n_iters=3)
+    qv = kmeans.quantize(emb, "embedding").select(
+        "vec_id", F.col("__q").alias("xs")
+    )
+    zero = F.lit(0).cast("long")
+    n2 = F.aggregate(
+        F.transform("xs", lambda v: v * v), zero, lambda acc, v: acc + v
+    )
+    base = qv.withColumn("n2", n2).join(
+        assign.select("vec_id", "cluster"), "vec_id"
+    )
+    a = base.select(
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("xs").alias("ax"),
+        F.col("n2").alias("na2"),
+    )
+    b = base.select(
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("xs").alias("bx"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ax", "bx", lambda x, y: x * y), zero, lambda acc, v: acc + v
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("a_id") < F.col("b_id"))
+        # the cluster-keyed join leaves only k effective partitions; spread
+        # the O(sum C(g_c, 2)) dot-product work across the cluster before
+        # evaluating the 64-dim folds (hash on the pair key — deterministic)
+        .repartition(32, "a_id", "b_id")
+        .select("cluster", "a_id", "b_id", dot.alias("dot"), "na2", "nb2")
+    )
+    dd = F.col("dot").cast("decimal(38,0)")
+    is_dup = (F.col("dot") > 0) & (
+        dd * dd * F.lit(1_000_000).cast("decimal(38,0)")
+        >= F.lit(202_500).cast("decimal(38,0)")
+        * F.col("na2").cast("decimal(38,0)")
+        * F.col("nb2").cast("decimal(38,0)")
+    )
+    edges = pairs.where(is_dup)
+    cstat = base.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    estat = edges.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.count_distinct("b_id").alias("n_removed"),
+    )
+    return (
+        cstat.join(estat, "cluster", "left")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_vectors") - F.coalesce("n_removed", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "q187_triangle_count",
+    """
+    WITH ik AS (
+        SELECT DISTINCT user_id, event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ),
+    grp AS (SELECT event_type, k, COUNT(*) AS nusers FROM ik GROUP BY event_type, k),
+    sel AS (SELECT event_type, k FROM grp ORDER BY nusers, event_type, k LIMIT 40),
+    blocked AS (
+        SELECT i.user_id, i.event_type, i.k FROM ik i JOIN sel USING (event_type, k)
+    ),
+    e AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM blocked a JOIN blocked b
+          ON a.event_type = b.event_type AND a.k = b.k AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id HAVING COUNT(*) >= 3
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(COALESCE((SELECT SUM(d * (d - 1) // 2) FROM deg), 0) AS BIGINT) AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN COALESCE((SELECT SUM(d * (d - 1) // 2) FROM deg), 0) > 0
+                     THEN (3000000 * (SELECT t FROM tri))
+                          // (SELECT SUM(d * (d - 1) // 2) FROM deg)
+                     ELSE 0 END AS BIGINT) AS transitivity_ppm
+    """,
+    "Triangle counting + global transitivity over a co-visitation "
+    "graph: users are linked when they share >= 3 of the 40 SMALLEST "
+    "(event_type, k) interaction groups (deterministic bottom-G "
+    "blocking — the inverted-index device of record linkage, with the "
+    "fanout bound Sum C(g_i, 2) auditable from the selected group "
+    "sizes; production swaps the fixed G for a per-group size cap). "
+    "The Spark side counts each triangle ONCE via DEGREE-ORDERED "
+    "orientation (Cohen / GraphX: orient every edge toward the higher "
+    "(degree, id) rank, enumerate wedges only from each vertex's "
+    "out-neighbors, close against oriented edges) — the standard "
+    "100 TB algorithm, because out-degrees are O(sqrt(m)) under "
+    "degree ordering so hub vertices never enumerate quadratic "
+    "wedges; the oracle replays the count with the simple id-ordered "
+    "join (counts are orientation-invariant, which is itself part of "
+    "what the hash match attests). Report: nodes, edges, wedges "
+    "(Sum C(d,2)), triangles, transitivity = 3*tri/wedges in ppm",
+)
+def q187_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ik = ev.select(
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).distinct()
+    grp = ik.groupBy("event_type", "k").agg(F.count("*").alias("nusers"))
+    sel = grp.orderBy("nusers", "event_type", "k").limit(40).select("event_type", "k")
+    blocked = ik.join(F.broadcast(sel), ["event_type", "k"])
+    a = blocked.select("event_type", "k", F.col("user_id").alias("u"))
+    b = blocked.select("event_type", "k", F.col("user_id").alias("v"))
+    e = (
+        a.join(b, ["event_type", "k"])
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lo_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    o1 = o.select("s", F.col("t").alias("t1"), F.col("dt").alias("d1"))
+    o2 = o.select("s", F.col("t").alias("t2"), F.col("dt").alias("d2"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
+    )
+    o3 = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(o3, ["t1", "t2"]).agg(F.count("*").alias("n_triangles"))
+    estat = e.agg(F.count("*").alias("n_edges"))
+    nstat = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)).alias(
+            "n_wedges"
+        ),
+    )
+    return (
+        nstat.crossJoin(F.broadcast(estat))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.expr(
+                "cast(case when n_wedges > 0 then (3000000 * n_triangles)"
+                " div n_wedges else 0 end as bigint)"
+            ).alias("transitivity_ppm"),
+        )
     )

@@ -619,3 +619,90 @@ def test_heldout_lm_unseen_backoff_is_live(spark):
     b3 = [r["mean_interp_ppm"] for r in rows if r["bucket"] == 3]
     if b1 and b3:
         assert min(b1) > max(b3)
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_semdedup_removes_planted_duplicates_keep_first(spark, tmp_path):
+    # 10 mutually-orthogonal one-hot vectors (pairwise cosine 0) plus two
+    # planted duplicates: id 10 copies id 2, id 11 is id 3 scaled (cos 1)
+    dim = 16
+    base = [(i, [0.1 if j == i else 0.0 for j in range(dim)]) for i in range(10)]
+    dups = [
+        (10, [0.1 if j == 2 else 0.0 for j in range(dim)]),
+        (11, [0.15 if j == 3 else 0.0 for j in range(dim)]),
+    ]
+    sf = _write_embeddings(spark, tmp_path, base + dups)
+    rows = REGISTRY["q186_semdedup"].fn(spark, sf).collect()
+    assert sum(r["n_vectors"] for r in rows) == 12
+    # exactly the two planted pairs are dup edges; keep-first drops the
+    # higher vec_id of each, everything orthogonal survives
+    assert sum(r["n_dup_pairs"] for r in rows) == 2
+    assert sum(r["n_removed"] for r in rows) == 2
+    assert sum(r["n_kept"] for r in rows) == 10
+    for r in rows:
+        assert r["n_kept"] == r["n_vectors"] - r["n_removed"]
+        assert r["n_removed"] <= r["n_dup_pairs"]
+
+
+def test_semdedup_partitioning_invariant(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), [float(x) for x in rng.uniform(-0.3, 0.3, 8).astype(np.float32)])
+        for i in range(30)
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    a = [tuple(r) for r in REGISTRY["q186_semdedup"].fn(spark, sf).collect()]
+    # same table, different physical layout -> identical report
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    df.repartition(7).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    b = [tuple(r) for r in REGISTRY["q186_semdedup"].fn(spark, sf).collect()]
+    assert a == b
+
+
+def _write_covis_events(spark, tmp_path, memberships):
+    """memberships: list of (user_id, event_type, k) interaction rows."""
+    rows = [
+        (i, __import__("datetime").datetime(2024, 1, 1, 0, i % 60), u, et,
+         1.0, '{"k": %d}' % k)
+        for i, (u, et, k) in enumerate(memberships)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_triangle_count_known_k4(spark, tmp_path):
+    # users 1-4 all share groups (a,0),(a,1),(a,2) -> K4 on 4 nodes;
+    # user 5 shares only two groups (below the >=3 bar), user 6 is alone
+    mem = [(u, "a", k) for u in (1, 2, 3, 4) for k in (0, 1, 2)]
+    mem += [(5, "a", 0), (5, "a", 1), (6, "a", 5)]
+    # duplicate interactions must not double-count shared groups
+    mem += [(1, "a", 0), (2, "a", 2)]
+    sf = _write_covis_events(spark, tmp_path, mem)
+    out = REGISTRY["q187_triangle_count"].fn(spark, sf).collect()[0]
+    assert out["n_nodes"] == 4
+    assert out["n_edges"] == 6                      # K4
+    assert out["n_triangles"] == 4                  # C(4,3)
+    assert out["n_wedges"] == 4 * 3                 # 4 nodes of degree 3
+    assert out["transitivity_ppm"] == 1_000_000     # K4 is fully transitive
+
+
+def test_triangle_count_no_edges_is_clean_zero(spark, tmp_path):
+    # every user pair shares at most 1 group -> empty graph, zero report
+    mem = [(1, "a", 0), (2, "a", 0), (3, "a", 1), (4, "a", 1)]
+    sf = _write_covis_events(spark, tmp_path, mem)
+    out = REGISTRY["q187_triangle_count"].fn(spark, sf).collect()[0]
+    assert tuple(out) == (0, 0, 0, 0, 0)
