@@ -10,9 +10,10 @@ fan-out is bounded by out-degrees in the ORIENTED graph — the degeneracy
 orientation keeps hub nodes from exploding (a node of degree d in the
 undirected graph contributes C(d,2) wedge checks only for its
 HIGHER-numbered neighbors). At 100 TB-derived graphs the orientation
-should be by (degree, id) instead of raw id — same plan shape, one extra
-degree join; raw-id orientation is used here because dedup-pair graphs
-are degree-bounded by construction (LSH band width).
+should be by (degree, id) instead of raw id — ``triangle_count_oriented``
+below implements exactly that (out-degree O(sqrt(m)) under degree
+ordering); raw-id orientation is kept in ``triangle_stats`` because
+dedup-pair graphs are degree-bounded by construction (LSH band width).
 """
 
 from __future__ import annotations
@@ -75,6 +76,72 @@ def triangle_stats(edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
             )
             .otherwise(F.lit(0))
             .alias("clustering_ppm"),
+        )
+    )
+
+
+def triangle_count_oriented(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Global triangle census from an undirected edge list (u < v per
+    row, no duplicates) via DEGREE-ORDERED orientation — the variant
+    ``triangle_stats``'s docstring defers to for hub-heavy graphs: every
+    edge is oriented toward the higher (degree, id) rank, wedges are
+    enumerated only between each vertex's out-neighbors (out-degree is
+    O(sqrt(m)) under this orientation, so a degree-d hub never produces
+    C(d, 2) wedges), and each wedge is closed against the oriented edge
+    set. Each triangle has a unique minimum-rank corner, so the count is
+    exact, not 3x.
+
+    Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    transitivity_ppm) with wedges = Sum C(deg, 2) over UNDIRECTED degrees
+    and transitivity = floor(3e6 * triangles / wedges) — the global
+    clustering coefficient in ppm. All exchanges are keyed on node ids;
+    the three 1-row aggregates meet in broadcast crossJoins.
+    """
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lo_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    o1 = o.select("s", F.col("t").alias("t1"), F.col("dt").alias("d1"))
+    o2 = o.select("s", F.col("t").alias("t2"), F.col("dt").alias("d2"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
+    )
+    o3 = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(o3, ["t1", "t2"]).agg(F.count("*").alias("n_triangles"))
+    estat = e.agg(F.count("*").alias("n_edges"))
+    nstat = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)).alias(
+            "n_wedges"
+        ),
+    )
+    return (
+        nstat.crossJoin(F.broadcast(estat))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.expr(
+                "cast(case when n_wedges > 0 then (3000000 * n_triangles)"
+                " div n_wedges else 0 end as bigint)"
+            ).alias("transitivity_ppm"),
         )
     )
 

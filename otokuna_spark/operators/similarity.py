@@ -920,3 +920,89 @@ def sq8_encode(df: DataFrame, vec_col: str, minmax: list[tuple[int, int]], out_c
         ),
     )
     return df.crossJoin(F.broadcast(cdf)).withColumn(out_col, codes).drop("__mn").drop("__rng")
+
+
+def semdedup_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 3,
+    tau2_ppm: int = 202_500,
+    pair_partitions: int = 32,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with the
+    integer-exact Lloyd loop (operators/kmeans.py), then find cosine
+    near-duplicates ONLY within each cluster and drop the higher id of
+    every duplicate pair (keep-first). The cosine test is sqrt-free and
+    exact: cos >= tau iff dot > 0 AND dot^2 * 1e6 >= tau2_ppm * |a|^2 *
+    |b|^2, computed in decimal(38,0) so the kept set is a pure function
+    of the corpus.
+
+    Returns the per-cluster report (cluster, n_vectors, n_dup_pairs,
+    n_removed, n_kept). Scale: the quadratic is bounded to
+    Sum_c C(g_c, 2) — choose ``k ~ N / g_target`` so cluster blocks stay
+    near the pairwise budget; ``pair_partitions`` spreads the dot-product
+    folds off the k-partition join key."""
+    from . import kmeans as _km
+
+    assign, _ = _km.lloyd_kmeans(df, id_col, vec_col, k=k, n_iters=n_iters)
+    qv = _km.quantize(df, vec_col).select(id_col, F.col("__q").alias("xs"))
+    zero = F.lit(0).cast("long")
+    n2 = F.aggregate(
+        F.transform("xs", lambda v: v * v), zero, lambda acc, v: acc + v
+    )
+    base = qv.withColumn("n2", n2).join(
+        assign.select(id_col, "cluster"), id_col
+    )
+    a = base.select(
+        "cluster",
+        F.col(id_col).alias("a_id"),
+        F.col("xs").alias("ax"),
+        F.col("n2").alias("na2"),
+    )
+    b = base.select(
+        "cluster",
+        F.col(id_col).alias("b_id"),
+        F.col("xs").alias("bx"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ax", "bx", lambda x, y: x * y), zero, lambda acc, v: acc + v
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("a_id") < F.col("b_id"))
+        # the cluster-keyed join leaves only k effective partitions; spread
+        # the O(sum C(g_c, 2)) dot-product work across the cluster before
+        # evaluating the d-dim folds (hash on the pair key — deterministic)
+        .repartition(pair_partitions, "a_id", "b_id")
+        .select("cluster", "a_id", "b_id", dot.alias("dot"), "na2", "nb2")
+    )
+    dd = F.col("dot").cast("decimal(38,0)")
+    is_dup = (F.col("dot") > 0) & (
+        dd * dd * F.lit(1_000_000).cast("decimal(38,0)")
+        >= F.lit(tau2_ppm).cast("decimal(38,0)")
+        * F.col("na2").cast("decimal(38,0)")
+        * F.col("nb2").cast("decimal(38,0)")
+    )
+    edges = pairs.where(is_dup)
+    cstat = base.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    estat = edges.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.count_distinct("b_id").alias("n_removed"),
+    )
+    return (
+        cstat.join(estat, "cluster", "left")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_vectors") - F.coalesce("n_removed", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

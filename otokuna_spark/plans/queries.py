@@ -10222,66 +10222,8 @@ def q185_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    assign, _ = kmeans.lloyd_kmeans(emb, "vec_id", "embedding", k=8, n_iters=3)
-    qv = kmeans.quantize(emb, "embedding").select(
-        "vec_id", F.col("__q").alias("xs")
-    )
-    zero = F.lit(0).cast("long")
-    n2 = F.aggregate(
-        F.transform("xs", lambda v: v * v), zero, lambda acc, v: acc + v
-    )
-    base = qv.withColumn("n2", n2).join(
-        assign.select("vec_id", "cluster"), "vec_id"
-    )
-    a = base.select(
-        "cluster",
-        F.col("vec_id").alias("a_id"),
-        F.col("xs").alias("ax"),
-        F.col("n2").alias("na2"),
-    )
-    b = base.select(
-        "cluster",
-        F.col("vec_id").alias("b_id"),
-        F.col("xs").alias("bx"),
-        F.col("n2").alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ax", "bx", lambda x, y: x * y), zero, lambda acc, v: acc + v
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .where(F.col("a_id") < F.col("b_id"))
-        # the cluster-keyed join leaves only k effective partitions; spread
-        # the O(sum C(g_c, 2)) dot-product work across the cluster before
-        # evaluating the 64-dim folds (hash on the pair key — deterministic)
-        .repartition(32, "a_id", "b_id")
-        .select("cluster", "a_id", "b_id", dot.alias("dot"), "na2", "nb2")
-    )
-    dd = F.col("dot").cast("decimal(38,0)")
-    is_dup = (F.col("dot") > 0) & (
-        dd * dd * F.lit(1_000_000).cast("decimal(38,0)")
-        >= F.lit(202_500).cast("decimal(38,0)")
-        * F.col("na2").cast("decimal(38,0)")
-        * F.col("nb2").cast("decimal(38,0)")
-    )
-    edges = pairs.where(is_dup)
-    cstat = base.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
-    estat = edges.groupBy("cluster").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.count_distinct("b_id").alias("n_removed"),
-    )
-    return (
-        cstat.join(estat, "cluster", "left")
-        .select(
-            F.col("cluster").cast("int").alias("cluster"),
-            F.col("n_vectors").cast("long").alias("n_vectors"),
-            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-            (F.col("n_vectors") - F.coalesce("n_removed", F.lit(0)))
-            .cast("long")
-            .alias("n_kept"),
-        )
-        .orderBy("cluster")
+    return similarity.semdedup_report(
+        emb, "vec_id", "embedding", k=8, n_iters=3, tau2_ppm=202_500
     )
 
 
@@ -10360,49 +10302,6 @@ def q187_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("shared") >= 3)
         .select("u", "v")
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ed = e.join(du, "u").join(dv, "v")
-    lo_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = ed.select(
-        F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
-    o1 = o.select("s", F.col("t").alias("t1"), F.col("dt").alias("d1"))
-    o2 = o.select("s", F.col("t").alias("t2"), F.col("dt").alias("d2"))
-    wedges = o1.join(o2, "s").where(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
-    )
-    o3 = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
-    tri = wedges.join(o3, ["t1", "t2"]).agg(F.count("*").alias("n_triangles"))
-    estat = e.agg(F.count("*").alias("n_edges"))
-    nstat = deg.agg(
-        F.count("*").alias("n_nodes"),
-        F.coalesce(F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)).alias(
-            "n_wedges"
-        ),
-    )
-    return (
-        nstat.crossJoin(F.broadcast(estat))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            F.col("n_nodes").cast("long").alias("n_nodes"),
-            F.col("n_edges").cast("long").alias("n_edges"),
-            F.col("n_wedges").cast("long").alias("n_wedges"),
-            F.col("n_triangles").cast("long").alias("n_triangles"),
-            F.expr(
-                "cast(case when n_wedges > 0 then (3000000 * n_triangles)"
-                " div n_wedges else 0 end as bigint)"
-            ).alias("transitivity_ppm"),
-        )
-    )
+    from ..operators import graph as _graph
+
+    return _graph.triangle_count_oriented(e)

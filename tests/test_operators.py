@@ -1200,6 +1200,35 @@ def test_triangle_stats_hand_graph(spark):
     assert out[5]["n_triangles"] == 0 and out[6]["n_triangles"] == 0
 
 
+def test_triangle_count_oriented_agrees_with_per_node_stats(spark):
+    from pyspark.sql import functions as F
+
+    from otokuna_spark.operators import graph
+
+    # pseudo-random 600-edge graph over 80 nodes: the degree-ordered
+    # global census must equal the id-ordered per-node enumeration
+    # (sum of per-node triangle participation = 3 * global count)
+    edges = (
+        spark.range(900)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(80)).alias("u0"),
+            F.pmod(F.xxhash64("id", F.lit(5)), F.lit(80)).alias("v0"),
+        )
+        .where(F.col("u0") != F.col("v0"))
+        .select(F.least("u0", "v0").alias("u"), F.greatest("u0", "v0").alias("v"))
+        .distinct()
+    )
+    per_node = graph.triangle_stats(edges, id_a="u", id_b="v").collect()
+    glob = graph.triangle_count_oriented(edges).collect()[0]
+    assert sum(r["n_triangles"] for r in per_node) == 3 * glob["n_triangles"]
+    assert glob["n_nodes"] == len(per_node)
+    assert glob["n_edges"] == edges.count()
+    assert glob["n_wedges"] == sum(
+        r["degree"] * (r["degree"] - 1) // 2 for r in per_node
+    )
+    assert glob["n_triangles"] > 0  # dense enough that the check is live
+
+
 # ---------------------------------------------------------------------------
 # round-5 additions: frequency / linkage / graph.pagerank / gap-fill / pareto
 # ---------------------------------------------------------------------------

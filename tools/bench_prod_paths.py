@@ -379,6 +379,69 @@ def main() -> None:
         "n_moved_curve": [h["n_moved"] for h in hist],
     }
 
+    # Degree-ordered triangle counting at ~1M edges over 100k nodes —
+    # 80x the sf0.1 registry graph (q187). The orientation bounds wedge
+    # enumeration by oriented out-degree (O(sqrt(m))), so edges/s here is
+    # the number that transfers to hub-heavy production graphs.
+    from otokuna_spark.operators import graph as gph
+
+    n_gnodes, n_gedges = 100_000, 1_000_000
+    raw = spark.range(int(n_gedges * 1.15)).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_gnodes)).alias("u0"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_gnodes)).alias("v0"),
+    )
+    gedges = (
+        raw.where(F.col("u0") != F.col("v0"))
+        .select(
+            F.least("u0", "v0").alias("u"), F.greatest("u0", "v0").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    m_edges = gedges.count()
+    trow, s = timed(lambda: gph.triangle_count_oriented(gedges).collect()[0])
+    probes12["triangle_count_1m_edges"] = {
+        "seconds": s,
+        "edges": m_edges,
+        "edges_per_second": int(m_edges / s),
+        "n_triangles": trow["n_triangles"],
+        "n_wedges": trow["n_wedges"],
+        "transitivity_ppm": trow["transitivity_ppm"],
+    }
+
+    # SemDeDup at 50k x d=64 with k=64 — the "k grows with N" knob from
+    # similarity.semdedup_report's contract: clustering bounds the
+    # pairwise to Sum C(g_c, 2), measured here against the naive
+    # C(N, 2) it replaces.
+    n_sd, d_sd, k_sd = 50_000, 64, 64
+    sdvecs = spark.range(n_sd).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (2654435761 * (j + 3) + 101)) % 2_000_001 - 1_000_000)
+                / 1_000_000.0
+                for j in range(d_sd)
+            ]
+        ).alias("embedding"),
+    ).localCheckpoint()
+    sdrep, s = timed(
+        lambda: similarity.semdedup_report(
+            sdvecs, "vec_id", "embedding", k=k_sd, n_iters=2,
+            pair_partitions=96,
+        ).collect()
+    )
+    pairs_evaluated = sum(r["n_vectors"] * (r["n_vectors"] - 1) // 2 for r in sdrep)
+    naive_pairs = n_sd * (n_sd - 1) // 2
+    probes12["semdedup_50k_d64_k64"] = {
+        "seconds": s,
+        "vectors": n_sd,
+        "k": k_sd,
+        "pairs_evaluated": pairs_evaluated,
+        "naive_pairs": naive_pairs,
+        "pairwise_reduction_x": round(naive_pairs / max(1, pairs_evaluated), 1),
+        "vectors_per_second": int(n_sd / s),
+    }
+
     result["round12_scale_probes"] = probes12
 
     result["notes"] = (

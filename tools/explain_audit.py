@@ -183,7 +183,7 @@ EXPECT = {
     "q176_hll_daily_cumulative": ["partial_max", "BroadcastNestedLoopJoin"],
     # realized layout pruning: the candidate-cell predicate must reach the
     # written layout's scan as a PARTITION filter (pruned at listing time)
-    "q177_zorder_realized_pruning": ["PartitionFilters: [z", "partial_count", "BroadcastNestedLoopJoin"],
+    "q177_zorder_realized_pruning": ["PartitionFilters: [isnotnull(zcell", "partial_count", "BroadcastNestedLoopJoin"],
     "q178_heldout_lm_scoring": ["Scan ExistingRDD"],  # checkpointed score relation feeds bucket/order tail
     "q179_hll_range_query": ["partial_max", "partial_count"],
     # both sides must scan as bucketed tables (the co-location evidence the
@@ -194,6 +194,10 @@ EXPECT = {
     "q183_kmeans_lloyd": ["Scan ExistingRDD"],  # checkpointed final assignment; the per-round argmin/update plans ran before the audited tail
     "q184_kmeans_convergence": ["Scan ExistingRDD"],  # 3 driver-assembled history rows; the distributed aggs ran per round
     "q185_sq8_recall": ["BroadcastNestedLoopJoin", "partial_sum"],  # broadcast query/codebook attach + recall agg
+    "q186_semdedup": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed kmeans assignment joins back; cluster stats agg
+    # bottom-G selection must ride TakeOrderedAndProject (40 smallest groups,
+    # never a global sort) and broadcast onto the membership relation
+    "q187_triangle_count": ["TakeOrderedAndProject", "BroadcastHashJoin"],
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -438,7 +442,7 @@ MAX_SHUFFLES = {
     "q174_video_frame_sample": 1,  # synth+sample+features are maps; output order only
     "q175_group_split": 5,  # post-checkpoint tails over the ~100-row group relation (split agg, leak grp agg + scalar, order); the ONE corpus agg materializes at the checkpoint
     "q176_hll_daily_cumulative": 8,  # 2 corpus aggs (per-day registers, first-seen users) + day-cardinality triangular merges/sums + final join + order
-    "q177_zorder_realized_pruning": 4,  # full-read scalar agg + pruned-read scalar agg (2 each incl. the distinct-file counts); cell write happens before the audited plan
+    "q177_zorder_realized_pruning": 3,  # pre-write-relation scalar agg + pruned-read distinct-file agg (2); cell write happens before the audited plan, files_total is a filesystem listing
     "q178_heldout_lm_scoring": 1,  # post-checkpoint: output order only (bucketing is two broadcast-scalar comparisons); the LM train/score stages materialize at the checkpoint
     "q179_hll_range_query": 7,  # register agg + (u, day) distinct + window max-merges/estimates/exact sums over calendar-bounded relations + final join/order
     "q180_bucketed_colocated_join": 2,  # segment agg + output order; the custkey join itself is exchange-free (bucketed scans)
@@ -447,6 +451,8 @@ MAX_SHUFFLES = {
     "q183_kmeans_lloyd": 1,  # output order only — each Lloyd round is a map-only broadcast-centroid argmin + one k*d-row keyed agg, materialized at the checkpoint
     "q184_kmeans_convergence": 1,  # 3-row history order; per-round metrics are k-row aggs + an id-keyed moved join upstream of the checkpoint
     "q185_sq8_recall": 2,  # query_id window exchange (reused by the recall agg) + output order; pair scoring is map-only broadcast joins
+    "q186_semdedup": 7,  # id-keyed assignment join-back + cluster pair join + the deliberate pair rebalance + dup-pair distinct agg (2-phase) + cluster stats join + output order
+    "q187_triangle_count": 16,  # membership distinct + group agg + pair agg + degree agg/joins + oriented wedge self-join + close join + three 1-row census aggs; every exchange keyed on node/pair ids, 1-row tails broadcast
 }
 
 
