@@ -78,6 +78,12 @@ CASES = {
     # the step ratio should track the scan volume while the exchanged
     # model state stays k*(d+2) rows at ANY corpus size
     "iterative_training": "q183_kmeans_lloyd",
+    # round-12 second wave: cluster-bounded pairwise (Sum C(g_c,2) grows
+    # quadratically in cluster size at FIXED k — the step ratio makes the
+    # "k must grow with N" contract visible instead of implicit); blocked
+    # graph census (bottom-G pair fanout + degree-ordered wedge joins)
+    "cluster_pairwise": "q186_semdedup",
+    "graph_census": "q187_triangle_count",
 }
 
 

@@ -84,6 +84,9 @@ CASES = [
     # round-12 second wave: in-engine model training + SQ8 compression
     "q183_kmeans_lloyd",           # map-only broadcast-centroid argmin; k*d model rows exchange per round
     "q185_sq8_recall",             # d-row codebook broadcast; probe pairs never carry raw text
+    # round-12 third wave: cluster-scoped dedup + graph census
+    "q186_semdedup",               # within-cluster pairs only: Sum C(g_c,2), never C(N,2)
+    "q187_triangle_count",         # bottom-G blocked pairs + oriented wedges; ids only, never events
 ]
 
 
