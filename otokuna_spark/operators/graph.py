@@ -208,3 +208,75 @@ def pagerank_ppt(
         return ranks.select(F.col("src").alias("node"), "rank_ppt")
     finally:
         adj.unpersist()
+
+def kcore_peel(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    *,
+    k: int = 3,
+    n_rounds: int = 4,
+) -> tuple[DataFrame, list[dict]]:
+    """Iterative k-core peeling, unrolled to ``n_rounds``: each round
+    computes degrees from the surviving edge list and deletes every node
+    of degree < k (and its edges). Run to a fixpoint this yields exactly
+    the k-core (the maximal subgraph of minimum degree >= k); the
+    returned history makes convergence ATTESTABLE — a round with
+    n_removed == 0 proves the fixpoint was reached inside the unroll
+    (the q184 device: iterative-algorithm health committed as rows, not
+    asserted). Production runs the same loop to the data-dependent
+    fixpoint; the bounded unroll is what a hash-matched oracle can
+    replay.
+
+    Per round: one union+agg for degrees (keyed on node ids), two
+    semi-join filters against the < k node set (degree-table cardinality,
+    never edges x edges), one localCheckpoint to cut the lineage — the
+    pointer-doubling discipline of dedup.cluster_pairs applied to
+    peeling. History rows carry (iter, n_nodes, n_edges, n_removed)
+    measured BEFORE that round's deletion; the collect is 3 scalars per
+    round (the kmeans/BPE bounded-collect device)."""
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).localCheckpoint()
+    history: list[dict] = []
+    for it in range(1, n_rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        stats = deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.coalesce(F.sum("deg"), F.lit(0)).alias("deg_sum"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg") < k, 1).otherwise(0)), F.lit(0)
+            ).alias("n_removed"),
+        ).collect()[0]
+        history.append(
+            {
+                "iter": it,
+                "n_nodes": int(stats["n_nodes"]),
+                "n_edges": int(stats["deg_sum"]) // 2,
+                "n_removed": int(stats["n_removed"]),
+            }
+        )
+        if stats["n_removed"] == 0:
+            # fixpoint: remaining rounds are no-ops; record them so the
+            # report shape is partitioning- AND data-independent
+            for it2 in range(it + 1, n_rounds + 1):
+                history.append(
+                    {
+                        "iter": it2,
+                        "n_nodes": int(stats["n_nodes"]),
+                        "n_edges": int(stats["deg_sum"]) // 2,
+                        "n_removed": 0,
+                    }
+                )
+            break
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return e, history

@@ -10227,13 +10227,12 @@ def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q187_triangle_count",
-    """
+_COVIS_EDGE_CTES = """
     WITH ik AS (
         SELECT DISTINCT user_id, event_type,
-               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
     ),
     grp AS (SELECT event_type, k, COUNT(*) AS nusers FROM ik GROUP BY event_type, k),
     sel AS (SELECT event_type, k FROM grp ORDER BY nusers, event_type, k LIMIT 40),
@@ -10245,7 +10244,47 @@ def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM blocked a JOIN blocked b
           ON a.event_type = b.event_type AND a.k = b.k AND a.user_id < b.user_id
         GROUP BY a.user_id, b.user_id HAVING COUNT(*) >= 3
-    ),
+    )"""
+
+
+def _covis_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared co-visitation graph of q187/q188: users linked when
+    they share >= 3 of the 40 SMALLEST (event_type, k) interaction
+    groups — deterministic bottom-G blocking (the inverted-index device
+    of record linkage, fanout bound Sum C(g_i, 2) auditable from the
+    selected group sizes; production swaps the fixed G for a per-group
+    size cap). Canonical (u < v) edge rows, no duplicates."""
+    ev = read_table(spark, sf_dir, "events")
+    ik = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        # NULL-k rows would group fine but ORDER BY NULL placement differs
+        # across engines at the LIMIT boundary — exclude them by contract
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    grp = ik.groupBy("event_type", "k").agg(F.count("*").alias("nusers"))
+    sel = grp.orderBy("nusers", "event_type", "k").limit(40).select("event_type", "k")
+    blocked = ik.join(F.broadcast(sel), ["event_type", "k"])
+    a = blocked.select("event_type", "k", F.col("user_id").alias("u"))
+    b = blocked.select("event_type", "k", F.col("user_id").alias("v"))
+    return (
+        a.join(b, ["event_type", "k"])
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select("u", "v")
+    )
+
+
+@register(
+    "q187_triangle_count",
+    _COVIS_EDGE_CTES
+    + """,
     deg AS (
         SELECT node, COUNT(*) AS d
         FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
@@ -10283,25 +10322,88 @@ def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Sum C(d,2)), triangles, transitivity = 3*tri/wedges in ppm",
 )
 def q187_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    ik = ev.select(
-        "user_id",
-        "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    ).distinct()
-    grp = ik.groupBy("event_type", "k").agg(F.count("*").alias("nusers"))
-    sel = grp.orderBy("nusers", "event_type", "k").limit(40).select("event_type", "k")
-    blocked = ik.join(F.broadcast(sel), ["event_type", "k"])
-    a = blocked.select("event_type", "k", F.col("user_id").alias("u"))
-    b = blocked.select("event_type", "k", F.col("user_id").alias("v"))
-    e = (
-        a.join(b, ["event_type", "k"])
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("shared"))
-        .where(F.col("shared") >= 3)
-        .select("u", "v")
-    )
     from ..operators import graph as _graph
 
-    return _graph.triangle_count_oriented(e)
+    return _graph.triangle_count_oriented(_covis_edges(spark, sf_dir))
+
+
+def _kcore_oracle_rounds(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled k-core peeling as DuckDB CTEs over the shared
+    co-visitation edge CTE (`e`): per round, degrees from the surviving
+    edge list, stats BEFORE deletion, then the < k nodes and their edges
+    removed. Peeling an already-converged graph is a no-op, so the
+    fixed unroll reproduces the engine's early-break-and-pad history
+    row for row."""
+    parts = [", e0 AS (SELECT u, v FROM e)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{t} AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e{t - 1} UNION ALL SELECT v FROM e{t - 1})
+        GROUP BY node
+    ),
+    r{t} AS (
+        SELECT {t} AS iter, COUNT(*) AS n_nodes,
+               COALESCE(SUM(d), 0) // 2 AS n_edges,
+               COALESCE(SUM(CASE WHEN d < {k} THEN 1 ELSE 0 END), 0) AS n_removed
+        FROM d{t}
+    ),
+    e{t} AS (
+        SELECT p.u, p.v FROM e{t - 1} p
+        JOIN d{t} du ON du.node = p.u AND du.d >= {k}
+        JOIN d{t} dv ON dv.node = p.v AND dv.d >= {k}
+    )"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "q188_kcore_peel",
+    _COVIS_EDGE_CTES
+    + _kcore_oracle_rounds()
+    + """
+    SELECT CAST(iter AS INTEGER) AS iter,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(CASE WHEN n_removed = 0 THEN 1 ELSE 0 END AS BIGINT) AS converged
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+    ORDER BY iter
+    """,
+    "3-core decomposition of q187's co-visitation graph by iterative "
+    "peeling, unrolled to 4 rounds (graph.kcore_peel): each round "
+    "deletes every node of degree < 3 and its edges; at a fixpoint the "
+    "survivors are EXACTLY the 3-core (maximal subgraph of min degree "
+    ">= 3 — the community-detection / spam-ring primitive). The report "
+    "is the q184 device for iterative graph algorithms: per-round "
+    "(nodes, edges, removed) BEFORE deletion plus a COMPUTED converged "
+    "bit — a round with n_removed = 0 PROVES the fixpoint was reached "
+    "inside the unroll (observed: <= 3 rounds at every SF), and since "
+    "peeling a converged graph is a no-op the fixed unroll stays "
+    "hash-replayable either way. Scale shape: per round ONE keyed "
+    "degree agg + two semi-joins against the degree-table-cardinality "
+    "keep set (never edges x edges), lineage cut per round; at 100 TB "
+    "the same loop runs to the data-dependent fixpoint with "
+    "O(peel-depth) scans",
+)
+def q188_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph as _graph
+
+    _, history = _graph.kcore_peel(
+        _covis_edges(spark, sf_dir), k=3, n_rounds=4
+    )
+    return spark.createDataFrame(
+        [
+            (
+                h["iter"],
+                h["n_nodes"],
+                h["n_edges"],
+                h["n_removed"],
+                1 if h["n_removed"] == 0 else 0,
+            )
+            for h in history
+        ],
+        "iter int, n_nodes long, n_edges long, n_removed long, converged long",
+    ).orderBy("iter")

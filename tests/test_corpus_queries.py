@@ -706,3 +706,13 @@ def test_triangle_count_no_edges_is_clean_zero(spark, tmp_path):
     sf = _write_covis_events(spark, tmp_path, mem)
     out = REGISTRY["q187_triangle_count"].fn(spark, sf).collect()[0]
     assert tuple(out) == (0, 0, 0, 0, 0)
+
+
+def test_kcore_peel_k4_converges_immediately(spark, tmp_path):
+    # q187's K4 fixture: every node already has degree 3, so round 1 is
+    # the fixpoint and all four recorded rounds carry the converged bit
+    mem = [(u, "a", k) for u in (1, 2, 3, 4) for k in (0, 1, 2)]
+    sf = _write_covis_events(spark, tmp_path, mem)
+    rows = REGISTRY["q188_kcore_peel"].fn(spark, sf).collect()
+    assert [(r["iter"], r["n_nodes"], r["n_edges"], r["n_removed"], r["converged"])
+            for r in rows] == [(i, 4, 6, 0, 1) for i in (1, 2, 3, 4)]

@@ -2841,3 +2841,32 @@ def test_hll_range_query_consistent_with_prefix_and_whole(spark):
     for (a, b), w in rng.items():
         assert w["n_days"] == b - a + 1
         assert w["exact_distinct"] > 0
+
+
+def test_kcore_peel_cascade_and_convergence(spark):
+    from otokuna_spark.operators import graph
+
+    # K4 on {1,2,3,4} + node 5 hanging on (1, 2, 6) + leaf 6 on 5:
+    # round 1 peels 6 (deg 1), round 2 peels 5 (deg drops 3 -> 2),
+    # round 3 finds the K4 fixpoint; round 4 is the recorded no-op pad
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (1, 5), (2, 5), (5, 6)],
+        "u long, v long",
+    )
+    core, hist = graph.kcore_peel(edges, k=3, n_rounds=4)
+    assert [(h["iter"], h["n_nodes"], h["n_edges"], h["n_removed"]) for h in hist] == [
+        (1, 6, 9, 1), (2, 5, 8, 1), (3, 4, 6, 0), (4, 4, 6, 0),
+    ]
+    # the surviving subgraph is exactly the K4
+    assert sorted(map(tuple, core.collect())) == [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    ]
+
+
+def test_kcore_peel_empty_graph_converges_round_one(spark):
+    from otokuna_spark.operators import graph
+
+    edges = spark.createDataFrame([], "u long, v long")
+    _, hist = graph.kcore_peel(edges, k=3, n_rounds=4)
+    assert [(h["n_nodes"], h["n_removed"]) for h in hist] == [(0, 0)] * 4

@@ -198,6 +198,7 @@ EXPECT = {
     # bottom-G selection must ride TakeOrderedAndProject (40 smallest groups,
     # never a global sort) and broadcast onto the membership relation
     "q187_triangle_count": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    "q188_kcore_peel": ["Scan ExistingRDD"],  # 4 driver-assembled history rows; per-round degree aggs + semi-joins ran before the audited tail
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -453,6 +454,7 @@ MAX_SHUFFLES = {
     "q185_sq8_recall": 2,  # query_id window exchange (reused by the recall agg) + output order; pair scoring is map-only broadcast joins
     "q186_semdedup": 7,  # id-keyed assignment join-back + cluster pair join + the deliberate pair rebalance + dup-pair distinct agg (2-phase) + cluster stats join + output order
     "q187_triangle_count": 16,  # membership distinct + group agg + pair agg + degree agg/joins + oriented wedge self-join + close join + three 1-row census aggs; every exchange keyed on node/pair ids, 1-row tails broadcast
+    "q188_kcore_peel": 1,  # 4-row history order only; per-round peel plans (degree agg + 2 semi-joins) run upstream, lineage cut each round
 }
 
 
