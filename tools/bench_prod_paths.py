@@ -409,6 +409,24 @@ def main() -> None:
         "transitivity_ppm": trow["transitivity_ppm"],
     }
 
+    # k-core peeling on the same graph (avg degree ~23, so k=16 peels a
+    # real fringe): rounds-to-fixpoint and edges/s across the whole peel
+    # are the 100 TB numbers — each round is one degree agg + two
+    # semi-joins, so cost ~ peel_depth x scan.
+    (_, khist), s = timed(lambda: gph.kcore_peel(gedges, k=16, n_rounds=12))
+    converged_at = next(
+        (h["iter"] for h in khist if h["n_removed"] == 0), None
+    )
+    probes12["kcore_peel_1m_edges_k16"] = {
+        "seconds": s,
+        "edges": m_edges,
+        "edges_per_second_whole_peel": int(m_edges / s),
+        "rounds_to_fixpoint": converged_at,
+        "survivor_nodes": khist[-1]["n_nodes"],
+        "survivor_edges": khist[-1]["n_edges"],
+        "removed_curve": [h["n_removed"] for h in khist if h["n_removed"] > 0],
+    }
+
     # SemDeDup at 50k x d=64 with k=64 — the "k grows with N" knob from
     # similarity.semdedup_report's contract: clustering bounds the
     # pairwise to Sum C(g_c, 2), measured here against the naive
