@@ -8,15 +8,19 @@ BENCH_LOCAL.json (the driver's stdout tail capture truncates long lines).
 Each query is executed to completion (collect) but results are discarded.
 Timings are the per-entry MIN over $SPARK_GRAFT_BENCH_RUNS passes
 (default 2) — single-pass numbers on a shared box swing +-40% from GC and
-filesystem noise; min-of-N reports the machine's actual capability. A
-budget guard skips extra passes if the first one ran long, bounding total
-wall time. The Spark cache is cleared before every timed query so
+filesystem noise; min-of-N reports the machine's actual capability. Pass
+0 always completes; later passes run fastest-entry-first and stop when
+$SPARK_GRAFT_BENCH_BUDGET is exceeded, so total wall time stays bounded
+while as many entries as possible get a warm re-time (partial second
+passes show as shorter arrays in "passes"). The Spark cache is cleared
+before every timed query so
 relations persisted by one query (LSH/simhash band caches) can't bleed
 memory pressure into another's timing.
 """
 
 from __future__ import annotations
 
+import functools
 import gc
 import json
 import os
@@ -25,16 +29,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from otokuna_spark.plans.queries import REGISTRY
+from otokuna_spark.plans.queries import REGISTRY, clear_shared_relations
 from otokuna_spark.session import DEFAULT_SF_DIR, get_spark
 
 # every registry query is a headline query — deriving from REGISTRY keeps
 # bench coverage from drifting as queries are added
 BENCH_QUERIES = sorted(REGISTRY)
 
-# skip follow-up passes when the first pass exceeded this (seconds): noisy
-# or huge-SF runs still finish inside the driver's timeout
-PASS_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+# total time budget (seconds): pass 0 always completes; later passes run
+# fastest-entry-first and stop the moment the budget is exceeded, so noisy
+# or huge-SF runs still finish inside the driver's timeout while re-timing
+# as many entries warm as the budget allows. 540 is inside the proven
+# driver tolerance (the round-11 driver bench ran two full passes to
+# ~550-600 s wall with rc=0).
+PASS_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
 
 
 def main() -> None:
@@ -84,40 +92,36 @@ def main() -> None:
     try:
         n_listings = generate_crawl(crawl_dir, n_pages=1500, rooms_per_page=50)
 
-        t_start = time.perf_counter()
-        for run in range(n_runs):
-            if run > 0 and time.perf_counter() - t_start > PASS_BUDGET_S:
-                print(f"bench: budget hit, stopping after pass {run}", file=sys.stderr)
-                break
-            print(f"bench: pass {run} starting at t={time.perf_counter() - t_start:.0f}s", file=sys.stderr)
+        def run_query(name: str, run: int) -> None:
+            spec = REGISTRY[name]
+            spark.catalog.clearCache()
+            # clearCache() frees the SQL cache but NOT localCheckpoint
+            # blocks: those release only when the JVM DataFrame proxies
+            # are garbage-collected (Python gc -> py4j detach ->
+            # ContextCleaner). Without this, checkpoint blocks from
+            # block-heavy queries (suffix-array family, LSH caches)
+            # accumulate and bleed GC/memory pressure into later
+            # queries' timings non-deterministically — measured as the
+            # r07->r08 cross-round drift on UNCHANGED queries.
+            gc.collect()
+            t0 = time.perf_counter()
+            rows = spec.fn(spark, sf_dir).collect()
+            record(name, time.perf_counter() - t0)
+            if run == 0 and not rows:
+                # correctness runs at sf0.01 only — an empty result at
+                # bench scale usually means a threshold tuned for the
+                # small sf, worth a visible flag even though some
+                # selective queries can legitimately return nothing
+                print(f"bench: WARNING {name} returned 0 rows at sf={sf}", file=sys.stderr)
+            del rows
+
+        def run_scrape(run: int) -> None:
             t0 = time.perf_counter()
             n_clean = scrape_pipeline(spark, crawl_dir).count()
             record("scrape_pipeline_75k_listings", time.perf_counter() - t0)
             assert n_clean > 0.5 * n_listings, (n_clean, n_listings)
 
-            for name in BENCH_QUERIES:
-                spec = REGISTRY[name]
-                spark.catalog.clearCache()
-                # clearCache() frees the SQL cache but NOT localCheckpoint
-                # blocks: those release only when the JVM DataFrame proxies
-                # are garbage-collected (Python gc -> py4j detach ->
-                # ContextCleaner). Without this, checkpoint blocks from
-                # block-heavy queries (suffix-array family, LSH caches)
-                # accumulate and bleed GC/memory pressure into later
-                # queries' timings non-deterministically — measured as the
-                # r07->r08 cross-round drift on UNCHANGED queries.
-                gc.collect()
-                t0 = time.perf_counter()
-                rows = spec.fn(spark, sf_dir).collect()
-                record(name, time.perf_counter() - t0)
-                if run == 0 and not rows:
-                    # correctness runs at sf0.01 only — an empty result at
-                    # bench scale usually means a threshold tuned for the
-                    # small sf, worth a visible flag even though some
-                    # selective queries can legitimately return nothing
-                    print(f"bench: WARNING {name} returned 0 rows at sf={sf}", file=sys.stderr)
-                del rows
-
+        def run_salted(run: int) -> None:
             # Skew-salted join on a synthetic power-law key (90% of the
             # 2M-row big side lands on ONE key), with an untimed row-count
             # equivalence check vs the plain join.
@@ -133,6 +137,46 @@ def main() -> None:
             if run == 0:
                 n_plain = big.join(small, "k").count()
                 assert n_salted == n_plain, (n_salted, n_plain)
+
+        entries: dict[str, object] = {"scrape_pipeline_75k_listings": run_scrape}
+        entries.update(
+            {name: functools.partial(run_query, name) for name in BENCH_QUERIES}
+        )
+        entries["salted_join_hotkey_2m"] = run_salted
+
+        t_start = time.perf_counter()
+        for run in range(n_runs):
+            elapsed = time.perf_counter() - t_start
+            if run > 0 and elapsed > PASS_BUDGET_S:
+                print(f"bench: budget hit, stopping after pass {run}", file=sys.stderr)
+                break
+            print(f"bench: pass {run} starting at t={elapsed:.0f}s", file=sys.stderr)
+            # drop family-shared memoized relations (ExactSubstr scan):
+            # each pass pays every shared scan exactly once, so pass
+            # timings stay self-contained and the blocks don't pin
+            # executor storage across passes
+            clear_shared_relations()
+            # Pass 0 runs in registry order. Later passes run FASTEST-FIRST
+            # (by pass-0 time) and stop when the budget hits: on a slow or
+            # noisy host the re-time budget then covers the maximum number
+            # of entries instead of none at all (round-12: a 415 s cold
+            # pass starved the whole second pass, leaving every committed
+            # number a cold-start artifact).
+            if run == 0:
+                order = list(entries)
+            else:
+                order = sorted(entries, key=lambda n: timings.get(n, 0.0))
+            n_retimed = 0
+            for name in order:
+                if run > 0 and time.perf_counter() - t_start > PASS_BUDGET_S:
+                    print(
+                        f"bench: budget hit mid-pass {run} after {n_retimed}/"
+                        f"{len(order)} entries",
+                        file=sys.stderr,
+                    )
+                    break
+                entries[name](run)
+                n_retimed += 1
     finally:
         shutil.rmtree(crawl_dir, ignore_errors=True)
 

@@ -1381,6 +1381,7 @@ def exact_char_dup_spans(
     text_col: str,
     window: int = 32,
     reliable: bool = False,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide EXACT duplicated-substring spans at CHARACTER level —
     the ExactSubstr criterion from Lee et al. 2022 ("Deduplicating
@@ -1423,6 +1424,12 @@ def exact_char_dup_spans(
     full ``window``-char grams shuffle ONLY for candidate positions (the
     duplicated fraction). Never a self-join on position pairs, never
     O(docs^2).
+
+    ``hashed``: an optional pre-materialized ``_rolling_window_hashes``
+    relation (``__id, p, __h``) — callers that run several ExactSubstr
+    consumers over the SAME corpus (the q143/q144/q146/q147 family)
+    compute the scan once and pass it here; when provided it is assumed
+    already staged and is NOT re-checkpointed.
     """
     gram = F.expr(f"substring(__t, p, {window})")
     # materialize the corpus-sized hash relation: it feeds BOTH the
@@ -1433,9 +1440,10 @@ def exact_char_dup_spans(
     # corpus-sized relations through a fault-tolerant checkpoint instead
     # (persistence.stage) — localCheckpoint blocks die with a lost
     # executor, which is routine on a 100 TB run.
-    hashed = persistence.stage(
-        _rolling_window_hashes(docs, id_col, text_col, window), reliable
-    )
+    if hashed is None:
+        hashed = persistence.stage(
+            _rolling_window_hashes(docs, id_col, text_col, window), reliable
+        )
     hot_h = (
         hashed.groupBy("__h")
         .agg(F.count("*").alias("__c"))
@@ -1472,6 +1480,7 @@ def cross_source_dup_matrix(
     source_col: str,
     window: int = 32,
     reliable: bool = False,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-source contamination matrix over the ExactSubstr criterion:
     for every unordered source pair (a < b), the number of DISTINCT
@@ -1489,12 +1498,15 @@ def cross_source_dup_matrix(
     sources^2-bounded regardless of corpus size.
 
     Returns (source_a, source_b, n_shared_grams), source_a < source_b.
+    ``hashed``: optional pre-staged scan relation (see
+    ``exact_char_dup_spans``).
     """
     # reliable=True -> fault-tolerant staging of the two corpus-sized
     # relations (see exact_char_dup_spans)
-    hashed = persistence.stage(
-        _rolling_window_hashes(docs, id_col, text_col, window), reliable
-    )
+    if hashed is None:
+        hashed = persistence.stage(
+            _rolling_window_hashes(docs, id_col, text_col, window), reliable
+        )
     hot_h = (
         hashed.groupBy("__h")
         .agg(F.count("*").alias("__c"))
@@ -1529,14 +1541,22 @@ def cross_source_dup_matrix(
 
 
 def _merged_dup_ranges(
-    docs: DataFrame, id_col: str, text_col: str, window: int, reliable: bool = False
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    reliable: bool = False,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc interval UNION of the duplicated-window char ranges from
     ``exact_char_dup_spans`` as (__id, rs, re) with re exclusive —
     islands closer than the window overlap as char ranges, so consumers
     that count or cut covered characters must merge first (classic
-    running-max interval union; adjacency merges too)."""
-    spans = exact_char_dup_spans(docs, id_col, text_col, window, reliable=reliable)
+    running-max interval union; adjacency merges too). ``spans``: an
+    optional pre-computed ``exact_char_dup_spans`` result over the same
+    (docs, window) — the family-sharing hook."""
+    if spans is None:
+        spans = exact_char_dup_spans(docs, id_col, text_col, window, reliable=reliable)
     rng = spans.select(
         F.col(id_col).alias("__id"),
         F.col("span_start").alias("rs"),
@@ -1560,6 +1580,7 @@ def dup_rate_by_source(
     source_col: str,
     window: int = 32,
     reliable: bool = False,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-source ExactSubstr duplication coverage: how many characters
     of each source's text sit inside duplicated-window spans (after
@@ -1573,7 +1594,7 @@ def dup_rate_by_source(
     relation; the corpus itself contributes one rolling-hash scan plus
     the per-source length aggregation."""
     dropped = (
-        _merged_dup_ranges(docs, id_col, text_col, window, reliable=reliable)
+        _merged_dup_ranges(docs, id_col, text_col, window, reliable=reliable, spans=spans)
         .groupBy("__id")
         .agg(F.sum(F.col("re") - F.col("rs")).alias("__dropped"))
     )
@@ -1609,6 +1630,7 @@ def exact_substring_scrub(
     text_col: str,
     window: int = 32,
     reliable: bool = False,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Apply the ExactSubstr criterion (``exact_char_dup_spans``) as a
     SCRUB: remove every character covered by a duplicated-window span
@@ -1633,7 +1655,7 @@ def exact_substring_scrub(
     untouched documents take the left join's null branch and never
     carry segment arrays.
     """
-    merged = _merged_dup_ranges(docs, id_col, text_col, window, reliable=reliable)
+    merged = _merged_dup_ranges(docs, id_col, text_col, window, reliable=reliable, spans=spans)
     # inter-range segment BEFORE each merged range: [prev_end, rs)
     w_m = Window.partitionBy("__id").orderBy("rs")
     pieces = merged.withColumn("__ps", F.lag("re", 1, 1).over(w_m))

@@ -6691,6 +6691,44 @@ def q142_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Family-shared ExactSubstr relations (q143/q144/q146/q147). All four
+# queries start from the SAME corpus-wide rolling-hash scan
+# (dedup._rolling_window_hashes) and, for three of them, the same
+# duplicated-span relation — recomputing the scan per query is pure
+# fixed cost (it dominated the family's ~41 s/pass in BENCH_r12 and
+# pushed the driver bench past its two-pass budget). The memo is the
+# q187/q188 `_covis_edges` sharing device plus localCheckpoint
+# materialization, keyed by (sf_dir, window); bench.py clears it between
+# passes (clear_shared_relations) so every pass pays the scan exactly
+# once and pass timings stay self-contained. Correctness is unaffected:
+# the relations are deterministic functions of the input parquet.
+_ES_SHARED: dict[tuple[str, int], dict[str, DataFrame]] = {}
+
+
+def _exactsubstr_shared(
+    spark: SparkSession, sf_dir: str, window: int = 32
+) -> dict[str, DataFrame]:
+    key = (sf_dir, window)
+    got = _ES_SHARED.get(key)
+    if got is None:
+        docs = read_table(spark, sf_dir, "documents")
+        hashed = dedup._rolling_window_hashes(
+            docs, "doc_id", "text", window
+        ).localCheckpoint()
+        spans = dedup.exact_char_dup_spans(
+            docs, "doc_id", "text", window, hashed=hashed
+        ).localCheckpoint()
+        got = {"hashed": hashed, "spans": spans}
+        _ES_SHARED[key] = got
+    return got
+
+
+def clear_shared_relations() -> None:
+    """Drop memoized family-shared relations so their checkpoint blocks
+    can be garbage-collected (bench.py calls this between passes)."""
+    _ES_SHARED.clear()
+
+
 @register(
     "q143_exact_dup_spans",
     """
@@ -6729,8 +6767,7 @@ def q142_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cost, never a position self-join",
 )
 def q143_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return dedup.exact_char_dup_spans(docs, "doc_id", "text", window=32).orderBy(
+    return _exactsubstr_shared(spark, sf_dir, window=32)["spans"].orderBy(
         "doc_id", "span_start"
     )
 
@@ -6803,9 +6840,10 @@ def q143_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q144_exact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return dedup.exact_substring_scrub(docs, "doc_id", "text", window=32).orderBy(
-        "doc_id"
-    )
+    spans = _exactsubstr_shared(spark, sf_dir, window=32)["spans"]
+    return dedup.exact_substring_scrub(
+        docs, "doc_id", "text", window=32, spans=spans
+    ).orderBy("doc_id")
 
 
 @register(
@@ -6921,9 +6959,10 @@ def q145_longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def q146_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return dedup.dup_rate_by_source(docs, "doc_id", "text", "source", window=32).orderBy(
-        "source"
-    )
+    spans = _exactsubstr_shared(spark, sf_dir, window=32)["spans"]
+    return dedup.dup_rate_by_source(
+        docs, "doc_id", "text", "source", window=32, spans=spans
+    ).orderBy("source")
 
 
 @register(
@@ -6958,8 +6997,9 @@ def q146_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q147_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    hashed = _exactsubstr_shared(spark, sf_dir, window=32)["hashed"]
     return dedup.cross_source_dup_matrix(
-        docs, "doc_id", "text", "source", window=32
+        docs, "doc_id", "text", "source", window=32, hashed=hashed
     ).orderBy("source_a", "source_b")
 
 
