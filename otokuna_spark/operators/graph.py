@@ -209,24 +209,33 @@ def pagerank_ppt(
     finally:
         adj.unpersist()
 
+
 def kcore_peel(
     edges: DataFrame,
     u: str = "u",
     v: str = "v",
     *,
     k: int = 3,
-    n_rounds: int = 4,
+    n_rounds: int | None = 4,
+    max_rounds: int = 64,
 ) -> tuple[DataFrame, list[dict]]:
-    """Iterative k-core peeling, unrolled to ``n_rounds``: each round
-    computes degrees from the surviving edge list and deletes every node
-    of degree < k (and its edges). Run to a fixpoint this yields exactly
-    the k-core (the maximal subgraph of minimum degree >= k); the
-    returned history makes convergence ATTESTABLE — a round with
-    n_removed == 0 proves the fixpoint was reached inside the unroll
-    (the q184 device: iterative-algorithm health committed as rows, not
-    asserted). Production runs the same loop to the data-dependent
-    fixpoint; the bounded unroll is what a hash-matched oracle can
-    replay.
+    """Iterative k-core peeling: each round computes degrees from the
+    surviving edge list and deletes every node of degree < k (and its
+    edges).
+
+    Two modes (the cluster_pairs discipline, dedup.py):
+
+    - ``n_rounds=None`` (production): run to the DATA-DEPENDENT fixpoint
+      — iterate until a round removes nothing, which yields exactly the
+      k-core (the maximal subgraph of minimum degree >= k). A
+      ``max_rounds`` guard raises RuntimeError instead of returning a
+      silently-unfinished peel; 64 rounds is far past any real peel
+      depth (the 1.15M-edge PROD probe converges in 13).
+    - ``n_rounds=N`` (oracle attestation): bounded unroll replayable by
+      hash-matched unrolled SQL CTEs. The returned history makes
+      convergence ATTESTABLE — a round with n_removed == 0 proves the
+      fixpoint was reached inside the unroll (the q184 device:
+      iterative-algorithm health committed as rows, not asserted).
 
     Per round: one union+agg for degrees (keyed on node ids), two
     semi-join filters against the < k node set (degree-table cardinality,
@@ -234,10 +243,18 @@ def kcore_peel(
     pointer-doubling discipline of dedup.cluster_pairs applied to
     peeling. History rows carry (iter, n_nodes, n_edges, n_removed)
     measured BEFORE that round's deletion; the collect is 3 scalars per
-    round (the kmeans/BPE bounded-collect device)."""
+    round (the kmeans/BPE bounded-collect device).
+
+    Returns (surviving_edges, history). In bounded-unroll mode the edge
+    list is the true k-core ONLY if the fixpoint was reached inside the
+    unroll — callers that need the core must check
+    ``history[-1]["n_removed"] == 0`` (q188 surfaces this as a computed
+    ``converged`` bit); fixpoint mode guarantees it by construction."""
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).localCheckpoint()
     history: list[dict] = []
-    for it in range(1, n_rounds + 1):
+    to_fixpoint = n_rounds is None
+    bound = max_rounds if to_fixpoint else n_rounds
+    for it in range(1, bound + 1):
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
@@ -260,23 +277,31 @@ def kcore_peel(
             }
         )
         if stats["n_removed"] == 0:
-            # fixpoint: remaining rounds are no-ops; record them so the
-            # report shape is partitioning- AND data-independent
-            for it2 in range(it + 1, n_rounds + 1):
-                history.append(
-                    {
-                        "iter": it2,
-                        "n_nodes": int(stats["n_nodes"]),
-                        "n_edges": int(stats["deg_sum"]) // 2,
-                        "n_removed": 0,
-                    }
-                )
-            break
+            if not to_fixpoint:
+                # fixpoint inside the unroll: remaining rounds are no-ops;
+                # record them so the report shape is partitioning- AND
+                # data-independent
+                for it2 in range(it + 1, n_rounds + 1):
+                    history.append(
+                        {
+                            "iter": it2,
+                            "n_nodes": int(stats["n_nodes"]),
+                            "n_edges": int(stats["deg_sum"]) // 2,
+                            "n_removed": 0,
+                        }
+                    )
+            return e, history
         keep = deg.where(F.col("deg") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
             .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
             .select("u", "v")
             .localCheckpoint()
+        )
+    if to_fixpoint:
+        raise RuntimeError(
+            f"kcore_peel(k={k}) did not reach the fixpoint within "
+            f"max_rounds={max_rounds}; last round removed "
+            f"{history[-1]['n_removed']} nodes"
         )
     return e, history

@@ -2870,3 +2870,36 @@ def test_kcore_peel_empty_graph_converges_round_one(spark):
     edges = spark.createDataFrame([], "u long, v long")
     _, hist = graph.kcore_peel(edges, k=3, n_rounds=4)
     assert [(h["n_nodes"], h["n_removed"]) for h in hist] == [(0, 0)] * 4
+
+
+def test_kcore_peel_fixpoint_mode_long_tail(spark):
+    from otokuna_spark.operators import graph
+
+    # triangle {1,2,3} + an 8-node tail hanging off node 3: the
+    # data-dependent loop must peel one leaf per round (8 rounds) before
+    # the degree-2 triangle fixpoint — far past any fixed unroll, the
+    # exact case n_rounds=None exists for
+    tail = [(i, i + 1) for i in range(3, 11)]
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)] + tail, "u long, v long"
+    )
+    core, hist = graph.kcore_peel(edges, k=2, n_rounds=None)
+    assert sorted(map(tuple, core.collect())) == [(1, 2), (1, 3), (2, 3)]
+    # converged: the final recorded round removed nothing, and no no-op
+    # padding rows exist in fixpoint mode
+    assert hist[-1]["n_removed"] == 0
+    assert len(hist) == 9  # 8 peel rounds + the converged round
+    assert [h["n_removed"] for h in hist] == [1] * 8 + [0]
+
+
+def test_kcore_peel_fixpoint_mode_guard_raises(spark):
+    import pytest
+
+    from otokuna_spark.operators import graph
+
+    tail = [(i, i + 1) for i in range(3, 11)]
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)] + tail, "u long, v long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach the fixpoint"):
+        graph.kcore_peel(edges, k=2, n_rounds=None, max_rounds=3)

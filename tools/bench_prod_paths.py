@@ -412,13 +412,18 @@ def main() -> None:
     # k-core peeling on the same graph (avg degree ~23, so k=16 peels a
     # real fringe): rounds-to-fixpoint and edges/s across the whole peel
     # are the 100 TB numbers — each round is one degree agg + two
-    # semi-joins, so cost ~ peel_depth x scan.
-    (_, khist), s = timed(lambda: gph.kcore_peel(gedges, k=16, n_rounds=12))
+    # semi-joins, so cost ~ peel_depth x scan. PRODUCTION MODE
+    # (n_rounds=None): runs the data-dependent loop to the actual
+    # fixpoint under the max_rounds RuntimeError guard — the round-12
+    # probe's fixed 12-round unroll honestly recorded
+    # rounds_to_fixpoint=null because the geometric tail needed 13.
+    (_, khist), s = timed(lambda: gph.kcore_peel(gedges, k=16, n_rounds=None))
     converged_at = next(
         (h["iter"] for h in khist if h["n_removed"] == 0), None
     )
     probes12["kcore_peel_1m_edges_k16"] = {
         "seconds": s,
+        "mode": "fixpoint",
         "edges": m_edges,
         "edges_per_second_whole_peel": int(m_edges / s),
         "rounds_to_fixpoint": converged_at,
