@@ -940,6 +940,25 @@ def semdedup_report(
     |b|^2, computed in decimal(38,0) so the kept set is a pure function
     of the corpus.
 
+    Drop-rule contract (STRICTER than greedy keep-first on transitive
+    chains): ``n_removed = count_distinct(b_id)`` removes the higher
+    endpoint of EVERY duplicate pair, so a chain a–b, b–c drops both b
+    and c, whereas a greedy scan would keep c once b is gone. This is
+    deliberate — it is order-free (hence oracle-replayable and
+    partitioning-invariant) and errs toward removing near-duplicates.
+    Callers that need exactly-one-kept-per-connected-component semantics
+    (Abbas et al.'s transitive grouping) should route the dup pairs
+    through ``dedup.cluster_pairs`` and keep the component canonical —
+    the q189 registry variant does exactly that.
+
+    Numeric headroom (decimal(38,0) DOES overflow to NULL silently,
+    dropping pairs): with the quantization scale S = 1e6 and unit-scale
+    embeddings (|v_i| <= 1), |dot| <= d * S^2, so the product
+    dot^2 * 1e6 <= d^2 * 1e30 stays inside 38 digits for d < ~10,000
+    dims. Components above unit scale shrink that bound by max|v|^4 —
+    keep d * (max|v| * S)^2 below ~3e15 (i.e. sqrt(1e38 / 1e6) / S^2).
+    The embeddings table (d=64, unit-scaled) has ~5 orders of headroom.
+
     Returns the per-cluster report (cluster, n_vectors, n_dup_pairs,
     n_removed, n_kept). Scale: the quadratic is bounded to
     Sum_c C(g_c, 2) — choose ``k ~ N / g_target`` so cluster blocks stay

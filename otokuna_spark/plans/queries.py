@@ -9442,7 +9442,8 @@ def q176_hll_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.files_scanned AS BIGINT) AS files_scanned,
            CAST(s.rows_scanned AS BIGINT) AS rows_scanned,
            CAST((f.total_rows - s.rows_scanned) * 1000000 // f.total_rows AS BIGINT) AS realized_pruned_ppm,
-           CAST(CASE WHEN s.match_rows = f.match_full THEN 1 ELSE 0 END AS BIGINT) AS pruning_lossless
+           CAST(CASE WHEN s.match_rows = f.match_full THEN 1 ELSE 0 END AS BIGINT) AS pruning_lossless,
+           CAST(CASE WHEN f.total_rows = (SELECT SUM(cnt) FROM cells) THEN 1 ELSE 0 END AS BIGINT) AS layout_complete
     FROM f, s
     """,
     "Z-order layout WRITER, realized — q171's prediction closed into "
@@ -9454,11 +9455,15 @@ def q176_hll_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in (x, y), so candidates are pure arithmetic, no data scan) as a "
     "PARTITION filter — Spark prunes non-candidate directories at "
     "file-LISTING time. The report row is the realized bill: files "
-    "actually materialized (filesystem listing of the written layout), "
+    "actually materialized (Hadoop FileSystem glob of the written "
+    "layout — scheme-portable, works on HDFS/S3 scratch dirs too), "
     "files actually scanned (count distinct input_file_name over the "
     "candidate-filtered read), rows scanned vs total, realized "
-    "pruned_ppm, and a COMPUTED losslessness bit (box rows found in "
-    "the pruned read == box rows in the pre-write relation). cell_bits "
+    "pruned_ppm, a COMPUTED losslessness bit (box rows found in "
+    "the pruned read == box rows in the pre-write relation), and a "
+    "layout_complete bit cross-checking the written layout's TOTAL row "
+    "count against the pre-write relation (metadata-only parquet count) "
+    "so a writer bug dropping non-box rows cannot hide. cell_bits "
     "is SIZED TO THE DATA (6 -> 64 cells ~ 1.5k rows/file at sf0.1) "
     "per the module's own guidance — the r11 shape (1024 cells for "
     "100k rows) was the small-files anti-pattern and paid a 598-task "
@@ -9488,15 +9493,25 @@ def q177_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("in_box")
     cand = _layout.box_candidate_cells(x_lo, x_hi, y_lo, y_hi, cell_bits=6)
 
-    # files_total: the REALIZED file set, from the filesystem listing of
-    # the layout just written (one file per non-empty cell by the writer
-    # invariant — what makes it oracle-replayable). Totals/match_full come
-    # from the pre-write relation (identical rows by construction), so the
-    # only layout scan left is the partition-PRUNED one below.
-    import glob as _glob
-    import os as _os
+    # files_total: the REALIZED file set, listed through the Hadoop
+    # FileSystem API so the count is correct for ANY path scheme the
+    # scratch dir may move to (HDFS/S3), not just the local filesystem —
+    # a driver-local glob would silently return 0 there. One file per
+    # non-empty cell by the writer invariant is what makes it
+    # oracle-replayable. Totals/match_full come from the pre-write
+    # relation; the written layout is additionally cross-checked below.
+    jvm = spark._jvm
+    glob_path = jvm.org.apache.hadoop.fs.Path(path + "/zcell=*/*.parquet")
+    fs = glob_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stats = fs.globStatus(glob_path)
+    files_total = len(stats) if stats is not None else 0
 
-    files_total = len(_glob.glob(_os.path.join(path, "zcell=*", "*.parquet")))
+    # Written-layout completeness cross-check: a writer bug that dropped
+    # NON-box rows would be invisible to the losslessness bit (it only
+    # covers box rows via the pruned read), so count the materialized
+    # rows once — an empty-ReadSchema parquet count, row-group metadata
+    # only, no column decode — and attest layout_rows == total_rows.
+    layout_rows = spark.read.parquet(path).count()
 
     scanned = (
         spark.read.parquet(path)
@@ -9525,6 +9540,9 @@ def q177_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(case when match_rows = match_full then 1 else 0 end as bigint)"
         ).alias("pruning_lossless"),
+        F.expr(
+            f"cast(case when total_rows = {layout_rows}L then 1 else 0 end as bigint)"
+        ).alias("layout_complete"),
     )
 
 
