@@ -964,6 +964,54 @@ def semdedup_report(
     Sum_c C(g_c, 2) — choose ``k ~ N / g_target`` so cluster blocks stay
     near the pairwise budget; ``pair_partitions`` spreads the dot-product
     folds off the k-partition join key."""
+    base, edges = semdedup_graph(
+        df,
+        id_col,
+        vec_col,
+        k=k,
+        n_iters=n_iters,
+        tau2_ppm=tau2_ppm,
+        pair_partitions=pair_partitions,
+    )
+    cstat = base.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    estat = edges.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.count_distinct("b_id").alias("n_removed"),
+    )
+    return (
+        cstat.join(estat, "cluster", "left")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_vectors") - F.coalesce("n_removed", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def semdedup_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 3,
+    tau2_ppm: int = 202_500,
+    pair_partitions: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared front half of the SemDeDup family: integer-exact Lloyd
+    clustering + within-cluster sqrt-free cosine dup test. Returns
+    ``(base, edges)`` — ``base`` is one row per vector (cluster, id,
+    quantized components, squared norm) and ``edges`` the duplicate
+    pairs (cluster, a_id, b_id, dot, na2, nb2) with a_id < b_id.
+    ``semdedup_report`` applies the order-free drop-every-higher-endpoint
+    rule to the edges; ``semdedup_components_report`` routes them through
+    connected components for Abbas et al.'s one-kept-per-group
+    semantics. Numeric headroom bound: see ``semdedup_report``."""
     from . import kmeans as _km
 
     assign, _ = _km.lloyd_kmeans(df, id_col, vec_col, k=k, n_iters=n_iters)
@@ -1007,17 +1055,78 @@ def semdedup_report(
         * F.col("nb2").cast("decimal(38,0)")
     )
     edges = pairs.where(is_dup)
-    cstat = base.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
-    estat = edges.groupBy("cluster").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.count_distinct("b_id").alias("n_removed"),
+    return base, edges
+
+
+def semdedup_components_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 3,
+    tau2_ppm: int = 202_500,
+    pair_partitions: int = 32,
+) -> DataFrame:
+    """SemDeDup with Abbas et al.'s TRANSITIVE grouping: duplicate pairs
+    within each k-means cluster are closed into connected components
+    (``dedup.cluster_pairs`` — driver union-find for tiny pair graphs,
+    pointer-doubling min-label propagation above the cap) and exactly
+    ONE member per component is kept (the min-id canonical), so exactly
+    size-1 members are removed per component. The two rules coincide on
+    chains and triangles; they diverge on components whose non-canonical
+    nodes include pure LOWER endpoints — pairs (1,3), (2,3) remove just
+    {3} under ``semdedup_report``'s pair rule (1 and 2 are not near-dups
+    of each other, both survive) but {2, 3} here (one kept per
+    component). Components never span k-means clusters because edges
+    are within-cluster by construction.
+
+    Returns (cluster, n_vectors, n_dup_pairs, n_components, n_removed,
+    n_kept) per k-means cluster; n_removed = sum over components of
+    (size - 1). Scale: the component pass runs on the DUP-PAIR graph
+    only (a sliver of the corpus), everything else is shared with
+    ``semdedup_graph``."""
+    from . import dedup as _dd
+
+    base, edges = semdedup_graph(
+        df,
+        id_col,
+        vec_col,
+        k=k,
+        n_iters=n_iters,
+        tau2_ppm=tau2_ppm,
+        pair_partitions=pair_partitions,
     )
+    # edges feed three consumers (pair stat, node set, component pass) —
+    # materialize the expensive within-cluster scan once
+    edges = edges.localCheckpoint()
+    labels = _dd.cluster_pairs(
+        edges.select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+    ).select(F.col("node"), F.col("cluster").alias("comp"))
+    nodecluster = (
+        edges.select("cluster", F.col("a_id").alias("node"))
+        .unionAll(edges.select("cluster", F.col("b_id").alias("node")))
+        .distinct()
+    )
+    comps = (
+        nodecluster.join(labels, "node")
+        .groupBy("cluster", "comp")
+        .agg(F.count("*").alias("sz"))
+    )
+    estat = comps.groupBy("cluster").agg(
+        F.count("*").alias("n_components"),
+        (F.sum("sz") - F.count("*")).alias("n_removed"),
+    )
+    pstat = edges.groupBy("cluster").agg(F.count("*").alias("n_dup_pairs"))
+    cstat = base.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
     return (
-        cstat.join(estat, "cluster", "left")
+        cstat.join(pstat, "cluster", "left")
+        .join(estat, "cluster", "left")
         .select(
             F.col("cluster").cast("int").alias("cluster"),
             F.col("n_vectors").cast("long").alias("n_vectors"),
             F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_components", F.lit(0)).cast("long").alias("n_components"),
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
             (F.col("n_vectors") - F.coalesce("n_removed", F.lit(0)))
             .cast("long")

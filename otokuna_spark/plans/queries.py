@@ -9996,7 +9996,7 @@ def q182_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-def _kmeans_oracle_ctes(k: int = 8, iters: int = 3) -> str:
+def _kmeans_oracle_ctes(k: int = 8, iters: int = 3, recursive: bool = False) -> str:
     """Unrolled Lloyd's k-means as DuckDB CTEs — one (a_t, c_t) pair per
     round, replaying operators/kmeans.py exactly: floor(v*1e6) BIGINT
     quantization, init = the k lowest-vec_id vectors, exact BIGINT
@@ -10052,7 +10052,9 @@ def _kmeans_oracle_ctes(k: int = 8, iters: int = 3) -> str:
         ) m ON m.cid = p.cid AND m.dim = p.dim
     )"""
             )
-    return "WITH" + ",".join(parts)
+    # DuckDB requires the RECURSIVE keyword on the WITH clause itself when
+    # any downstream CTE in the same chain is recursive (q189's closure)
+    return ("WITH RECURSIVE" if recursive else "WITH") + ",".join(parts)
 
 
 @register(
@@ -10465,3 +10467,86 @@ def q188_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "iter int, n_nodes long, n_edges long, n_removed long, converged long",
     ).orderBy("iter")
+
+
+@register(
+    "q189_semdedup_components",
+    _kmeans_oracle_ctes(recursive=True)
+    + """,
+    nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM q GROUP BY vec_id),
+    dots AS (
+        SELECT x.cid AS cluster, x.vec_id AS a_id, y.vec_id AS b_id,
+               SUM(qa.x * qb.x) AS dot
+        FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN q qa ON qa.vec_id = x.vec_id
+        JOIN q qb ON qb.vec_id = y.vec_id AND qb.dim = qa.dim
+        GROUP BY 1, 2, 3
+    ),
+    dedges AS (
+        SELECT d.cluster, d.a_id, d.b_id
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.a_id
+        JOIN nrm nb ON nb.vec_id = d.b_id
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * 1000000
+              >= CAST(202500 AS HUGEINT) * na.n2 * nb.n2
+    ),
+    und AS (SELECT a_id AS a, b_id AS b FROM dedges UNION SELECT b_id, a_id FROM dedges),
+    closure(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT c.a, e.b FROM closure c JOIN und e ON c.b = e.a
+    ),
+    lab AS (SELECT a AS node, LEAST(MIN(b), a) AS comp FROM closure GROUP BY a),
+    nodecluster AS (
+        SELECT DISTINCT cluster, node FROM (
+            SELECT cluster, a_id AS node FROM dedges
+            UNION ALL SELECT cluster, b_id FROM dedges
+        )
+    ),
+    comps AS (
+        SELECT nc.cluster, l.comp, COUNT(*) AS sz
+        FROM nodecluster nc JOIN lab l USING (node)
+        GROUP BY nc.cluster, l.comp
+    ),
+    estat AS (
+        SELECT cluster, COUNT(*) AS n_components,
+               SUM(sz) - COUNT(*) AS n_removed
+        FROM comps GROUP BY cluster
+    ),
+    pstat AS (SELECT cluster, COUNT(*) AS n_dup_pairs FROM dedges GROUP BY cluster),
+    cstat AS (SELECT cid AS cluster, COUNT(*) AS n_vectors FROM a3 GROUP BY cid)
+    SELECT CAST(c.cluster AS INTEGER) AS cluster,
+           CAST(c.n_vectors AS BIGINT) AS n_vectors,
+           CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(e.n_components, 0) AS BIGINT) AS n_components,
+           CAST(COALESCE(e.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(c.n_vectors - COALESCE(e.n_removed, 0) AS BIGINT) AS n_kept
+    FROM cstat c
+    LEFT JOIN pstat p USING (cluster)
+    LEFT JOIN estat e USING (cluster)
+    ORDER BY cluster
+    """,
+    "SemDeDup with Abbas et al.'s TRANSITIVE one-kept-per-group "
+    "semantics — the component-canonical variant that resolves q186's "
+    "documented chain delta: the within-cluster dup pairs are closed "
+    "into connected components (dedup.cluster_pairs - driver union-find "
+    "under the 200k-edge cap, pointer-doubling min-label propagation "
+    "above it) and exactly ONE member per component is kept (the min-id "
+    "canonical), removing exactly size-1 per component. The rules "
+    "coincide on chains/triangles and diverge on components with pure "
+    "lower-endpoint members: pairs (1,3),(2,3) remove {3} under q186's "
+    "pair rule but {2,3} here. Components never "
+    "span k-means clusters (edges are within-cluster by construction), "
+    "so the oracle's recursive closure replays them exactly. Per-cluster "
+    "report adds n_components. 100 TB shape: the component pass runs on "
+    "the DUP-PAIR graph only (a sliver of the corpus); everything "
+    "upstream - Lloyd rounds, within-cluster pair generation, the "
+    "decimal(38,0) exact cosine test - is shared with q186 via "
+    "similarity.semdedup_graph",
+)
+def q189_semdedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_components_report(
+        emb, "vec_id", "embedding", k=8, n_iters=3, tau2_ppm=202_500
+    )

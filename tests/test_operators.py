@@ -2903,3 +2903,30 @@ def test_kcore_peel_fixpoint_mode_guard_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not reach the fixpoint"):
         graph.kcore_peel(edges, k=2, n_rounds=None, max_rounds=3)
+
+
+def test_semdedup_components_vs_pair_rule_star(spark):
+    from otokuna_spark.operators import similarity
+
+    # one k-means cluster (k=1), three unit vectors at 0/60/120 degrees:
+    # cos(1,3) = cos(2,3) = 0.5 >= tau (0.45), cos(1,2) = -0.5 < tau —
+    # the dup graph is the star (1,3), (2,3) into the HIGH node, the
+    # exact case where the two drop rules diverge
+    import math
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [math.cos(2 * math.pi / 3), math.sin(2 * math.pi / 3)]),
+        (3, [math.cos(math.pi / 3), math.sin(math.pi / 3)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pair = similarity.semdedup_report(
+        df, "vec_id", "embedding", k=1, n_iters=1
+    ).collect()[0]
+    comp = similarity.semdedup_components_report(
+        df, "vec_id", "embedding", k=1, n_iters=1
+    ).collect()[0]
+    # pair rule: removes the higher endpoint of each pair = just {3}
+    assert (pair["n_dup_pairs"], pair["n_removed"], pair["n_kept"]) == (2, 1, 2)
+    # component rule: {1,2,3} is ONE component, keep the canonical only
+    assert (comp["n_dup_pairs"], comp["n_components"], comp["n_removed"], comp["n_kept"]) == (2, 1, 2, 1)
