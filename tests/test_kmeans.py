@@ -121,3 +121,28 @@ def test_lloyd_rejects_too_few_vectors(spark, emb_df):
         kmeans.lloyd_kmeans(
             emb_df.filter(F.col("vec_id") < 2), "vec_id", "embedding", k=K, n_iters=1
         )
+
+
+def test_spread_init_beats_first_on_clustered_data(spark):
+    from otokuna_spark.operators import kmeans as km
+
+    # three well-separated blobs with ids ordered blob-by-blob: the
+    # first-k init seeds all of k=3 inside blob A (ids 0,1,2), the exact
+    # pathology spread_init exists for; farthest-first must land one
+    # seed per blob
+    rows = []
+    for b, cx in enumerate([0.0, 5.0, 10.0]):
+        for i in range(30):
+            rows.append((b * 30 + i, [cx + i * 1e-4, cx - i * 1e-4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, h_first = km.lloyd_kmeans(df, "vec_id", "embedding", k=3, n_iters=1, init="first")
+    _, h_spread = km.lloyd_kmeans(df, "vec_id", "embedding", k=3, n_iters=1, init="spread")
+    assert h_spread[0]["inertia"] < h_first[0]["inertia"] / 100
+
+    # partitioning invariance: the learned assignment is a pure function
+    # of the data under the spread init too
+    a1, _ = km.lloyd_kmeans(df, "vec_id", "embedding", k=3, n_iters=2, init="spread")
+    a2, _ = km.lloyd_kmeans(
+        df.repartition(7), "vec_id", "embedding", k=3, n_iters=2, init="spread"
+    )
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
