@@ -1134,3 +1134,122 @@ def semdedup_components_report(
         )
         .orderBy("cluster")
     )
+
+
+def ivf_sq8_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-SQ8 composition — the FAISS production shape (IVF prunes
+    candidates, SQ8 compresses what remains): corpus vectors are
+    bucketed by nearest centroid (cosine, deterministic lowest-id
+    centroid seed — the q84 inverted file) AND encoded to per-dim 8-bit
+    codes (the q185 scalar quantizer); each query ADC-scans ONLY its
+    ``n_probe`` probed cells using integer-exact asymmetric distances
+    ``sum(((q_code - c_code) * rng_dim)^2)``, and the approximate top-k
+    is scored against the exact brute-force squared-L2 truth.
+
+    Returns (query_id, n_candidates, n_hits, recall_ppm) — the realized
+    bill: how many vectors the probed cells actually contained (the
+    scan fraction) and what recall@k that bought. Every quantity is
+    BIGINT-exact, so the whole report is oracle-replayable.
+
+    100 TB shape: assignment and encoding are one-time map-only passes
+    (centroids and the (min, range) codebook travel as broadcast 1-row
+    arrays; model state is n_centroids*d + 2d ints); a query batch
+    touches ~n_probe/n_centroids of the corpus at ONE BYTE per
+    dimension — the multiplicative combination of q84's candidate
+    pruning and q185's 4x bandwidth compression. The exact side here is
+    the recall harness only (quadratic, bounded by n_queries)."""
+    from . import kmeans as _km
+
+    spark = df.sparkSession
+    cents = _centroids_from_sample(df, id_col, vec_col, n_centroids)
+    mm = sq8_train_minmax(df, vec_col)
+    rng = [b - a for a, b in mm]
+    base = _km.quantize(sq8_encode(df, vec_col, mm), vec_col)
+    assigned = (
+        ivf_assign(base, vec_col, cents)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__q").alias("xs"),
+            F.col("__codes").alias("cs"),
+            "centroid_id",
+        )
+        .localCheckpoint()  # feeds the candidate join AND the exact side
+    )
+    qs = _with_centroid_scores(
+        base.filter(F.col(id_col) < n_queries), vec_col, cents
+    )
+    probe_ids = F.slice(F.reverse(F.array_sort(F.col("__cscores"))), 1, n_probe)
+    q_probed = qs.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__q").alias("qx"),
+        F.col("__codes").alias("qc"),
+        F.explode(probe_ids).alias("__p"),
+    ).select(
+        "query_id", "qx", "qc", (-F.col("__p.negcid")).alias("centroid_id")
+    )
+    rdf = spark.createDataFrame([([int(r) for r in rng],)], "__rng array<bigint>")
+    zero = F.lit(0).cast("long")
+    adiff = F.zip_with(
+        F.zip_with(F.col("qc"), F.col("cs"), lambda a, b: a - b),
+        F.col("__rng"),
+        lambda d, r: d * r,
+    )
+    adist = F.aggregate(adiff, zero, lambda acc, v: acc + v * v)
+    cand = (
+        assigned.join(F.broadcast(q_probed), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(rdf))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+        .localCheckpoint()  # feeds the ADC ranking AND the scan-count stat
+    )
+    wa = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    approx = (
+        cand.withColumn("ra", F.row_number().over(wa))
+        .where(F.col("ra") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    ncand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+
+    qe = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("__q").alias("qx")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("xs"), lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        assigned.crossJoin(F.broadcast(qe))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("dist"))
+    )
+    we = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    exact = (
+        pairs.withColumn("re", F.row_number().over(we))
+        .where(F.col("re") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        ncand.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * F.lit(1_000_000 // k))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
