@@ -210,6 +210,77 @@ def pagerank_ppt(
         adj.unpersist()
 
 
+def personalized_pagerank_ppt(
+    edges: DataFrame,
+    seeds: list[int],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002) over an undirected edge
+    list: identical integer fixed-point recurrence to ``pagerank_ppt``,
+    but ALL teleport mass lands on the ``seeds`` set — r0 = PPT div |S|
+    on seeds (0 elsewhere) and the per-round base term
+    ``(PPT * (den - num) div den) div |S|`` is added only to seed nodes.
+    Ranks then measure proximity to the seed set (the recommendation /
+    similar-user primitive), not global centrality.
+
+    ``seeds`` is a bounded driver-side list (model state, like the
+    broadcast centroid tables): it enters the plan as an IN-list
+    predicate, never a join with a collected corpus. All arithmetic is
+    non-negative integers, so truncating and flooring engines agree and
+    the oracle can unroll the rounds (q192). Shape per round: one
+    equi-join on src + one keyed agg on dst, exactly ``pagerank_ppt``'s
+    message-passing plan."""
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    seed_list = sorted({int(s) for s in seeds})
+    ns = len(seed_list)
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    directed = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count("*").alias("deg"))
+    adj = directed.join(deg, "src").persist()
+    try:
+        r_seed = _PPT // ns
+        base_seed = (_PPT * (damping_den - damping_num) // damping_den) // ns
+        is_seed_src = F.col("src").isin(seed_list)
+        ranks = deg.select(
+            "src",
+            F.when(is_seed_src, F.lit(r_seed))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_ppt"),
+        )
+        for _ in range(iterations):
+            contrib = adj.join(ranks, "src").select(
+                F.col("dst"),
+                F.expr(
+                    f"(rank_ppt * {damping_num} div {damping_den}) div deg"
+                ).alias("c"),
+            )
+            ranks = (
+                contrib.groupBy("dst")
+                .agg(
+                    (
+                        F.when(F.col("dst").isin(seed_list), F.lit(base_seed))
+                        .otherwise(F.lit(0))
+                        + F.sum("c")
+                    )
+                    .cast("long")
+                    .alias("rank_ppt")
+                )
+                .withColumnRenamed("dst", "src")
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select(F.col("src").alias("node"), "rank_ppt")
+    finally:
+        adj.unpersist()
+
+
 def kcore_peel(
     edges: DataFrame,
     u: str = "u",

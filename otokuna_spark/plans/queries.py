@@ -10779,3 +10779,81 @@ def q191_ivf_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_sq8_recall(
         emb, "vec_id", "embedding", n_queries=5, k=10, n_centroids=16, n_probe=4
     )
+
+
+@register(
+    "q192_personalized_pagerank",
+    _COVIS_EDGE_CTES
+    + """,
+    dd AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT src, COUNT(*) AS deg FROM dd GROUP BY src),
+    seeds AS (
+        SELECT node FROM (SELECT u AS node FROM e UNION SELECT v FROM e)
+        ORDER BY node LIMIT 3
+    ),
+    nsd AS (SELECT COUNT(*) AS ns FROM seeds),
+    p0 AS (
+        SELECT d.src,
+               CASE WHEN d.src IN (SELECT node FROM seeds)
+                    THEN 1000000000000 // (SELECT ns FROM nsd) ELSE 0 END AS r
+        FROM deg d
+    ),
+    p1 AS (
+        SELECT d.dst AS src,
+               CASE WHEN d.dst IN (SELECT node FROM seeds)
+                    THEN (SELECT (1000000000000 * 15 // 100) // ns FROM nsd)
+                    ELSE 0 END
+               + SUM((r.r * 85 // 100) // g.deg) AS r
+        FROM dd d JOIN p0 r ON d.src = r.src JOIN deg g ON d.src = g.src
+        GROUP BY d.dst
+    ),
+    p2 AS (
+        SELECT d.dst AS src,
+               CASE WHEN d.dst IN (SELECT node FROM seeds)
+                    THEN (SELECT (1000000000000 * 15 // 100) // ns FROM nsd)
+                    ELSE 0 END
+               + SUM((r.r * 85 // 100) // g.deg) AS r
+        FROM dd d JOIN p1 r ON d.src = r.src JOIN deg g ON d.src = g.src
+        GROUP BY d.dst
+    ),
+    p3 AS (
+        SELECT d.dst AS src,
+               CASE WHEN d.dst IN (SELECT node FROM seeds)
+                    THEN (SELECT (1000000000000 * 15 // 100) // ns FROM nsd)
+                    ELSE 0 END
+               + SUM((r.r * 85 // 100) // g.deg) AS r
+        FROM dd d JOIN p2 r ON d.src = r.src JOIN deg g ON d.src = g.src
+        GROUP BY d.dst
+    )
+    SELECT src AS node, CAST(r AS BIGINT) AS rank_ppt
+    FROM p3 ORDER BY rank_ppt DESC, node LIMIT 50
+    """,
+    "Personalized PageRank (Haveliwala 2002) over q187's co-visitation "
+    "graph (graph.personalized_pagerank_ppt): q105's integer "
+    "fixed-point recurrence with ALL teleport mass restricted to a "
+    "deterministic seed set (the 3 lowest user ids in the graph), so "
+    "ranks measure proximity to the seeds - the similar-user / "
+    "recommendation primitive, not global centrality. Top-50 by "
+    "(rank DESC, node) committed. All arithmetic is non-negative "
+    "integer (PPT div |S| seed mass, per-round seed-only base term), "
+    "so the oracle unrolls the 3 rounds to the hash. 100 TB shape: "
+    "seeds are driver model state entering as an IN-list predicate; "
+    "each round is one equi-join on src + one keyed agg on dst, "
+    "shuffle bounded by edge count - identical to q105's plan",
+)
+def q192_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph as _graph
+
+    edges = _covis_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # bounded driver collect: the 3 lowest node ids (the seed set is
+    # model state, like a broadcast centroid table)
+    seeds = [int(r["node"]) for r in nodes.orderBy("node").limit(3).collect()]
+    ranks = _graph.personalized_pagerank_ppt(
+        edges, seeds, id_a="u", id_b="v", iterations=3
+    )
+    return ranks.orderBy(F.desc("rank_ppt"), "node").limit(50)
