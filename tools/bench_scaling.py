@@ -84,6 +84,12 @@ CASES = {
     # graph census (bottom-G pair fanout + degree-ordered wedge joins)
     "cluster_pairwise": "q186_semdedup",
     "graph_census": "q187_triangle_count",
+    # round-13: composed ANN (one-time assign+encode passes, then probed
+    # cells at 1 byte/dim — the step ratio should track the scan with the
+    # quadratic exact side bounded by n_queries); seed-set message
+    # passing (per-round join+agg bounded by edge count, seeds fixed)
+    "composed_ann": "q191_ivf_sq8_adc",
+    "seed_message_passing": "q192_personalized_pagerank",
 }
 
 

@@ -199,6 +199,10 @@ EXPECT = {
     # never a global sort) and broadcast onto the membership relation
     "q187_triangle_count": ["TakeOrderedAndProject", "BroadcastHashJoin"],
     "q188_kcore_peel": ["Scan ExistingRDD"],  # 4 driver-assembled history rows; per-round degree aggs + semi-joins ran before the audited tail
+    "q189_semdedup_components": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed edges feed components + stats; small sides broadcast
+    "q190_kmeans_spread_init": ["Scan ExistingRDD"],  # checkpointed final assignment; spread-init scan + Lloyd rounds ran before the audited tail
+    "q191_ivf_sq8_adc": ["Scan ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"],  # checkpointed assigned corpus; broadcast query/codebook attach; per-query top-k limit pushdown
+    "q192_personalized_pagerank": ["Scan ExistingRDD", "TakeOrderedAndProject"],  # checkpointed final ranks; top-50 pushed down, rounds ran upstream
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -455,6 +459,10 @@ MAX_SHUFFLES = {
     "q186_semdedup": 7,  # id-keyed assignment join-back + cluster pair join + the deliberate pair rebalance + dup-pair distinct agg (2-phase) + cluster stats join + output order
     "q187_triangle_count": 16,  # membership distinct + group agg + pair agg + degree agg/joins + oriented wedge self-join + close join + three 1-row census aggs; every exchange keyed on node/pair ids, 1-row tails broadcast
     "q188_kcore_peel": 1,  # 4-row history order only; per-round peel plans (degree agg + 2 semi-joins) run upstream, lineage cut each round
+    "q189_semdedup_components": 8,  # component label agg + node-cluster distinct + per-cluster stats joins over the checkpointed dup-pair graph (a corpus sliver) + output order
+    "q190_kmeans_spread_init": 1,  # output order only — same checkpointed-assignment tail as q183; the spread-init md5 top-m adds one bounded pass upstream
+    "q191_ivf_sq8_adc": 5,  # ADC window + candidate-count agg + exact window + hit join/agg + output order; pair scoring itself is map-only broadcast attaches within probed cells
+    "q192_personalized_pagerank": 0,  # TakeOrdered tail over the checkpointed final ranks; per-round join+agg plans run upstream, lineage cut each round
 }
 
 

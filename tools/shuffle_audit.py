@@ -87,6 +87,10 @@ CASES = [
     # round-12 third wave: cluster-scoped dedup + graph census
     "q186_semdedup",               # within-cluster pairs only: Sum C(g_c,2), never C(N,2)
     "q187_triangle_count",         # bottom-G blocked pairs + oriented wedges; ids only, never events
+    # round-13: composed ANN + component dedup + seed-proximity ranks
+    "q189_semdedup_components",    # component pass rides the dup-pair sliver, never the corpus
+    "q191_ivf_sq8_adc",            # probed cells only, 1 byte/dim codes; exact side bounded by n_queries
+    "q192_personalized_pagerank",  # per-round join+agg bounded by edges; seeds are an IN-list
 ]
 
 
