@@ -10853,6 +10853,10 @@ def q192_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded driver collect: the 3 lowest node ids (the seed set is
     # model state, like a broadcast centroid table)
     seeds = [int(r["node"]) for r in nodes.orderBy("node").limit(3).collect()]
+    if not seeds:
+        # empty graph (tiny SFs produce no co-visitation edges): the
+        # oracle's p3 CTE is empty too, so the contract is 0 rows
+        return spark.createDataFrame([], "node long, rank_ppt long")
     ranks = _graph.personalized_pagerank_ppt(
         edges, seeds, id_a="u", id_b="v", iterations=3
     )
