@@ -931,6 +931,7 @@ def semdedup_report(
     n_iters: int = 3,
     tau2_ppm: int = 202_500,
     pair_partitions: int = 32,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space with the
     integer-exact Lloyd loop (operators/kmeans.py), then find cosine
@@ -963,8 +964,9 @@ def semdedup_report(
     n_removed, n_kept). Scale: the quadratic is bounded to
     Sum_c C(g_c, 2) — choose ``k ~ N / g_target`` so cluster blocks stay
     near the pairwise budget; ``pair_partitions`` spreads the dot-product
-    folds off the k-partition join key."""
-    base, edges = semdedup_graph(
+    folds off the k-partition join key. ``graph``: an optional
+    pre-computed ``semdedup_graph`` result (the q186/q189 sharing hook)."""
+    base, edges = graph if graph is not None else semdedup_graph(
         df,
         id_col,
         vec_col,
@@ -1002,6 +1004,7 @@ def semdedup_graph(
     n_iters: int = 3,
     tau2_ppm: int = 202_500,
     pair_partitions: int = 32,
+    assign: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared front half of the SemDeDup family: integer-exact Lloyd
     clustering + within-cluster sqrt-free cosine dup test. Returns
@@ -1011,10 +1014,14 @@ def semdedup_graph(
     ``semdedup_report`` applies the order-free drop-every-higher-endpoint
     rule to the edges; ``semdedup_components_report`` routes them through
     connected components for Abbas et al.'s one-kept-per-group
-    semantics. Numeric headroom bound: see ``semdedup_report``."""
+    semantics. Numeric headroom bound: see ``semdedup_report``.
+    ``assign``: an optional pre-computed (id, cluster) assignment over
+    the same (df, k, n_iters) — the family-sharing hook (the bench's
+    q183/q184/q186/q189 memo)."""
     from . import kmeans as _km
 
-    assign, _ = _km.lloyd_kmeans(df, id_col, vec_col, k=k, n_iters=n_iters)
+    if assign is None:
+        assign, _ = _km.lloyd_kmeans(df, id_col, vec_col, k=k, n_iters=n_iters)
     qv = _km.quantize(df, vec_col).select(id_col, F.col("__q").alias("xs"))
     zero = F.lit(0).cast("long")
     n2 = F.aggregate(
@@ -1067,6 +1074,7 @@ def semdedup_components_report(
     n_iters: int = 3,
     tau2_ppm: int = 202_500,
     pair_partitions: int = 32,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup with Abbas et al.'s TRANSITIVE grouping: duplicate pairs
     within each k-means cluster are closed into connected components
@@ -1085,21 +1093,25 @@ def semdedup_components_report(
     n_kept) per k-means cluster; n_removed = sum over components of
     (size - 1). Scale: the component pass runs on the DUP-PAIR graph
     only (a sliver of the corpus), everything else is shared with
-    ``semdedup_graph``."""
+    ``semdedup_graph``. ``graph``: an optional pre-computed (and
+    already-materialized) ``semdedup_graph`` result."""
     from . import dedup as _dd
 
-    base, edges = semdedup_graph(
-        df,
-        id_col,
-        vec_col,
-        k=k,
-        n_iters=n_iters,
-        tau2_ppm=tau2_ppm,
-        pair_partitions=pair_partitions,
-    )
-    # edges feed three consumers (pair stat, node set, component pass) —
-    # materialize the expensive within-cluster scan once
-    edges = edges.localCheckpoint()
+    if graph is not None:
+        base, edges = graph
+    else:
+        base, edges = semdedup_graph(
+            df,
+            id_col,
+            vec_col,
+            k=k,
+            n_iters=n_iters,
+            tau2_ppm=tau2_ppm,
+            pair_partitions=pair_partitions,
+        )
+        # edges feed three consumers (pair stat, node set, component
+        # pass) — materialize the expensive within-cluster scan once
+        edges = edges.localCheckpoint()
     labels = _dd.cluster_pairs(
         edges.select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
     ).select(F.col("node"), F.col("cluster").alias("comp"))

@@ -6723,10 +6723,56 @@ def _exactsubstr_shared(
     return got
 
 
+# Same device for the other repeated-scan families (all deterministic
+# functions of the input parquet, so correctness is unaffected):
+# - the k=8 / 3-round / 'first'-init Lloyd run feeding q183/q184 and,
+#   through the assignment, q186/q189;
+# - the semdedup (base, edges) graph shared by q186/q189;
+# - the co-visitation edge list shared by q187/q188/q192.
+_KM_SHARED: dict[str, tuple] = {}
+_SD_SHARED: dict[str, tuple] = {}
+_COVIS_SHARED: dict[str, DataFrame] = {}
+
+
+def _kmeans_shared(spark: SparkSession, sf_dir: str) -> tuple:
+    got = _KM_SHARED.get(sf_dir)
+    if got is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        # lloyd_kmeans localCheckpoints the assignment internally
+        got = kmeans.lloyd_kmeans(emb, "vec_id", "embedding", k=8, n_iters=3)
+        _KM_SHARED[sf_dir] = got
+    return got
+
+
+def _semdedup_shared(spark: SparkSession, sf_dir: str) -> tuple:
+    got = _SD_SHARED.get(sf_dir)
+    if got is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        assign, _ = _kmeans_shared(spark, sf_dir)
+        base, edges = similarity.semdedup_graph(
+            emb, "vec_id", "embedding", k=8, n_iters=3, tau2_ppm=202_500,
+            assign=assign,
+        )
+        got = (base.localCheckpoint(), edges.localCheckpoint())
+        _SD_SHARED[sf_dir] = got
+    return got
+
+
+def _covis_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _COVIS_SHARED.get(sf_dir)
+    if got is None:
+        got = _covis_edges(spark, sf_dir).localCheckpoint()
+        _COVIS_SHARED[sf_dir] = got
+    return got
+
+
 def clear_shared_relations() -> None:
     """Drop memoized family-shared relations so their checkpoint blocks
     can be garbage-collected (bench.py calls this between passes)."""
     _ES_SHARED.clear()
+    _KM_SHARED.clear()
+    _SD_SHARED.clear()
+    _COVIS_SHARED.clear()
 
 
 @register(
@@ -10147,8 +10193,7 @@ def _kmeans_oracle_ctes(
     "map-only + a k*d-row exchange; vectors never reach the driver",
 )
 def q183_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    assign, _ = kmeans.lloyd_kmeans(emb, "vec_id", "embedding", k=8, n_iters=3)
+    assign, _ = _kmeans_shared(spark, sf_dir)
     return assign.orderBy("vec_id")
 
 
@@ -10186,8 +10231,7 @@ def q183_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recomputes all three measures per round",
 )
 def q184_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    _, history = kmeans.lloyd_kmeans(emb, "vec_id", "embedding", k=8, n_iters=3)
+    _, history = _kmeans_shared(spark, sf_dir)
     return spark.createDataFrame(
         [(h["iter"], h["n_moved"], h["inertia"], h["n_clusters_used"]) for h in history],
         "iter int, n_moved long, inertia long, n_clusters_used long",
@@ -10351,7 +10395,8 @@ def q185_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q186_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.semdedup_report(
-        emb, "vec_id", "embedding", k=8, n_iters=3, tau2_ppm=202_500
+        emb, "vec_id", "embedding", k=8, n_iters=3, tau2_ppm=202_500,
+        graph=_semdedup_shared(spark, sf_dir),
     )
 
 
@@ -10452,7 +10497,7 @@ def _covis_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q187_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph as _graph
 
-    return _graph.triangle_count_oriented(_covis_edges(spark, sf_dir))
+    return _graph.triangle_count_oriented(_covis_edges_cached(spark, sf_dir))
 
 
 def _kcore_oracle_rounds(k: int = 3, rounds: int = 4) -> str:
@@ -10520,7 +10565,7 @@ def q188_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph as _graph
 
     _, history = _graph.kcore_peel(
-        _covis_edges(spark, sf_dir), k=3, n_rounds=4
+        _covis_edges_cached(spark, sf_dir), k=3, n_rounds=4
     )
     return spark.createDataFrame(
         [
@@ -10616,7 +10661,8 @@ def q188_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q189_semdedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.semdedup_components_report(
-        emb, "vec_id", "embedding", k=8, n_iters=3, tau2_ppm=202_500
+        emb, "vec_id", "embedding", k=8, n_iters=3, tau2_ppm=202_500,
+        graph=_semdedup_shared(spark, sf_dir),
     )
 
 
@@ -10844,7 +10890,7 @@ def q191_ivf_sq8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q192_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph as _graph
 
-    edges = _covis_edges(spark, sf_dir).localCheckpoint()
+    edges = _covis_edges_cached(spark, sf_dir)
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
