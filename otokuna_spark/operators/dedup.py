@@ -1690,3 +1690,101 @@ def exact_substring_scrub(
             F.coalesce("n_dropped_chars", F.lit(0)).alias("n_dropped_chars"),
         )
     )
+
+
+def lsh_operating_curve(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands_list: tuple[int, ...] = (16, 8, 4),
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding OPERATING CURVE — the index-tuning artifact every
+    production MinHash deployment needs before committing a (bands,
+    rows) point: for each banding of the SAME ``num_hashes``-lane md5
+    signature relation, the measured candidate volume and its
+    precision/recall against the EXACT n-gram Jaccard >= ``threshold``
+    truth. More bands / fewer rows = higher recall at lower precision
+    (candidacy prob ~ 1-(1-j^r)^b); this report measures that trade on
+    the actual corpus instead of trusting the formula's uniformity
+    assumptions.
+
+    Returns one row per config: (bands, rows_per_band, n_candidates,
+    n_true_candidates, n_true_total, precision_ppm, recall_ppm) with
+    exact integral ppm (0 when the denominator is 0).
+
+    Scale shape: ONE signature scan (localCheckpointed — the shingle ->
+    md5 -> min pipeline runs once, not once per config) and ONE exact
+    truth relation (the calibration side: quadratic in shingle-bucket
+    occupancy, same bound as q21, gated to curve-building runs); each
+    config then adds only its band-key self-join over the doc-cardinality
+    signature relation. Every count is a 1-row aggregate meeting in
+    broadcast crossJoins — nothing corpus-sized reaches the driver."""
+    for bands in bands_list:
+        if num_hashes % bands:
+            raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
+    sig = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_k, "md5"
+    ).localCheckpoint()
+    truth = (
+        ngram_jaccard_pairs(docs, id_col, text_col, threshold, shingle_k)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    tot = truth.agg(F.count("*").alias("n_true_total"))
+    reports = []
+    for bands in bands_list:
+        rows = num_hashes // bands
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        banded = sig.select(F.col(id_col).alias("__id"), *band_cols)
+        buckets = banded.select(
+            "__id",
+            F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+                "band_key"
+            ),
+        )
+        pairs = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), "band_key")
+            .where(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct()
+            .localCheckpoint()  # feeds the count AND the truth join
+        )
+        cnt = pairs.agg(F.count("*").alias("n_candidates"))
+        tc = pairs.join(truth, ["id_a", "id_b"]).agg(
+            F.count("*").alias("n_true_candidates")
+        )
+        reports.append(
+            cnt.crossJoin(F.broadcast(tc))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_true_candidates").cast("long").alias("n_true_candidates"),
+                F.col("n_true_total").cast("long").alias("n_true_total"),
+                F.expr(
+                    "cast(case when n_candidates > 0 then n_true_candidates * 1000000"
+                    " div n_candidates else 0 end as bigint)"
+                ).alias("precision_ppm"),
+                F.expr(
+                    "cast(case when n_true_total > 0 then n_true_candidates * 1000000"
+                    " div n_true_total else 0 end as bigint)"
+                ).alias("recall_ppm"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("bands")

@@ -10907,3 +10907,99 @@ def q192_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, seeds, id_a="u", id_b="v", iterations=3
     )
     return ranks.orderBy(F.desc("rank_ppt"), "node").limit(50)
+
+
+def _lsh_curve_oracle(bands_list: tuple[int, ...] = (16, 8, 4)) -> str:
+    """SQL twin of dedup.lsh_operating_curve over the shared signature +
+    exact-truth CTEs: one banded/buckets/cand chain per config, counts
+    met as scalar subqueries, ppm via integral division."""
+    parts = [
+        f"""WITH {_SH_CTE},
+    hashes AS (
+        SELECT doc_id, i,
+               MIN(substring(md5(CAST(i // 4 AS VARCHAR) || ':' || shingle), (i % 4) * 8 + 1, 8)) AS h
+        FROM sh, UNNEST(generate_series(0, {_MINHASH_K - 1})) AS u(i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM hashes GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= {_JACCARD_THRESHOLD}
+    ),
+    tt AS (SELECT COUNT(*) AS n_true_total FROM truth)"""
+    ]
+    rows_sel = []
+    for bands in bands_list:
+        rows = _MINHASH_K // bands
+        band_exprs = []
+        for b in range(bands):
+            lanes = " || '|' || ".join(f"hs[{b * rows + r + 1}]" for r in range(rows))
+            band_exprs.append(f"md5('{b}' || '|' || {lanes}) AS band{b}")
+        band_list = ", ".join(f"band{b}" for b in range(bands))
+        parts.append(
+            f"""
+    banded{bands} AS (SELECT doc_id, {", ".join(band_exprs)} FROM sig),
+    buckets{bands} AS (SELECT doc_id, UNNEST([{band_list}]) AS band_key FROM banded{bands}),
+    cand{bands} AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets{bands} a JOIN buckets{bands} b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    row{bands} AS (
+        SELECT {bands} AS bands, {rows} AS rows_per_band,
+               (SELECT COUNT(*) FROM cand{bands}) AS n_candidates,
+               (SELECT COUNT(*) FROM cand{bands} c JOIN truth t
+                   ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_true_candidates
+    )"""
+        )
+        rows_sel.append(f"SELECT * FROM row{bands}")
+    union = " UNION ALL ".join(rows_sel)
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT CAST(bands AS INTEGER) AS bands,
+           CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_candidates AS BIGINT) AS n_true_candidates,
+           CAST(tt.n_true_total AS BIGINT) AS n_true_total,
+           CAST(CASE WHEN n_candidates > 0
+                     THEN n_true_candidates * 1000000 // n_candidates
+                     ELSE 0 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN tt.n_true_total > 0
+                     THEN n_true_candidates * 1000000 // tt.n_true_total
+                     ELSE 0 END AS BIGINT) AS recall_ppm
+    FROM ({union}), tt ORDER BY bands
+    """
+    )
+
+
+@register(
+    "q193_lsh_operating_curve",
+    _lsh_curve_oracle(),
+    "LSH banding operating curve (dedup.lsh_operating_curve) - the "
+    "index-tuning artifact a production MinHash deployment reads before "
+    "committing a (bands, rows) point: the SAME 16-lane md5 signature "
+    "relation banded three ways (16x1, 8x2, 4x4), each config's "
+    "candidate volume scored for precision AND recall against the exact "
+    "n-gram Jaccard >= 0.5 truth - the 1-(1-j^r)^b theory curve "
+    "measured on the actual corpus instead of trusted. One signature "
+    "scan + one exact-truth relation feed all three configs "
+    "(localCheckpoint sharing); every count is a 1-row aggregate met in "
+    "broadcast crossJoins. 100 TB shape: the exact-truth side is the "
+    "calibration cost, gated to curve-building runs (same contract as "
+    "q125's recall harness); the per-config cost is one band-key "
+    "self-join over the doc-cardinality signature store",
+)
+def q193_lsh_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.lsh_operating_curve(
+        docs, "doc_id", "text",
+        num_hashes=_MINHASH_K, bands_list=(16, 8, 4), threshold=_JACCARD_THRESHOLD,
+    )
