@@ -203,6 +203,7 @@ EXPECT = {
     "q190_kmeans_spread_init": ["Scan ExistingRDD"],  # checkpointed final assignment; spread-init scan + Lloyd rounds ran before the audited tail
     "q191_ivf_sq8_adc": ["Scan ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"],  # checkpointed assigned corpus; broadcast query/codebook attach; per-query top-k limit pushdown
     "q192_personalized_pagerank": ["Scan ExistingRDD", "TakeOrderedAndProject"],  # checkpointed final ranks; top-50 pushed down, rounds ran upstream
+    "q193_lsh_operating_curve": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed signature/truth/pairs relations; 1-row stats meet in broadcast crossJoins
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -463,6 +464,7 @@ MAX_SHUFFLES = {
     "q190_kmeans_spread_init": 1,  # output order only — same checkpointed-assignment tail as q183; the spread-init md5 top-m adds one bounded pass upstream
     "q191_ivf_sq8_adc": 5,  # ADC window + candidate-count agg + exact window + hit join/agg + output order; pair scoring itself is map-only broadcast attaches within probed cells
     "q192_personalized_pagerank": 0,  # TakeOrdered tail over the checkpointed final ranks; per-round join+agg plans run upstream, lineage cut each round
+    "q193_lsh_operating_curve": 11,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints
 }
 
 
