@@ -39,10 +39,13 @@ BENCH_QUERIES = sorted(REGISTRY)
 # total time budget (seconds): pass 0 always completes; later passes run
 # fastest-entry-first and stop the moment the budget is exceeded, so noisy
 # or huge-SF runs still finish inside the driver's timeout while re-timing
-# as many entries warm as the budget allows. 540 is inside the proven
-# driver tolerance (the round-11 driver bench ran two full passes to
-# ~550-600 s wall with rc=0).
-PASS_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
+# as many entries warm as the budget allows. 600 is a modest step past the
+# proven driver tolerance (the round-11 driver bench ran two full passes
+# to ~550-600 s wall with rc=0); on the round-13 host a cold pass takes
+# ~500 s, so this re-times the ~120 fastest entries warm. The committed
+# BENCH_LOCAL.json is produced with SPARK_GRAFT_BENCH_BUDGET=900 for full
+# two-pass evidence.
+PASS_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
 
 
 def main() -> None:

@@ -9555,9 +9555,19 @@ def q177_zorder_realized_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Written-layout completeness cross-check: a writer bug that dropped
     # NON-box rows would be invisible to the losslessness bit (it only
     # covers box rows via the pruned read), so count the materialized
-    # rows once — an empty-ReadSchema parquet count, row-group metadata
-    # only, no column decode — and attest layout_rows == total_rows.
-    layout_rows = spark.read.parquet(path).count()
+    # rows once and attest layout_rows == total_rows. Local scratch dirs
+    # take the driver-side parquet-footer fast path (num_rows metadata,
+    # ~ms, no Spark job); any other scheme falls back to the
+    # empty-ReadSchema Spark count (row-group metadata only).
+    if not stats or "://" not in path:
+        import pyarrow.parquet as _pq
+
+        layout_rows = sum(
+            _pq.ParquetFile(s.getPath().toUri().getPath()).metadata.num_rows
+            for s in (stats or [])
+        )
+    else:
+        layout_rows = spark.read.parquet(path).count()
 
     scanned = (
         spark.read.parquet(path)
