@@ -235,3 +235,62 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> Data
         .limit(k)
         .drop("__priority")
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_target: int,
+) -> DataFrame:
+    """Probability-proportional-to-size sampling WITHOUT floats or
+    randomness: systematic (fixed-interval) selection on the cumulative
+    weight line, walked in the deterministic md5(id) permutation. With
+    T = max(1, total_weight div n_target), a row covering cumulative
+    span (cum - w, cum] is selected iff the span contains a multiple of
+    T — each row's selection probability is ~ w/T (the classic
+    cumulative-size systematic design), picks are evenly spread over the
+    weight mass, and the whole draw is a pure integer function of the
+    corpus: oracle-replayable, partitioning-invariant, reproducible
+    across engines. ``n_picks = cum div T - (cum - w) div T`` carries
+    the with-replacement multiplicity for rows heavier than T.
+
+    The running weight is the TWO-PHASE distributed prefix sum
+    (``prefix.global_running_sum`` — range partition on the md5 order,
+    per-partition windows, one bounded offset row per partition), never
+    a single-partition window; total weight and T meet the corpus in a
+    broadcast 1-row crossJoin. Use it for token-budgeted subset draws
+    where uniform row sampling over-represents short documents.
+
+    Returns (id_col, weight, cum_weight, pick_idx, n_picks) for selected
+    rows, pick_idx = cum div T (the LAST interval mark the row covers).
+    """
+    from . import prefix
+
+    if n_target < 1:
+        raise ValueError(f"n_target must be >= 1, got {n_target}")
+    d = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("__w"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    ).where(F.col("__w") > 0)
+    c = prefix.global_running_sum(
+        d, [F.asc("__h"), F.asc(id_col)], "__w", out="__cum"
+    )
+    tot = c.agg(F.max("__cum").alias("__tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__t", F.greatest(F.expr(f"__tot div {int(n_target)}"), F.lit(1).cast("long"))
+        )
+        .where(F.expr("__cum div __t > (__cum - __w) div __t"))
+        .select(
+            F.col(id_col),
+            F.col("__w").alias("weight"),
+            F.col("__cum").alias("cum_weight"),
+            F.expr("cast(__cum div __t as bigint)").alias("pick_idx"),
+            F.expr("cast(__cum div __t - (__cum - __w) div __t as bigint)").alias(
+                "n_picks"
+            ),
+        )
+    )

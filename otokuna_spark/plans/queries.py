@@ -11013,3 +11013,54 @@ def q193_lsh_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         num_hashes=_MINHASH_K, bands_list=(16, 8, 4), threshold=_JACCARD_THRESHOLD,
     )
+
+
+@register(
+    "q194_weighted_systematic_sample",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE w > 0),
+    c AS (
+        SELECT doc_id, w,
+               CAST(SUM(w) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM d2
+    ),
+    tt AS (SELECT MAX(cum) AS tot FROM c),
+    s AS (SELECT c.doc_id, c.w, c.cum, GREATEST(tt.tot // 100, 1) AS t FROM c, tt)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS weight,
+           CAST(cum AS BIGINT) AS cum_weight,
+           CAST(cum // t AS BIGINT) AS pick_idx,
+           CAST(cum // t - (cum - w) // t AS BIGINT) AS n_picks
+    FROM s WHERE cum // t > (cum - w) // t
+    ORDER BY cum_weight
+    """,
+    "Integer-exact weighted (PPS) sampling without randomness "
+    "(sampling.weighted_systematic_sample): documents drawn "
+    "proportional to token count by SYSTEMATIC selection on the "
+    "cumulative-weight line in the deterministic md5(doc_id) "
+    "permutation - interval T = max(1, total div 100); a doc is picked "
+    "iff its cumulative span covers a multiple of T, n_picks carries "
+    "the with-replacement multiplicity for docs heavier than T. The "
+    "token-budgeted subset draw uniform row sampling gets wrong (short "
+    "docs over-represented), fully oracle-replayable because every "
+    "quantity is a pure integer function of the corpus. 100 TB shape: "
+    "the running weight is q71's TWO-PHASE distributed prefix sum "
+    "(range partition + per-partition windows + one bounded offset row "
+    "per partition) - no single-partition window; total/T meet the "
+    "corpus in a broadcast 1-row crossJoin",
+)
+def q194_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    return sampling.weighted_systematic_sample(
+        d, "doc_id", "n_tok", n_target=100
+    ).orderBy("cum_weight")

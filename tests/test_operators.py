@@ -2930,3 +2930,33 @@ def test_semdedup_components_vs_pair_rule_star(spark):
     assert (pair["n_dup_pairs"], pair["n_removed"], pair["n_kept"]) == (2, 1, 2)
     # component rule: {1,2,3} is ONE component, keep the canonical only
     assert (comp["n_dup_pairs"], comp["n_components"], comp["n_removed"], comp["n_kept"]) == (2, 1, 2, 1)
+
+
+def test_weighted_systematic_sample_reference_and_invariance(spark):
+    import hashlib
+
+    from otokuna_spark.operators import sampling
+
+    rows = [(i, (i * 37) % 50 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sampling.weighted_systematic_sample(df, "doc_id", "w", n_target=20)
+    out = sorted(map(tuple, got.collect()))
+
+    # python reference: same md5 permutation, same integer criterion
+    perm = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    tot = sum(w for _, w in perm)
+    t = max(tot // 20, 1)
+    cum, ref = 0, []
+    for did, w in perm:
+        cum += w
+        if cum // t > (cum - w) // t:
+            ref.append((did, w, cum, cum // t, cum // t - (cum - w) // t))
+    assert out == sorted(ref)
+    # every pick interval is hit exactly once across the draw
+    assert sum(r[4] for r in ref) == tot // t
+
+    # partitioning invariance: the draw is a pure function of the data
+    got2 = sampling.weighted_systematic_sample(
+        df.repartition(13), "doc_id", "w", n_target=20
+    )
+    assert sorted(map(tuple, got2.collect())) == out

@@ -204,6 +204,7 @@ EXPECT = {
     "q191_ivf_sq8_adc": ["Scan ExistingRDD", "BroadcastHashJoin", "WindowGroupLimit"],  # checkpointed assigned corpus; broadcast query/codebook attach; per-query top-k limit pushdown
     "q192_personalized_pagerank": ["Scan ExistingRDD", "TakeOrderedAndProject"],  # checkpointed final ranks; top-50 pushed down, rounds ran upstream
     "q193_lsh_operating_curve": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed signature/truth/pairs relations; 1-row stats meet in broadcast crossJoins
+    "q194_weighted_systematic_sample": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed range-partitioned prefix relation; per-partition offsets + 1-row total broadcast back
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -465,6 +466,7 @@ MAX_SHUFFLES = {
     "q191_ivf_sq8_adc": 5,  # ADC window + candidate-count agg + exact window + hit join/agg + output order; pair scoring itself is map-only broadcast attaches within probed cells
     "q192_personalized_pagerank": 0,  # TakeOrdered tail over the checkpointed final ranks; per-round join+agg plans run upstream, lineage cut each round
     "q193_lsh_operating_curve": 11,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints
+    "q194_weighted_systematic_sample": 2,  # output order + the keyless total agg (1-row, broadcast back); the two-phase prefix sum's range exchange runs upstream of the checkpoint
 }
 
 
