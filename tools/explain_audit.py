@@ -197,7 +197,7 @@ EXPECT = {
     "q186_semdedup": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed kmeans assignment joins back; cluster stats agg
     # bottom-G selection must ride TakeOrderedAndProject (40 smallest groups,
     # never a global sort) and broadcast onto the membership relation
-    "q187_triangle_count": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    "q187_triangle_count": ["Scan ExistingRDD", "BroadcastHashJoin"],  # round-13: the shared covis edge list is checkpointed (its bottom-G LIMIT runs upstream), so the census tail audits from the ExistingRDD scan
     "q188_kcore_peel": ["Scan ExistingRDD"],  # 4 driver-assembled history rows; per-round degree aggs + semi-joins ran before the audited tail
     "q189_semdedup_components": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed edges feed components + stats; small sides broadcast
     "q190_kmeans_spread_init": ["Scan ExistingRDD"],  # checkpointed final assignment; spread-init scan + Lloyd rounds ran before the audited tail

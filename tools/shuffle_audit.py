@@ -91,6 +91,8 @@ CASES = [
     "q189_semdedup_components",    # component pass rides the dup-pair sliver, never the corpus
     "q191_ivf_sq8_adc",            # probed cells only, 1 byte/dim codes; exact side bounded by n_queries
     "q192_personalized_pagerank",  # per-round join+agg bounded by edges; seeds are an IN-list
+    "q193_lsh_operating_curve",    # one signature scan + one truth relation feed all three bandings
+    "q194_weighted_systematic_sample",  # two-phase prefix sum; only the range exchange moves rows
 ]
 
 
