@@ -625,9 +625,28 @@ def main() -> None:
 
     result["round12_scale_probes"] = probes12
 
+    # Personalized PageRank on the same 1.15M-edge probe graph as the
+    # triangle/kcore probes: seeds = 3 lowest node ids, 3 rounds — the
+    # per-round cost is one edge-keyed join + one node-keyed agg, so
+    # edges/s-per-round is the number that transfers to 100 TB-derived
+    # graphs (seed-set size never enters the shuffle).
+    (pranks), s = timed(
+        lambda: gph.personalized_pagerank_ppt(
+            gedges, [0, 1, 2], id_a="u", id_b="v", iterations=3
+        ).count()
+    )
+    probes12_ppr = {
+        "seconds": s,
+        "edges": m_edges,
+        "iterations": 3,
+        "edges_per_second_per_round": int(m_edges * 3 / s),
+        "nodes_ranked": pranks,
+    }
+
     result["round13_scale_probes"] = {
         "range_layout_realized_pruning": range_layout_pruning_probe(spark, sf_dir),
         "kmeans_init_comparison": kmeans_init_probe(spark, sf_dir),
+        "personalized_pagerank_1m_edges": probes12_ppr,
     }
 
     result["notes"] = (
