@@ -6702,13 +6702,21 @@ def q142_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # passes (clear_shared_relations) so every pass pays the scan exactly
 # once and pass timings stay self-contained. Correctness is unaffected:
 # the relations are deterministic functions of the input parquet.
-_ES_SHARED: dict[tuple[str, int], dict[str, DataFrame]] = {}
+_ES_SHARED: dict[tuple, dict[str, DataFrame]] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Memo keys carry the Spark application id: a memoized DataFrame is
+    bound to its session, so a caller arriving with a NEW session (the
+    driver gate and the local tools each build their own) must never be
+    handed relations from a stopped or foreign one."""
+    return (spark.sparkContext.applicationId, sf_dir)
 
 
 def _exactsubstr_shared(
     spark: SparkSession, sf_dir: str, window: int = 32
 ) -> dict[str, DataFrame]:
-    key = (sf_dir, window)
+    key = (*_memo_key(spark, sf_dir), window)
     got = _ES_SHARED.get(key)
     if got is None:
         docs = read_table(spark, sf_dir, "documents")
@@ -6729,23 +6737,25 @@ def _exactsubstr_shared(
 #   through the assignment, q186/q189;
 # - the semdedup (base, edges) graph shared by q186/q189;
 # - the co-visitation edge list shared by q187/q188/q192.
-_KM_SHARED: dict[str, tuple] = {}
-_SD_SHARED: dict[str, tuple] = {}
-_COVIS_SHARED: dict[str, DataFrame] = {}
+_KM_SHARED: dict[tuple, tuple] = {}
+_SD_SHARED: dict[tuple, tuple] = {}
+_COVIS_SHARED: dict[tuple, DataFrame] = {}
 
 
 def _kmeans_shared(spark: SparkSession, sf_dir: str) -> tuple:
-    got = _KM_SHARED.get(sf_dir)
+    key = _memo_key(spark, sf_dir)
+    got = _KM_SHARED.get(key)
     if got is None:
         emb = read_table(spark, sf_dir, "embeddings")
         # lloyd_kmeans localCheckpoints the assignment internally
         got = kmeans.lloyd_kmeans(emb, "vec_id", "embedding", k=8, n_iters=3)
-        _KM_SHARED[sf_dir] = got
+        _KM_SHARED[key] = got
     return got
 
 
 def _semdedup_shared(spark: SparkSession, sf_dir: str) -> tuple:
-    got = _SD_SHARED.get(sf_dir)
+    key = _memo_key(spark, sf_dir)
+    got = _SD_SHARED.get(key)
     if got is None:
         emb = read_table(spark, sf_dir, "embeddings")
         assign, _ = _kmeans_shared(spark, sf_dir)
@@ -6754,15 +6764,16 @@ def _semdedup_shared(spark: SparkSession, sf_dir: str) -> tuple:
             assign=assign,
         )
         got = (base.localCheckpoint(), edges.localCheckpoint())
-        _SD_SHARED[sf_dir] = got
+        _SD_SHARED[key] = got
     return got
 
 
 def _covis_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    got = _COVIS_SHARED.get(sf_dir)
+    key = _memo_key(spark, sf_dir)
+    got = _COVIS_SHARED.get(key)
     if got is None:
         got = _covis_edges(spark, sf_dir).localCheckpoint()
-        _COVIS_SHARED[sf_dir] = got
+        _COVIS_SHARED[key] = got
     return got
 
 
