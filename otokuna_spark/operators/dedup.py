@@ -1692,6 +1692,116 @@ def exact_substring_scrub(
     )
 
 
+# Recorded in persisted window-hash stores so a probe with a different
+# rolling-hash family (or window) raises instead of silently matching
+# nothing — the q83/ingest_dedup_batch store discipline applied to
+# ExactSubstr.
+EXACTSUBSTR_HASH_FAMILY = "poly64-golden-v1"
+
+
+def incremental_exact_spans(
+    batch_docs: DataFrame,
+    store_hashed: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    reliable: bool = False,
+    batch_hashed: DataFrame | None = None,
+) -> DataFrame:
+    """DELTA-mode ExactSubstr (Lee et al. 2022): duplicated-substring
+    spans of an incoming BATCH, with multiplicity counted over batch
+    UNION the previously ingested corpus — without re-scanning or
+    re-hashing the corpus. ``store_hashed`` is the persisted
+    ``_rolling_window_hashes`` relation (``__id, p, __h``) of every
+    previously accepted RAW document (exactly what
+    ``exact_char_dup_spans`` stages and the q143 family memo already
+    builds); ``corpus_docs`` must cover every ``__id`` in the store (the
+    raw archive a crawl pipeline retains anyway).
+
+    Result contract: identical to running ``exact_char_dup_spans`` on
+    the FULL union corpus and keeping the batch docs' rows (the oracle
+    replay for q195 asserts this equality) — because a window gram is
+    duplicated in the union iff its exact occurrence count
+    n_batch(g) + n_store(g) >= 2, and both counts are computed here on
+    TRUE grams. Only the incoming batch is scrubbed; previously shipped
+    documents are not retroactively re-spanned (inherent to incremental
+    ingest — a daily run scrubs today's crawl against everything seen).
+
+    Exactness under the polynomial hash: equal grams always hash equal,
+    so every position of a >=2-occurrence gram is hash-hot and reaches
+    the verify stage; hash COLLISIONS only add candidates, which die at
+    the true-gram re-count — same hash-then-verify guarantee as the
+    full-corpus operator, now spanning the store boundary.
+
+    Scale shape (the incremental economics): the batch is re-hashed
+    (O(batch) map-only); the store is SCANNED (columnar 16-byte rows)
+    but never shuffled — its positions are probed by a broadcast of the
+    batch's distinct hash set; corpus TEXT is re-read only for store
+    positions whose hash collides with the batch (the duplicated
+    fraction, a bounded id-keyed join-back), never the whole archive.
+    Nothing recomputes the corpus-wide scan a full-corpus run would pay
+    per day.
+
+    ``batch_hashed``: optional pre-staged scan of ``batch_docs`` (the
+    family-sharing hook, like ``exact_char_dup_spans``'s ``hashed``).
+    Returns (id, span_start, span_len) for batch docs, 1-based.
+    """
+    if batch_hashed is None:
+        batch_hashed = persistence.stage(
+            _rolling_window_hashes(batch_docs, id_col, text_col, window), reliable
+        )
+    batch_cnt = batch_hashed.groupBy("__h").agg(F.count("*").alias("__cb"))
+    # store probe: broadcast the batch's hash set against the store — the
+    # store scan is the only corpus-sized read and it never shuffles
+    store_hits = persistence.stage(
+        store_hashed.join(F.broadcast(batch_cnt.select("__h")), "__h"), reliable
+    )
+    hot_h = (
+        batch_cnt.where(F.col("__cb") >= 2)
+        .select("__h")
+        .unionAll(store_hits.select("__h"))
+        .distinct()
+    )
+    gram = F.expr(f"substring(__t, p, {window})")
+    bcand = persistence.stage(
+        batch_hashed.join(hot_h, "__h")
+        .join(
+            batch_docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+            "__id",
+        )
+        .select("__id", "p", gram.alias("__g")),
+        reliable,
+    )
+    # candidate-only corpus join-back: true grams for store positions the
+    # batch's hash set touched (collisions die here, never in the count)
+    scand = (
+        store_hits.join(
+            corpus_docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+            "__id",
+        )
+        .select(gram.alias("__g"))
+    )
+    n_b = bcand.groupBy("__g").agg(F.count("*").alias("__nb"))
+    n_s = scand.groupBy("__g").agg(F.count("*").alias("__ns"))
+    dup_g = (
+        n_b.join(n_s, "__g", "left")
+        .where(F.col("__nb") + F.coalesce("__ns", F.lit(0)) >= 2)
+        .select("__g")
+    )
+    covered = bcand.join(dup_g, "__g").select("__id", "p")
+    w_doc = Window.partitionBy("__id").orderBy("p")
+    runs = covered.withColumn("__grp", F.col("p") - F.row_number().over(w_doc))
+    return (
+        runs.groupBy("__id", "__grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") - F.min("p") + window).cast("long").alias("span_len"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_len")
+    )
+
+
 def lsh_operating_curve(
     docs: DataFrame,
     id_col: str,

@@ -245,6 +245,21 @@ def personalized_pagerank_ppt(
     deg = directed.groupBy("src").agg(F.count("*").alias("deg"))
     adj = directed.join(deg, "src").persist()
     try:
+        # Off-graph seeds never receive their r0 / per-round teleport
+        # share (they have no degree row), yet |S| would still divide the
+        # mass — silently shrinking total rank for every seed (round-13
+        # advice). Raise instead. Bounded check: one filtered distinct
+        # count over the degree table against the IN-list, one scalar
+        # collected.
+        n_present = (
+            deg.where(F.col("src").isin(seed_list)).select("src").distinct().count()
+        )
+        if n_present != ns:
+            raise ValueError(
+                f"personalized_pagerank_ppt: {ns - n_present} of {ns} seeds "
+                "are not nodes of the edge list; their teleport share would "
+                "silently vanish"
+            )
         r_seed = _PPT // ns
         base_seed = (_PPT * (damping_den - damping_num) // damping_den) // ns
         is_seed_src = F.col("src").isin(seed_list)
@@ -301,7 +316,7 @@ def kcore_peel(
       k-core (the maximal subgraph of minimum degree >= k). A
       ``max_rounds`` guard raises RuntimeError instead of returning a
       silently-unfinished peel; 64 rounds is far past any real peel
-      depth (the 1.15M-edge PROD probe converges in 13).
+      depth (the 1.15M-edge PROD probe converges in 15).
     - ``n_rounds=N`` (oracle attestation): bounded unroll replayable by
       hash-matched unrolled SQL CTEs. The returned history makes
       convergence ATTESTABLE — a round with n_removed == 0 proves the

@@ -959,6 +959,8 @@ def semdedup_report(
     dims. Components above unit scale shrink that bound by max|v|^4 —
     keep d * (max|v| * S)^2 below ~3e15 (i.e. sqrt(1e38 / 1e6) / S^2).
     The embeddings table (d=64, unit-scaled) has ~5 orders of headroom.
+    ``semdedup_graph`` ENFORCES this at runtime: any row whose quantized
+    |v|^2 reaches 1e16 raises instead of silently dropping pairs.
 
     Returns the per-cluster report (cluster, n_vectors, n_dup_pairs,
     n_removed, n_kept). Scale: the quadratic is bounded to
@@ -1026,6 +1028,26 @@ def semdedup_graph(
     zero = F.lit(0).cast("long")
     n2 = F.aggregate(
         F.transform("xs", lambda v: v * v), zero, lambda acc, v: acc + v
+    )
+    # Hard headroom guard (round-13 advice): the dup test below runs in
+    # decimal(38,0), which overflows to NULL SILENTLY — an overflowed
+    # pair would be dropped from the dup set, not flagged. By
+    # Cauchy-Schwarz on the quantized ints, dot^2 <= na2 * nb2, so
+    # n2 < 1e16 per row bounds BOTH sides of the test strictly under
+    # 1e38 (dot^2 * 1e6 <= n2max^2 * 1e6 < 1e38, and tau2_ppm <= 1e6
+    # bounds the RHS the same way). Raise instead of mis-answering; the
+    # branch is evaluated lazily per row wherever n2 feeds the test.
+    n2 = F.when(n2 < F.lit(10**16), n2).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "semdedup: quantized |v|^2 >= 1e16 exceeds the "
+                    "decimal(38,0) headroom of the cosine dup test (|v|^2 = "
+                ),
+                n2.cast("string"),
+                F.lit("); rescale the embeddings or lower the quantization scale"),
+            )
+        ).cast("long")
     )
     base = qv.withColumn("n2", n2).join(
         assign.select(id_col, "cluster"), id_col
@@ -1259,7 +1281,10 @@ def ivf_sq8_recall(
             "query_id",
             F.col("n_candidates").cast("long").alias("n_candidates"),
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) * F.lit(1_000_000 // k))
+            # floor((n_hits * 1e6) / k), NOT n_hits * (1e6 // k): the two
+            # diverge whenever k does not divide 1,000,000 (round-13
+            # advice: k=6, n_hits=4 -> 666664 vs the correct 666666)
+            F.expr(f"(coalesce(n_hits, 0L) * 1000000L) div {int(k)}")
             .cast("long")
             .alias("recall_ppm"),
         )

@@ -6713,10 +6713,22 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple:
     return (spark.sparkContext.applicationId, sf_dir)
 
 
+def _evict_foreign(memo: dict, app_id: str) -> None:
+    """Drop memo entries from any OTHER Spark application. PySpark allows
+    exactly one active SparkContext per process, so a key whose appId
+    differs from the current one necessarily belongs to a stopped
+    context: its localCheckpoint blocks are already gone, and keeping the
+    dead proxies pins py4j objects forever in long-lived processes
+    (correctness runner, notebooks) that build sessions serially."""
+    for key in [k for k in memo if k[0] != app_id]:
+        del memo[key]
+
+
 def _exactsubstr_shared(
     spark: SparkSession, sf_dir: str, window: int = 32
 ) -> dict[str, DataFrame]:
     key = (*_memo_key(spark, sf_dir), window)
+    _evict_foreign(_ES_SHARED, key[0])
     got = _ES_SHARED.get(key)
     if got is None:
         docs = read_table(spark, sf_dir, "documents")
@@ -6744,6 +6756,7 @@ _COVIS_SHARED: dict[tuple, DataFrame] = {}
 
 def _kmeans_shared(spark: SparkSession, sf_dir: str) -> tuple:
     key = _memo_key(spark, sf_dir)
+    _evict_foreign(_KM_SHARED, key[0])
     got = _KM_SHARED.get(key)
     if got is None:
         emb = read_table(spark, sf_dir, "embeddings")
@@ -6755,6 +6768,7 @@ def _kmeans_shared(spark: SparkSession, sf_dir: str) -> tuple:
 
 def _semdedup_shared(spark: SparkSession, sf_dir: str) -> tuple:
     key = _memo_key(spark, sf_dir)
+    _evict_foreign(_SD_SHARED, key[0])
     got = _SD_SHARED.get(key)
     if got is None:
         emb = read_table(spark, sf_dir, "embeddings")
@@ -6770,6 +6784,7 @@ def _semdedup_shared(spark: SparkSession, sf_dir: str) -> tuple:
 
 def _covis_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _memo_key(spark, sf_dir)
+    _evict_foreign(_COVIS_SHARED, key[0])
     got = _COVIS_SHARED.get(key)
     if got is None:
         got = _covis_edges(spark, sf_dir).localCheckpoint()
@@ -6779,11 +6794,74 @@ def _covis_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def clear_shared_relations() -> None:
     """Drop memoized family-shared relations so their checkpoint blocks
-    can be garbage-collected (bench.py calls this between passes)."""
-    _ES_SHARED.clear()
-    _KM_SHARED.clear()
-    _SD_SHARED.clear()
-    _COVIS_SHARED.clear()
+    can be garbage-collected (bench.py calls this between passes; the
+    correctness runner calls it after each full sweep)."""
+    for memo in _SHARED_MEMOS.values():
+        memo.clear()
+
+
+# Which registry queries consume which shared memo. bench.py uses this to
+# release a family's localCheckpoint blocks immediately after the LAST
+# member of that family runs in a pass, instead of pinning them until
+# pass end — the r13 bench showed every entry ordered after q143 running
+# 2-4x slower under the pinned ExactSubstr window-hash relation
+# (BENCH_NOTES.md round-14 A/B). Note q186/q189 appear under BOTH kmeans
+# and semdedup: _semdedup_shared builds on _kmeans_shared, so the kmeans
+# memo must survive until the last semdedup consumer too.
+SHARED_FAMILY_MEMBERS: dict[str, frozenset] = {
+    "exactsubstr": frozenset({
+        "q143_exact_dup_spans", "q144_exact_scrub",
+        "q146_dup_rate_by_source", "q147_cross_source_dup_matrix",
+        "q195_incremental_exact_spans",
+    }),
+    "kmeans": frozenset({
+        "q183_kmeans_lloyd", "q184_kmeans_convergence",
+        "q186_semdedup", "q189_semdedup_components",
+    }),
+    "semdedup": frozenset({"q186_semdedup", "q189_semdedup_components"}),
+    "covis": frozenset({
+        "q187_triangle_count", "q188_kcore_peel",
+        "q192_personalized_pagerank",
+    }),
+}
+
+_SHARED_MEMOS: dict[str, dict] = {
+    "exactsubstr": _ES_SHARED,
+    "kmeans": _KM_SHARED,
+    "semdedup": _SD_SHARED,
+    "covis": _COVIS_SHARED,
+}
+
+
+def release_family(family: str) -> None:
+    """Drop ONE family's memoized relations so their localCheckpoint
+    blocks free as soon as the family's last consumer has run, rather
+    than at pass end. Next call to the family's shared builder simply
+    recomputes — correctness is unaffected (the relations are
+    deterministic functions of the input parquet)."""
+    _SHARED_MEMOS[family].clear()
+
+
+def build_shared_family(spark: SparkSession, sf_dir: str, family: str) -> int:
+    """Force-build one family's shared relations from cold (releasing any
+    memoized copy first) and return a row count that proves
+    materialization. bench.py times this as its own entry
+    (shared_scan_<family>) so the scan cost stays attributable instead of
+    landing on whichever family member happens to run first in a pass
+    (round-13 advice: q143's min-of-N excluded the ~7.5 s scan paid by a
+    sibling)."""
+    release_family(family)
+    if family == "exactsubstr":
+        return _exactsubstr_shared(spark, sf_dir)["spans"].count()
+    if family == "kmeans":
+        assign, _ = _kmeans_shared(spark, sf_dir)
+        return assign.count()
+    if family == "semdedup":
+        base, edges = _semdedup_shared(spark, sf_dir)
+        return base.count() + edges.count()
+    if family == "covis":
+        return _covis_edges_cached(spark, sf_dir).count()
+    raise KeyError(family)
 
 
 @register(
@@ -11075,3 +11153,60 @@ def q194_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFra
     return sampling.weighted_systematic_sample(
         d, "doc_id", "n_tok", n_target=100
     ).orderBy("cum_weight")
+
+
+@register(
+    "q195_incremental_exact_spans",
+    """
+    WITH pos AS (
+        SELECT doc_id, p, substr(text, p, 32) AS gram
+        FROM documents,
+             UNNEST(CASE WHEN length(text) >= 32
+                         THEN generate_series(1, length(text) - 31)
+                         ELSE [] END) AS u(p)
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+    cov AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+    r AS (
+        SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov
+    ),
+    spans AS (
+        SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + 32 AS span_len
+        FROM r GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM spans WHERE doc_id % 2 = 1 ORDER BY doc_id, span_start
+    """,
+    "INCREMENTAL ExactSubstr (dedup.incremental_exact_spans) - the q83 "
+    "store discipline applied to the q143 family: even-id docs play "
+    "yesterday's ingested corpus, persisted ONLY as their window-hash "
+    "relation (__id, p, __h - the exact store the family memo already "
+    "builds); odd-id docs are today's batch. The batch is re-hashed "
+    "map-only, the store is probed by a BROADCAST of the batch hash set "
+    "(scanned, never shuffled, corpus never re-hashed), corpus text is "
+    "re-read only for store positions the batch's hashes touched, and "
+    "duplication is decided on TRUE grams so hash collisions still die "
+    "at verify across the store boundary. The oracle replays the "
+    "BATCH-UNION EQUIVALENCE (the q108/q152 device): a full-corpus "
+    "ExactSubstr over union restricted to batch docs - hash-matching it "
+    "proves incremental == from-scratch, the invariant that lets a "
+    "daily pipeline skip the corpus-wide rescan",
+)
+def q195_incremental_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    shared = _exactsubstr_shared(spark, sf_dir, window=32)["hashed"]
+    seen_docs = docs.where(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_exact_spans(
+        batch_docs,
+        shared.where(F.col("__id") % 2 == 0),  # the persisted store slice
+        seen_docs,
+        "doc_id",
+        "text",
+        window=32,
+        batch_hashed=shared.where(F.col("__id") % 2 == 1),
+    ).orderBy("doc_id", "span_start")

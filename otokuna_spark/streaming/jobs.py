@@ -435,6 +435,128 @@ def ingest_dedup_batch(
     )
 
 
+def stream_incremental_exact_scrub(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    output_path: str,
+    store_path: str,
+    raw_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+) -> None:
+    """Streaming twin of ``dedup.incremental_exact_spans`` — ExactSubstr
+    (Lee et al. 2022) as a daily-ingest scrub: each micro-batch's
+    duplicated char spans are computed against the batch itself PLUS the
+    persisted window-hash store of every previously ingested document,
+    the covered ranges are cut out (``exact_substring_scrub``), and three
+    partitions land per batch: the RAW docs under ``raw_path/batch=<id>``
+    (the archive future verifies join back to), the scrubbed docs under
+    ``output_path/batch=<id>``, and the batch's window-hash relation
+    under ``store_path/batch=<id>``.
+
+    Store discipline (the ``ingest_dedup_batch`` contract): the store
+    records ``window`` and ``hash_family`` — probing with a different
+    family or window raises instead of silently matching nothing; replays
+    overwrite their own ``batch=<id>`` partitions and exclude them from
+    the store/raw reads, so a crashed-and-replayed batch converges to the
+    same state; an output partition with no store partition fails loudly
+    (orphan check). Only the incoming batch is scrubbed — shipped batches
+    are not retroactively re-spanned (inherent to incremental ingest).
+
+    Per-batch cost: one map-only rolling-hash scan of the batch, one
+    broadcast probe of the store (scanned, never shuffled), and a
+    candidate-only join-back into the raw archive — never the corpus-wide
+    rescan a full ExactSubstr run would pay per day.
+    """
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_exact_scrub_batch(
+            batch_df, batch_id, output_path, store_path, raw_path,
+            id_col, text_col, window,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_exact_scrub_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    store_path: str,
+    raw_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+) -> None:
+    """One idempotent micro-batch of ``stream_incremental_exact_scrub``
+    (the foreachBatch body, callable directly for replay testing and
+    backfills). Write order: raw archive first, scrubbed output second,
+    store last — a crash between output and store is caught by the
+    orphan check; a crash after only the raw write is harmless (the
+    replay overwrites it)."""
+    from ..operators import dedup, persistence
+
+    sp = batch_df.sparkSession
+    _check_store_orphans(sp, output_path, store_path, batch_id, "window-hash")
+    _check_store_orphans(sp, output_path, raw_path, batch_id, "raw-archive")
+    if _fs_nonempty(sp, store_path):
+        store = sp.read.parquet(store_path)
+        if "hash_family" in store.columns:
+            metas = sorted(
+                (int(r["window"]), r["hash_family"])
+                for r in store.select("window", "hash_family").distinct().collect()
+            )
+            want = [(window, dedup.EXACTSUBSTR_HASH_FAMILY)]
+            if metas and metas != want:
+                raise ValueError(
+                    f"window-hash store at {store_path} was built with "
+                    f"{metas} but this ingest uses {want} — hashes from "
+                    "different families/windows never match; rebuild the "
+                    "store or match the family"
+                )
+        if "batch" in store.columns:
+            store = store.where(F.col("batch") != batch_id)
+        store_hashed = store.select("__id", "p", "__h")
+        corpus_docs = (
+            sp.read.parquet(raw_path)
+            .where(F.col("batch") != batch_id)
+            .select(id_col, text_col)
+        )
+    else:
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        store_hashed = sp.createDataFrame([], f"__id {id_type}, p int, __h long")
+        corpus_docs = sp.createDataFrame(
+            [], f"{id_col} {id_type}, {text_col} string"
+        )
+    # one batch scan serves the span computation AND the store delta
+    batch_hashed = persistence.stage(
+        dedup._rolling_window_hashes(batch_df, id_col, text_col, window), False
+    )
+    spans = dedup.incremental_exact_spans(
+        batch_df, store_hashed, corpus_docs, id_col, text_col,
+        window=window, batch_hashed=batch_hashed,
+    )
+    scrubbed = dedup.exact_substring_scrub(
+        batch_df, id_col, text_col, window=window, spans=spans
+    ).localCheckpoint()  # cut lineage BEFORE the writes reshape the dirs
+    batch_df.write.mode("overwrite").parquet(f"{raw_path}/batch={batch_id}")
+    scrubbed.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+    (
+        batch_hashed.withColumn("window", F.lit(window))
+        .withColumn("hash_family", F.lit(dedup.EXACTSUBSTR_HASH_FAMILY))
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/batch={batch_id}")
+    )
+
+
 def stream_segment_dedup(
     spark: SparkSession,
     docs_stream: DataFrame,

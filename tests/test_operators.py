@@ -2960,3 +2960,66 @@ def test_weighted_systematic_sample_reference_and_invariance(spark):
         df.repartition(13), "doc_id", "w", n_target=20
     )
     assert sorted(map(tuple, got2.collect())) == out
+
+
+def test_ppr_rejects_off_graph_seeds(spark):
+    from otokuna_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "id_a long, id_b long"
+    )
+    # off-graph seed: node 99 has no degree row, so its teleport share
+    # would silently vanish from every round — must raise, not shrink
+    with pytest.raises(ValueError, match="not nodes of the edge list"):
+        graph.personalized_pagerank_ppt(edges, [1, 99], iterations=1)
+    # valid seeds still work and carry the full teleport mass: ranks are
+    # non-negative and seeds hold strictly positive rank
+    out = {
+        r["node"]: r["rank_ppt"]
+        for r in graph.personalized_pagerank_ppt(edges, [1, 3], iterations=2).collect()
+    }
+    assert out[1] > 0 and out[3] > 0
+    assert all(v >= 0 for v in out.values())
+
+
+def test_ivf_sq8_recall_ppm_exact_floor_nondivisor_k(spark):
+    # k=6 does NOT divide 1,000,000: recall_ppm must be
+    # floor(n_hits * 1e6 / k), not n_hits * (1e6 // k) — the two diverge
+    # by up to k-1 ppm (round-13 advice: n_hits=4 -> 666666, not 666664)
+    rows = [
+        (int(i), [float(((i * 7 + j * 13) % 29) - 14) / 14.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_sq8_recall(
+        df, "vec_id", "embedding", n_queries=3, k=6, n_centroids=4, n_probe=2
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert 0 <= r["n_hits"] <= 6
+        assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // 6
+
+
+def test_semdedup_graph_raises_on_decimal_headroom_overflow(spark):
+    # components of 200 quantize to 2e8 per dim -> |v|^2 = 3.2e17 >= 1e16:
+    # the decimal(38,0) dup test would overflow to NULL and silently DROP
+    # the planted duplicate pair — the guard must raise instead
+    big = [200.0] * 8
+    df = spark.createDataFrame(
+        [(0, big), (1, big), (2, [0.1] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    _, edges = similarity.semdedup_graph(
+        df, "vec_id", "embedding", k=1, n_iters=1
+    )
+    with pytest.raises(Exception, match="headroom"):
+        edges.collect()
+    # unit-scale vectors stay comfortably inside the bound: planted twin
+    # pair is found, nothing raises
+    ok = spark.createDataFrame(
+        [(0, [0.5] * 8), (1, [0.5] * 8), (2, [-0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    _, edges_ok = similarity.semdedup_graph(ok, "vec_id", "embedding", k=1, n_iters=1)
+    got = [(r["a_id"], r["b_id"]) for r in edges_ok.collect()]
+    assert got == [(0, 1)]

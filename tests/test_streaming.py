@@ -1295,3 +1295,99 @@ def test_decay_ingest_pins_utc_for_ntz_timestamps(spark, tmp_path):
     assert got[2] == 50_000             # exactly one day older
     # and the session zone was restored
     assert spark.conf.get("spark.sql.session.timeZone") == prev
+
+
+def test_stream_incremental_exact_scrub_matches_batch_union(spark, tmp_path):
+    """ExactSubstr incremental ingest: per-batch scrubbed output equals a
+    FULL-corpus exact_substring_scrub over the union of all raw batches
+    restricted to that batch's docs (the q195 batch-union invariant),
+    replays are idempotent, and the store's hash-family guard fires."""
+    import json
+
+    import pytest
+
+    from otokuna_spark.operators import dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    out = str(tmp_path / "scrubbed")
+    store = str(tmp_path / "whstore")
+    raw = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt_es")
+
+    d1 = "alpha beta gamma delta epsilon one"
+    d2 = "zeta eta theta iota kappa two"
+    d10 = "PREFIX>> beta gamma delta <<SUFFIX"   # cross-batch dup vs doc 1
+    d11 = "0123456789abcdef0123456789abcdef-tail"  # within-batch self-dup
+    d12 = "completely novel text here thirteen"
+
+    def run():
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+        jobs.stream_incremental_exact_scrub(
+            spark, stream, out, store, raw, ckpt, window=8
+        )
+
+    with open(src / "b1.json", "w") as f:
+        for r in [{"doc_id": 1, "text": d1}, {"doc_id": 2, "text": d2}]:
+            f.write(json.dumps(r) + "\n")
+    run()
+    first = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert first[1]["kept_text"] == d1 and first[1]["n_ranges"] == 0
+    assert first[2]["kept_text"] == d2 and first[2]["n_ranges"] == 0
+
+    with open(src / "b2.json", "w") as f:
+        for r in [
+            {"doc_id": 10, "text": d10},
+            {"doc_id": 11, "text": d11},
+            {"doc_id": 12, "text": d12},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    run()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # shipped batch 1 is never retroactively re-spanned
+    assert got[1]["kept_text"] == d1 and got[2]["kept_text"] == d2
+    # cross-batch dup scrubbed, self-repetition scrubbed, novel untouched
+    assert got[10]["n_ranges"] == 1 and "beta gamma delta" not in got[10]["kept_text"]
+    assert got[11]["n_ranges"] >= 1 and len(got[11]["kept_text"]) < len(d11)
+    assert got[12]["kept_text"] == d12 and got[12]["n_ranges"] == 0
+
+    # batch-union equivalence: full-corpus scrub over ALL raw docs,
+    # restricted to batch-2 ids, must equal the incremental output
+    union_docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (10, d10), (11, d11), (12, d12)],
+        "doc_id long, text string",
+    )
+    full = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_scrub(
+            union_docs, "doc_id", "text", window=8
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    for did in (10, 11, 12):
+        assert got[did]["kept_text"] == full[did]["kept_text"], did
+        assert got[did]["n_dropped_chars"] == full[did]["n_dropped_chars"], did
+
+    # REPLAY of batch 1 (same id, same data): state converges, no
+    # appended duplicates, the store keeps one partition per batch
+    b2 = spark.createDataFrame(
+        [(10, d10), (11, d11), (12, d12)], "doc_id long, text string"
+    )
+    jobs.ingest_exact_scrub_batch(b2, 1, out, store, raw, window=8)
+    again = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert {k: v["kept_text"] for k, v in again.items()} == {
+        k: v["kept_text"] for k, v in got.items()
+    }
+    store_df = spark.read.parquet(store)
+    assert set(store_df.select("hash_family").distinct().toPandas()["hash_family"]) == {
+        dedup.EXACTSUBSTR_HASH_FAMILY
+    }
+    assert sorted(
+        r["batch"] for r in store_df.select("batch").distinct().collect()
+    ) == [0, 1]
+
+    # family/window guard: probing the store with a different window
+    # raises instead of silently matching nothing
+    b3 = spark.createDataFrame([(20, "whatever text this is")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="families/windows"):
+        jobs.ingest_exact_scrub_batch(b3, 2, out, store, raw, window=16)

@@ -574,7 +574,8 @@ def main() -> None:
     # (n_rounds=None): runs the data-dependent loop to the actual
     # fixpoint under the max_rounds RuntimeError guard — the round-12
     # probe's fixed 12-round unroll honestly recorded
-    # rounds_to_fixpoint=null because the geometric tail needed 13.
+    # rounds_to_fixpoint=null because the geometric tail needed 15
+    # (rounds_to_fixpoint=15 in the committed PROD_BENCH.json).
     (_, khist), s = timed(lambda: gph.kcore_peel(gedges, k=16, n_rounds=None))
     converged_at = next(
         (h["iter"] for h in khist if h["n_removed"] == 0), None

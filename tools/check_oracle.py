@@ -22,7 +22,7 @@ import duckdb
 sys.path.insert(0, ".")
 
 from otokuna_spark.io import TPCH_TABLES, table_path  # noqa: E402
-from otokuna_spark.plans.queries import REGISTRY  # noqa: E402
+from otokuna_spark.plans.queries import REGISTRY, clear_shared_relations  # noqa: E402
 from otokuna_spark.session import get_spark  # noqa: E402
 
 
@@ -107,6 +107,10 @@ def run(sf_dir: str, names: list[str], record_path: str | None = None) -> int:
         print(f"PASS {name} ({n_s} rows)")
         rec(name, rows_match=True, schema_match=True, hash_match=True,
             spark_rows=n_s, oracle_rows=n_d)
+    # drop family-shared memoized relations so a long-lived process (this
+    # runner is imported by tools and tests) doesn't pin localCheckpoint
+    # blocks after the sweep (round-13 advice)
+    clear_shared_relations()
     if record_path:
         import json
 
