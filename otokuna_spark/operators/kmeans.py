@@ -22,11 +22,16 @@ partitioning, order, and parallelism (asserted in tests via repartition
 invariance + a numpy reference implementation).
 
 Scale shape (the 100 TB story):
-- Assignment is MAP-ONLY: the k x d centroid table travels as a
-  broadcast 1-row array<struct> column (same device as
-  similarity._with_centroid_scores — literal expressions of that size
-  janino-compile quadratically) and each row computes k higher-order-
-  function distance folds. No shuffle, no Python.
+- Assignment is MAP-ONLY with two physical paths, both bit-identical
+  (asserted in tests): below NUMPY_ASSIGN_MIN_KD the k x d centroid
+  table travels as a broadcast 1-row array<struct> column (same device
+  as similarity._with_centroid_scores — literal expressions of that
+  size janino-compile quadratically) and each row computes k higher-
+  order-function distance folds; at large k*d those interpreted
+  per-row folds collapse (k=1000 x d=16 over 500k rows made no
+  progress in 18 minutes), so the assignment switches to an
+  Arrow-batched numpy matmul (|q|^2 - 2 q.c + |c|^2, exact int64,
+  argmin first-minimum == lowest-cid tie break). Still no shuffle.
 - The per-iteration update is one keyed aggregation producing exactly
   k*(d+2) driver rows: posexplode to (cluster, dim, x) feeds
   partial_sum map-side combine, so the exchange carries k*d
@@ -100,6 +105,53 @@ def _attach_centroids(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     rows = [{"cid": cid, "cvec": [int(x) for x in cvec]} for cid, cvec in enumerate(centroids)]
     cdf = spark.createDataFrame([(rows,)], "__cents array<struct<cid:int,cvec:array<bigint>>>")
     return df.crossJoin(F.broadcast(cdf))
+
+
+# Above this k*d product the per-row higher-order-function argmin (k
+# struct allocations + k zip_with folds PER ROW, interpreted) stops being
+# viable — measured: k=1000, d=16 over 500k rows made zero progress in 18
+# minutes where the vectorized path below finishes in seconds. The
+# attested registry shapes (k=8 x d=64 = 512, k=16 x d=16 = 256) stay on
+# the HOF path so their physical plans are unchanged.
+NUMPY_ASSIGN_MIN_KD = 2048
+
+
+def _assign_numpy(base: DataFrame, id_col: str, centroids: list[list[int]]) -> DataFrame:
+    """Arrow-batched vectorized assignment for LARGE k — bit-identical to
+    ``_assign_expr`` (asserted in tests): exact int64 squared-L2 via
+    ``|q|^2 - 2 q.c + |c|^2`` (every term bounded by d * (2.2e6)^2, far
+    inside int64; numpy integer matmul is exact), argmin ties broken
+    toward the LOWEST centroid id (np.argmin returns the first minimum
+    and centroid rows are ordered by cid). Map-only like the HOF path —
+    the k x d centroid table rides into the workers as a closure
+    broadcast instead of a crossJoin column."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.array(centroids, dtype=np.int64)
+    cn = (cmat * cmat).sum(axis=1)
+    id_type = base.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(pdf["__q"].tolist(), dtype=np.int64)
+            qn = (q * q).sum(axis=1)
+            dist = qn[:, None] - 2 * (q @ cmat.T) + cn[None, :]
+            cid = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__q": pdf["__q"],
+                    "cluster": cid.astype(np.int32),
+                    "dist": dist[np.arange(len(cid)), cid],
+                }
+            )
+
+    return base.mapInPandas(
+        gen, schema=f"{id_col} {id_type}, __q array<bigint>, cluster int, dist long"
+    )
 
 
 def spread_init(
@@ -201,12 +253,15 @@ def lloyd_kmeans(
     assigned: DataFrame | None = None
 
     for t in range(1, n_iters + 1):
-        cluster, dist = _assign_expr(k)
-        assigned = (
-            _attach_centroids(base, centroids)
-            .select(F.col(id_col), F.col("__q"), cluster, dist)
-            .localCheckpoint()
-        )
+        if k * d >= NUMPY_ASSIGN_MIN_KD:
+            assigned = _assign_numpy(base, id_col, centroids).localCheckpoint()
+        else:
+            cluster, dist = _assign_expr(k)
+            assigned = (
+                _attach_centroids(base, centroids)
+                .select(F.col(id_col), F.col("__q"), cluster, dist)
+                .localCheckpoint()
+            )
 
         # ---- history metrics (one keyed agg; k rows to the driver) ----
         stats = {

