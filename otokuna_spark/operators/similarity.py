@@ -509,7 +509,17 @@ def _with_centroid_scores(df: DataFrame, vec_col: str, centroids: list[tuple[int
     (measured 1.7 s plan+compile for a 2000-row assignment; the HOF form
     is ~0.3 s and its codegen size is constant in n_centroids and dim).
     The division structure dot/(norm*cnorm) matches the SQL oracle's
-    exactly; cnorm is precomputed driver-side."""
+    exactly; cnorm is precomputed driver-side.
+
+    Large-k note: the interpreted per-row HOF scoring is O(n_centroids)
+    allocations per row and collapses at n_centroids x dim >~ 2000 (the
+    measured kmeans cliff — see kmeans.NUMPY_ASSIGN_MIN_KD). This scorer
+    stays HOF-only deliberately: its doubles are folded dim-by-dim to
+    mirror the SQL oracle expression-for-expression, and a vectorized
+    rewrite would reassociate the float sums. Codebooks that need
+    thousands of cells should train/assign through the INTEGER kmeans
+    path (quantize + kmeans._assign_numpy, bit-exact at any k) and keep
+    this scorer for the bounded probe step."""
     spark = df.sparkSession
     rows = [
         {"negcid": -cid, "vec": [float(x) for x in cvec], "nrm": float(sum(x * x for x in cvec) ** 0.5)}

@@ -3023,3 +3023,22 @@ def test_semdedup_graph_raises_on_decimal_headroom_overflow(spark):
     _, edges_ok = similarity.semdedup_graph(ok, "vec_id", "embedding", k=1, n_iters=1)
     got = [(r["a_id"], r["b_id"]) for r in edges_ok.collect()]
     assert got == [(0, 1)]
+
+
+def test_incremental_exact_spans_empty_store_equals_batch_only(spark):
+    # with an EMPTY store the delta mode must degenerate to the plain
+    # full-corpus operator over the batch alone (within-batch dups only)
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdef0123456789abcdef-tail"),
+         (2, "nothing repeated in here at all")],
+        "doc_id long, text string",
+    )
+    empty_store = spark.createDataFrame([], "__id long, p int, __h long")
+    empty_corpus = spark.createDataFrame([], "doc_id long, text string")
+    inc = sorted(map(tuple, dedup.incremental_exact_spans(
+        docs, empty_store, empty_corpus, "doc_id", "text", window=8
+    ).collect()))
+    full = sorted(map(tuple, dedup.exact_char_dup_spans(
+        docs, "doc_id", "text", window=8
+    ).collect()))
+    assert inc == full and len(inc) >= 1

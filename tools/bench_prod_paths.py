@@ -215,7 +215,7 @@ def _synth_vectors(spark, n: int, d: int, salt: int = 3):
     ).localCheckpoint()
 
 
-def round14_scale_probes(spark) -> dict:
+def round14_scale_probes(spark, sf_dir: str = "/root/testdata/sf0.1") -> dict:
     """Round-13 judge ask #7: SemDeDup and the composed IVF-SQ8 ANN at
     500k vectors — one order past the 50k / sf0.1 evidence. d=16 keeps
     the single-box probe inside budget; N carries the scale claim (both
@@ -277,6 +277,48 @@ def round14_scale_probes(spark) -> dict:
         "recall_at_10_mean_ppm": int(sum(rec) / len(rec)),
         "recall_at_10_min_ppm": min(rec),
     }
+
+    # Incremental ExactSubstr (q195): the realized delta economics at
+    # sf0.1 — store = even doc_ids' persisted window-hash relation (the
+    # one-time cost yesterday's run already paid), batch = odd ids.
+    # Committed pair: delta-mode seconds vs the full-corpus rescan it
+    # replaces, with the span sets asserted identical. At this SF the
+    # store is only ~1x the batch, so the ratio understates production:
+    # the full rescan scales with CORPUS size while delta scales with
+    # batch + one columnar store scan — at a 100:1 corpus:batch ratio
+    # the rescan side grows 50x while the delta side barely moves.
+    from otokuna_spark.operators import dedup as _dd
+
+    docs = read_table(spark, sf_dir, "documents")
+    inc_out: dict = {}
+    for label, mod, batch_res in (("1to1", 2, 1), ("9to1", 10, 0)):
+        seen = docs.where(F.col("doc_id") % mod != batch_res)
+        batch = docs.where(F.col("doc_id") % mod == batch_res)
+        store, s_store = timed(
+            lambda: _dd._rolling_window_hashes(
+                seen, "doc_id", "text", 32
+            ).localCheckpoint()
+        )
+        n_inc, s_inc = timed(
+            lambda: _dd.incremental_exact_spans(
+                batch, store, seen, "doc_id", "text", window=32
+            ).count()
+        )
+        n_full, s_full = timed(
+            lambda: _dd.exact_char_dup_spans(docs, "doc_id", "text", 32)
+            .where(F.col("doc_id") % mod == batch_res)
+            .count()
+        )
+        inc_out[f"store_{label}_batch"] = {
+            "store_build_seconds_one_time": s_store,
+            "delta_seconds": s_inc,
+            "full_rescan_seconds": s_full,
+            "speedup_x": round(s_full / max(s_inc, 0.001), 2),
+            "batch_spans": n_inc,
+            "spans_equal_full_restricted": n_inc == n_full,
+            "store_positions": store.count(),
+        }
+    probes["incremental_exactsubstr_delta_vs_full"] = inc_out
     return probes
 
 
@@ -294,7 +336,7 @@ def main() -> None:
         )
         with open(out_path) as f:
             result = json.load(f)
-        result["round14_scale_probes"] = round14_scale_probes(spark)
+        result["round14_scale_probes"] = round14_scale_probes(spark, sf_dir)
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
         print(json.dumps(result["round14_scale_probes"]))
@@ -746,7 +788,7 @@ def main() -> None:
         "personalized_pagerank_1m_edges": probes12_ppr,
     }
 
-    result["round14_scale_probes"] = round14_scale_probes(spark)
+    result["round14_scale_probes"] = round14_scale_probes(spark, sf_dir)
 
     result["notes"] = (
         "ANN wall times at this SF are dominated by fixed costs (centroid "

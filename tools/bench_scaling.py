@@ -90,6 +90,11 @@ CASES = {
     # passing (per-round join+agg bounded by edge count, seeds fixed)
     "composed_ann": "q191_ivf_sq8_adc",
     "seed_message_passing": "q192_personalized_pagerank",
+    # round-14: delta-mode dedup against a persisted store — the batch is
+    # re-hashed map-only and the store side moves only through a broadcast
+    # hash-set probe, so the step ratio should track the BATCH scan (the
+    # store contributes a columnar scan, never a shuffle)
+    "incremental_store_probe": "q195_incremental_exact_spans",
 }
 
 

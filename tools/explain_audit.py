@@ -205,6 +205,7 @@ EXPECT = {
     "q192_personalized_pagerank": ["Scan ExistingRDD", "TakeOrderedAndProject"],  # checkpointed final ranks; top-50 pushed down, rounds ran upstream
     "q193_lsh_operating_curve": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed signature/truth/pairs relations; 1-row stats meet in broadcast crossJoins
     "q194_weighted_systematic_sample": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed range-partitioned prefix relation; per-partition offsets + 1-row total broadcast back
+    "q195_incremental_exact_spans": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_count"],  # checkpointed batch-candidate + store-hit relations; candidate corpus join-back broadcasts the bounded store-hit id side; gram counts combine map-side
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -465,8 +466,9 @@ MAX_SHUFFLES = {
     "q190_kmeans_spread_init": 1,  # output order only — same checkpointed-assignment tail as q183; the spread-init md5 top-m adds one bounded pass upstream
     "q191_ivf_sq8_adc": 5,  # ADC window + candidate-count agg + exact window + hit join/agg + output order; pair scoring itself is map-only broadcast attaches within probed cells
     "q192_personalized_pagerank": 0,  # TakeOrdered tail over the checkpointed final ranks; per-round join+agg plans run upstream, lineage cut each round
-    "q193_lsh_operating_curve": 11,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints
+    "q193_lsh_operating_curve": 12,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints. 11 in a fresh session; a long audit session flips ONE borderline AQE exchange to 12 (measured both ways at r14) — the cap admits the flip, the SinglePartition guard still bounds every extra exchange
     "q194_weighted_systematic_sample": 2,  # output order + the keyless total agg (1-row, broadcast back); the two-phase prefix sum's range exchange runs upstream of the checkpoint
+    "q195_incremental_exact_spans": 6,  # gram-count aggs (batch + store sides) + covered join + islands window (shares the __id exchange with the span agg) + output order; the batch scan and broadcast store probe materialize at the checkpoints
 }
 
 

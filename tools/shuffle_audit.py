@@ -93,6 +93,8 @@ CASES = [
     "q192_personalized_pagerank",  # per-round join+agg bounded by edges; seeds are an IN-list
     "q193_lsh_operating_curve",    # one signature scan + one truth relation feed all three bandings
     "q194_weighted_systematic_sample",  # two-phase prefix sum; only the range exchange moves rows
+    # round-14: incremental ExactSubstr
+    "q195_incremental_exact_spans",  # store probed by a broadcast of the batch hash set; only candidate grams + 8-byte keys shuffle
 ]
 
 
@@ -146,6 +148,16 @@ NOTES = {
     ),
     "q147_cross_source_dup_matrix": (
         "same hash-then-verify volume as q143 for candidate grams; the matrix join moves only DISTINCT (gram, source) rows (fan-in bounded by the 20 sources), so its marginal shuffle over the shared scan is the distinct-gram relation, never position pairs"
+    ),
+    "q195_incremental_exact_spans": (
+        "q143's verify-volume story in delta mode: the batch's own hash "
+        "relation shuffles for the within-batch count, candidate 32-char "
+        "grams shuffle for the exact re-count, and on this deliberately "
+        "repetitive synthetic corpus nearly every position is a candidate "
+        "— yet the ratio lands ~3.4x BELOW full-corpus q143 because the "
+        "store side never shuffles at all (broadcast hash-set probe + "
+        "candidate-only corpus join-back). Same checkpoint-denominator "
+        "effect as q143"
     ),
     "q122_streaming_twin_2batches": (
         "two foreachBatch ingests over disjoint halves; per-batch shuffle "
