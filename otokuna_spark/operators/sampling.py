@@ -294,3 +294,82 @@ def weighted_systematic_sample(
             ),
         )
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight_col: str,
+    token_budget: int,
+) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual pretraining
+    standard, alpha = 0.5): each source's share of ``token_budget`` is
+    proportional to floor(sqrt(its total token mass)) — up-weighting
+    small sources relative to raw proportions without floats leaking
+    into the draw (sqrt is the one double op, IEEE-correctly-rounded in
+    both engines, floored immediately to BIGINT). Within each source,
+    documents are taken in the deterministic md5(id) permutation until
+    the source's cumulative tokens reach its target (the q71
+    token-budget rule, applied per source).
+
+    Scale shape: the per-source running sum is NOT a
+    ``Window.partitionBy(source)`` (20 sources at 100 TB = 5 TB per
+    reducer task — a skew funnel); it is ONE global two-phase prefix sum
+    over the total order (source, md5(id), id) minus per-source offsets,
+    where the offsets come from a sources^2-bounded self-join over the
+    per-source totals (20 x 20 rows) met in a broadcast. Every exchange
+    is either corpus-keyed range partitioning or model-scale broadcast.
+
+    Returns the kept documents: (id_col, source_col, weight,
+    cum_in_source, target_tokens) — one row per drawn doc. A drawn
+    source's realized tokens land in (target - max_doc, target]
+    by the cum <= target rule; sources with target 0 draw nothing.
+    """
+    from . import prefix
+
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("__src"),
+        F.col(weight_col).cast("long").alias("__w"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    ).where(F.col("__w") > 0)
+    tot = d.groupBy("__src").agg(F.sum("__w").alias("__nt"))
+    wgt = tot.select(
+        "__src",
+        "__nt",
+        F.floor(F.sqrt(F.col("__nt").cast("double"))).cast("long").alias("__wt"),
+    )
+    wsum = wgt.agg(F.sum("__wt").alias("__wsum"))
+    tgt = wgt.crossJoin(F.broadcast(wsum)).select(
+        "__src",
+        F.expr(f"cast({int(token_budget)} as bigint) * __wt div __wsum").alias(
+            "__target"
+        ),
+    )
+    # per-source offset = sum of earlier sources' totals (sources^2 rows)
+    offs = (
+        wgt.alias("a")
+        .join(
+            wgt.alias("b"), F.col("b.__src") < F.col("a.__src"), "left"
+        )
+        .groupBy(F.col("a.__src").alias("__src"))
+        .agg(F.coalesce(F.sum("b.__nt"), F.lit(0)).cast("long").alias("__off"))
+    )
+    c = prefix.global_running_sum(
+        d, [F.asc("__src"), F.asc("__h"), F.asc(id_col)], "__w", out="__cum"
+    )
+    return (
+        c.join(F.broadcast(offs), "__src")
+        .join(F.broadcast(tgt), "__src")
+        .where((F.col("__cum") - F.col("__off")) <= F.col("__target"))
+        .select(
+            F.col(id_col),
+            F.col("__src").alias(source_col),
+            F.col("__w").alias("weight"),
+            (F.col("__cum") - F.col("__off")).alias("cum_in_source"),
+            F.col("__target").alias("target_tokens"),
+        )
+    )

@@ -11210,3 +11210,115 @@ def q195_incremental_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=32,
         batch_hashed=shared.where(F.col("__id") % 2 == 1),
     ).orderBy("doc_id", "span_start")
+
+
+def _q196_oracle() -> str:
+    # the md5 permutation, the floor(sqrt) weights, the integer-div
+    # target split and the cum <= target cut are all replayed literally;
+    # DuckDB's single-node PARTITION BY window realizes the same values
+    # the Spark side gets from the global two-phase prefix sum minus
+    # per-source offsets
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS w
+        FROM documents
+        WHERE len({_SQL_TOKENS}) > 0
+    ),
+    tot AS (SELECT source, SUM(w) AS nt FROM tok GROUP BY source),
+    wgt AS (
+        SELECT source, nt,
+               CAST(FLOOR(SQRT(CAST(nt AS DOUBLE))) AS BIGINT) AS wt
+        FROM tot
+    ),
+    ws AS (SELECT SUM(wt) AS wsum FROM wgt),
+    tgt AS (
+        SELECT source, nt, wt,
+               (50000 * wt) // wsum AS target_tok
+        FROM wgt, ws
+    ),
+    ordered AS (
+        SELECT doc_id, source, w,
+               SUM(w) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_s
+        FROM tok
+    ),
+    kept AS (
+        SELECT o.source, o.doc_id, o.w
+        FROM ordered o JOIN tgt USING (source)
+        WHERE o.cum_s <= tgt.target_tok
+    )
+    SELECT t.source,
+           CAST(t.nt AS BIGINT) AS n_tokens_source,
+           CAST(t.wt AS BIGINT) AS weight,
+           CAST(t.target_tok AS BIGINT) AS target_tokens,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS drawn_docs,
+           CAST(COALESCE(SUM(k.w), 0) AS BIGINT) AS drawn_tokens
+    FROM tgt t LEFT JOIN kept k USING (source)
+    GROUP BY t.source, t.nt, t.wt, t.target_tok
+    ORDER BY t.source
+    """
+
+
+@register(
+    "q196_temperature_mixture",
+    _q196_oracle(),
+    "Temperature-scaled source mixture (alpha = 0.5, the multilingual "
+    "pretraining standard): each source's share of a 50k-token budget "
+    "is proportional to floor(sqrt(its token mass)) — small sources "
+    "up-weighted vs raw proportion, and the one double op (IEEE sqrt, "
+    "correctly rounded in both engines) is floored to BIGINT before it "
+    "touches the draw; within each source docs are taken in the md5(id) "
+    "permutation until the source's cumulative tokens reach its target "
+    "(the q71 budget rule per source). 100 TB shape "
+    "(sampling.temperature_mixture_sample): NOT a partitionBy(source) "
+    "window (20 sources = 5 TB per reducer task at scale) — ONE global "
+    "two-phase prefix sum over (source, md5, id) minus per-source "
+    "offsets from a sources^2-bounded totals self-join, offsets and "
+    "targets broadcast. Report: per-source target vs realized draw",
+)
+def q196_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    kept = sampling.temperature_mixture_sample(
+        d, "doc_id", "source", "n_tok", token_budget=50_000
+    )
+    base = d.where(F.col("n_tok") > 0)
+    tot = base.groupBy("source").agg(F.sum("n_tok").alias("n_tokens_source"))
+    wgt = tot.select(
+        "source",
+        "n_tokens_source",
+        F.floor(F.sqrt(F.col("n_tokens_source").cast("double")))
+        .cast("long")
+        .alias("weight"),
+    )
+    wsum = wgt.agg(F.sum("weight").alias("__wsum"))
+    tgt = wgt.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_tokens_source",
+        "weight",
+        F.expr("cast(50000 as bigint) * weight div __wsum").alias("target_tokens"),
+    )
+    drawn = kept.groupBy("source").agg(
+        F.count("*").alias("drawn_docs"),
+        F.sum("weight").alias("drawn_tokens"),
+    )
+    return (
+        tgt.join(drawn, "source", "left")
+        .select(
+            "source",
+            "n_tokens_source",
+            "weight",
+            "target_tokens",
+            F.coalesce("drawn_docs", F.lit(0)).cast("long").alias("drawn_docs"),
+            F.coalesce("drawn_tokens", F.lit(0)).cast("long").alias("drawn_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -3042,3 +3042,46 @@ def test_incremental_exact_spans_empty_store_equals_batch_only(spark):
         docs, "doc_id", "text", window=8
     ).collect()))
     assert inc == full and len(inc) >= 1
+
+
+def test_temperature_mixture_sample_budget_and_upweighting(spark):
+    # three sources: big (5000 tokens), mid (500), small (50) — sqrt
+    # temperature must give the small source a LARGER share than its raw
+    # proportion and never overdraw any source's target
+    rows = []
+    did = 0
+    for src, n_docs, tok in (("big", 500, 10), ("mid", 50, 10), ("small", 5, 10)):
+        for _ in range(n_docs):
+            rows.append((did, src, tok))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    budget = 1000
+    kept = sampling.temperature_mixture_sample(
+        df, "doc_id", "source", "n_tok", token_budget=budget
+    ).collect()
+    drawn = {}
+    for r in kept:
+        drawn.setdefault(r["source"], [0, 0])
+        drawn[r["source"]][0] += 1
+        drawn[r["source"]][1] += r["weight"]
+        assert r["cum_in_source"] <= r["target_tokens"]
+    import math
+    wts = {s: math.isqrt(t) for s, t in (("big", 5000), ("mid", 500), ("small", 50))}
+    wsum = sum(wts.values())
+    totals = {"big": 5000, "mid": 500, "small": 50}
+    for s, (n_docs_s, toks) in drawn.items():
+        target = budget * wts[s] // wsum
+        assert toks <= target, (s, toks, target)
+        # budget rule fills to within one doc (10 tokens) of the target,
+        # unless the source exhausts first (small: 50 tokens < its
+        # sqrt-boosted 70-token target — the whole source is drawn)
+        assert toks > min(target, totals[s]) - 10, (s, toks, target)
+    # up-weighting: small's realized share beats its raw 0.9% proportion
+    total_drawn = sum(v[1] for v in drawn.values())
+    assert drawn["small"][1] / total_drawn > 50 / 5550
+
+    # partitioning invariance: the draw is a pure function of the data
+    again = sampling.temperature_mixture_sample(
+        df.repartition(13), "doc_id", "source", "n_tok", token_budget=budget
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, kept))

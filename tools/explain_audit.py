@@ -206,6 +206,7 @@ EXPECT = {
     "q193_lsh_operating_curve": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed signature/truth/pairs relations; 1-row stats meet in broadcast crossJoins
     "q194_weighted_systematic_sample": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed range-partitioned prefix relation; per-partition offsets + 1-row total broadcast back
     "q195_incremental_exact_spans": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_count"],  # checkpointed batch-candidate + store-hit relations; candidate corpus join-back broadcasts the bounded store-hit id side; gram counts combine map-side
+    "q196_temperature_mixture": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_sum"],  # checkpointed range-partitioned prefix relation; per-source offsets/targets (sources^2-bounded) broadcast; token sums combine map-side
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -469,6 +470,7 @@ MAX_SHUFFLES = {
     "q193_lsh_operating_curve": 12,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints. 11 in a fresh session; a long audit session flips ONE borderline AQE exchange to 12 (measured both ways at r14) — the cap admits the flip, the SinglePartition guard still bounds every extra exchange
     "q194_weighted_systematic_sample": 2,  # output order + the keyless total agg (1-row, broadcast back); the two-phase prefix sum's range exchange runs upstream of the checkpoint
     "q195_incremental_exact_spans": 6,  # gram-count aggs (batch + store sides) + covered join + islands window (shares the __id exchange with the span agg) + output order; the batch scan and broadcast store probe materialize at the checkpoints
+    "q196_temperature_mixture": 11,  # per-source totals + drawn-docs aggs + the prefix sum's range exchange + target/offset model-scale tails (1-row wsum, 20-row offsets) + output order; measured 10 in a fresh session, +1 admits the long-session AQE flip (the q193 pattern)
 }
 
 
