@@ -213,6 +213,50 @@ def bucketed_join_is_shuffle_free(spark: SparkSession, left_table: str, right_ta
     return _re.search(r"^\(\d+\) Exchange\b", buf.getvalue(), _re.M) is None
 
 
+def join_side_is_shuffle_free(
+    df: DataFrame, scan_marker: str, forbid_broadcast: bool = True
+) -> bool:
+    """Diagnostic for ONE side of a join inside an arbitrary plan: does
+    the scan identified by ``scan_marker`` (e.g. a bucketed table name)
+    reach its enclosing join without ANY Exchange on its path? Used to
+    attest co-located probes where only the OTHER side may shuffle —
+    ``bucketed_join_is_shuffle_free``'s whole-plan check is too blunt
+    there because the probing side legitimately shuffles.
+
+    Walks the physical-plan tree string by indentation from the scan
+    line up through its ancestors until the first join node; any
+    Exchange on that path means the scan side was re-partitioned (not
+    co-located). With ``forbid_broadcast`` the WHOLE plan must also be
+    free of BroadcastExchange — the attestation that a size-gated probe
+    really did avoid broadcasting a batch-sized relation (the join this
+    guards is the plan's only join, so the check is unambiguous).
+    """
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if forbid_broadcast and "BroadcastExchange" in plan:
+        return False
+    lines = plan.splitlines()
+
+    def content_start(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*()0123456789"))
+
+    try:
+        i = next(idx for idx, s in enumerate(lines) if scan_marker in s)
+    except StopIteration:
+        return False
+    cur = content_start(lines[i])
+    for j in range(i - 1, -1, -1):
+        cs = content_start(lines[j])
+        if cs < cur:
+            node = lines[j][cs:]
+            if "Join" in node.split(" ")[0]:
+                return True
+            if node.startswith("Exchange"):
+                return False
+            cur = cs
+    return True  # no join above: a bare scan pipeline has no exchange
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

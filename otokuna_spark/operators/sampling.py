@@ -296,22 +296,64 @@ def weighted_systematic_sample(
     )
 
 
+def rational_pow_floor_sql(nt_expr: str, p: int, q: int) -> str:
+    """SQL expression computing floor(nt ** (p/q)) EXACTLY for a
+    non-negative integer ``nt`` — the temperature weight for arbitrary
+    rational alpha = p/q without float error leaking into the draw.
+
+    Method: seed w0 = floor(pow(nt, p/q)) from doubles, then pick the
+    LARGEST candidate w in [w0-2, w0+2] with w**q <= nt**p, both sides
+    exponentiated by repeated multiplication in DECIMAL(38,0) — the
+    double pow only needs to land within +/-2 of the true root (libm and
+    the JVM agree to far better than that), so the RESULT is a pure
+    integer function of (nt, p, q), identical in Spark and DuckDB even
+    though their pow implementations differ in the last ulp. Validity is
+    downward-closed in w, so GREATEST over the candidate CASEs is the
+    max valid one. Bound: nt**p must fit DECIMAL(38,0) (nt <= 1e12 for
+    p = 3 — per-source token masses at the 100 TB point are ~1e12, so
+    keep p small; the q196 standard alphas 1/2, 3/10, 7/10 all qualify).
+    The same expression text runs in DuckDB with DECIMAL(38,0) HUGEINT
+    semantics — it is the shared oracle formula.
+    """
+    if p < 1 or q < 1:
+        raise ValueError(f"alpha = p/q needs positive integers, got {p}/{q}")
+    nt_dec = f"CAST({nt_expr} AS DECIMAL(38,0))"
+    ntp = " * ".join([nt_dec] * p)
+    # the exponent MUST divide as doubles: a bare `2.0 / 3.0` is DECIMAL
+    # division in Spark SQL (6 fractional digits -> pow lands ~1e-5 off,
+    # far outside the candidate window)
+    alpha_d = f"(CAST({p} AS DOUBLE) / CAST({q} AS DOUBLE))"
+    w0 = f"CAST(FLOOR(POWER(CAST({nt_expr} AS DOUBLE), {alpha_d})) AS BIGINT)"
+    cands = []
+    for d in (-2, -1, 0, 1, 2):
+        w = f"({w0} + {d})"
+        wq = " * ".join([f"CAST({w} AS DECIMAL(38,0))"] * q)
+        cands.append(
+            f"CASE WHEN {w} >= 0 AND ({wq}) <= ({ntp}) THEN {w} ELSE -1 END"
+        )
+    return f"GREATEST({', '.join(cands)})"
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     id_col: str,
     source_col: str,
     weight_col: str,
     token_budget: int,
+    alpha: tuple[int, int] = (1, 2),
 ) -> DataFrame:
     """Temperature-scaled source mixture (the multilingual pretraining
-    standard, alpha = 0.5): each source's share of ``token_budget`` is
-    proportional to floor(sqrt(its total token mass)) — up-weighting
-    small sources relative to raw proportions without floats leaking
-    into the draw (sqrt is the one double op, IEEE-correctly-rounded in
-    both engines, floored immediately to BIGINT). Within each source,
-    documents are taken in the deterministic md5(id) permutation until
-    the source's cumulative tokens reach its target (the q71
-    token-budget rule, applied per source).
+    standard; ``alpha`` = (p, q) is the temperature p/q, default 1/2):
+    each source's share of ``token_budget`` is proportional to
+    floor(its total token mass ** alpha) — up-weighting small sources
+    relative to raw proportions without floats leaking into the draw
+    (the weight is an EXACT integer root via ``rational_pow_floor_sql``:
+    a double pow seeds a candidate window, DECIMAL(38,0) verification
+    picks the true floor, so any alpha in the literature's [0.2, 0.7]
+    sweep stays oracle-replayable). Within each source, documents are
+    taken in the deterministic md5(id) permutation until the source's
+    cumulative tokens reach its target (the q71 token-budget rule,
+    applied per source).
 
     Scale shape: the per-source running sum is NOT a
     ``Window.partitionBy(source)`` (20 sources at 100 TB = 5 TB per
@@ -337,10 +379,30 @@ def temperature_mixture_sample(
         F.md5(F.col(id_col).cast("string")).alias("__h"),
     ).where(F.col("__w") > 0)
     tot = d.groupBy("__src").agg(F.sum("__w").alias("__nt"))
+    wt_raw = F.expr(rational_pow_floor_sql("__nt", *alpha)).cast("long")
+    # -1 = every candidate failed DECIMAL verification: the double pow
+    # seed landed outside its guaranteed window (possible only on a
+    # broken pow or an nt**p decimal overflow) — raise on the spot
+    # rather than ship a silently-wrong mixture; the check rides the
+    # sources-bounded relation, zero extra jobs
     wgt = tot.select(
         "__src",
         "__nt",
-        F.floor(F.sqrt(F.col("__nt").cast("double"))).cast("long").alias("__wt"),
+        F.when(wt_raw >= 0, wt_raw)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "temperature_mixture_sample: exact-root candidate "
+                        f"window missed for alpha={alpha[0]}/{alpha[1]} at "
+                        "token mass "
+                    ),
+                    F.col("__nt").cast("string"),
+                    F.lit(" — check nt**p fits DECIMAL(38,0)"),
+                )
+            ).cast("long")
+        )
+        .alias("__wt"),
     )
     wsum = wgt.agg(F.sum("__wt").alias("__wsum"))
     tgt = wgt.crossJoin(F.broadcast(wsum)).select(

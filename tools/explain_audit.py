@@ -206,7 +206,9 @@ EXPECT = {
     "q193_lsh_operating_curve": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed signature/truth/pairs relations; 1-row stats meet in broadcast crossJoins
     "q194_weighted_systematic_sample": ["Scan ExistingRDD", "BroadcastHashJoin"],  # checkpointed range-partitioned prefix relation; per-partition offsets + 1-row total broadcast back
     "q195_incremental_exact_spans": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_count"],  # checkpointed batch-candidate + store-hit relations; candidate corpus join-back broadcasts the bounded store-hit id side; gram counts combine map-side
-    "q196_temperature_mixture": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_sum"],  # checkpointed range-partitioned prefix relation; per-source offsets/targets (sources^2-bounded) broadcast; token sums combine map-side
+    "q196_temperature_mixture": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_sum"],
+    "q197_temperature_mixture_alpha3": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_sum"],  # q196's plan with the exact-rational-root weight expression
+    "q198_minhash_production_128": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_count"],  # checkpointed 128-lane signature + truth relations; counts meet in broadcast crossJoins  # checkpointed range-partitioned prefix relation; per-source offsets/targets (sources^2-bounded) broadcast; token sums combine map-side
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -467,11 +469,28 @@ MAX_SHUFFLES = {
     "q190_kmeans_spread_init": 1,  # output order only — same checkpointed-assignment tail as q183; the spread-init md5 top-m adds one bounded pass upstream
     "q191_ivf_sq8_adc": 5,  # ADC window + candidate-count agg + exact window + hit join/agg + output order; pair scoring itself is map-only broadcast attaches within probed cells
     "q192_personalized_pagerank": 0,  # TakeOrdered tail over the checkpointed final ranks; per-round join+agg plans run upstream, lineage cut each round
-    "q193_lsh_operating_curve": 12,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints. 11 in a fresh session; a long audit session flips ONE borderline AQE exchange to 12 (measured both ways at r14) — the cap admits the flip, the SinglePartition guard still bounds every extra exchange
+    "q193_lsh_operating_curve": 11,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints. FRESH-session value; the long-session AQE flip is admitted via AQE_FLIP_SLACK, never here
     "q194_weighted_systematic_sample": 2,  # output order + the keyless total agg (1-row, broadcast back); the two-phase prefix sum's range exchange runs upstream of the checkpoint
     "q195_incremental_exact_spans": 6,  # gram-count aggs (batch + store sides) + covered join + islands window (shares the __id exchange with the span agg) + output order; the batch scan and broadcast store probe materialize at the checkpoints
-    "q196_temperature_mixture": 11,  # per-source totals + drawn-docs aggs + the prefix sum's range exchange + target/offset model-scale tails (1-row wsum, 20-row offsets) + output order; measured 10 in a fresh session, +1 admits the long-session AQE flip (the q193 pattern)
+    "q196_temperature_mixture": 10,  # per-source totals + drawn-docs aggs + the prefix sum's range exchange + target/offset model-scale tails (1-row wsum, 20-row offsets) + output order; FRESH-session value (long-session flip in AQE_FLIP_SLACK)
+    "q197_temperature_mixture_alpha3": 10,  # identical machinery to q196 (only the weight expression differs); same fresh-session value and the same long-session flip risk
+    "q198_minhash_production_128": 5,  # one config of the q193 machinery at 128 lanes: signature agg + truth-join agg (2-phase) + candidate-count singleparts + output order; the signature scan and exact-truth relation materialize at the checkpoints
 }
+
+# Long-session allowance, recorded SEPARATELY from the fresh-session caps
+# (round-14 advice: folding it into MAX_SHUFFLES let a genuine fresh-session
+# regression pass unnoticed). A shared audit session that has already
+# executed many plans can flip ONE borderline AQE exchange on these
+# queries (measured both ways at r14); the slack applies only once the
+# session is demonstrably long (> AQE_FLIP_WARM_PLANS plans executed in
+# this process), so a fresh run — e.g. `python tools/explain_audit.py
+# q193_lsh_operating_curve` — still enforces the strict cap.
+AQE_FLIP_SLACK = {
+    "q193_lsh_operating_curve": 1,
+    "q196_temperature_mixture": 1,
+    "q197_temperature_mixture_alpha3": 1,
+}
+AQE_FLIP_WARM_PLANS = 50
 
 
 def count_shuffles(plan: str) -> int:
@@ -496,13 +515,19 @@ def main() -> int:
               f"Generated by tools/explain_audit.py at sf0.01. Each query's plan is",
               "checked for the properties that keep it viable at the 100 TB design",
               "point (pushdown, pruning, broadcast, top-k pushdown, codegen).", ""]
-    for name, spec in REGISTRY.items():
+    # optional name filter: `python tools/explain_audit.py q193_... q196_...`
+    # runs just those queries — a FRESH session, so AQE_FLIP_SLACK stays off
+    wanted = [a for a in sys.argv[1:] if not a.startswith("-")]
+    items = {n: s for n, s in REGISTRY.items() if not wanted or n in wanted}
+    n_executed = 0
+    for name, spec in items.items():
         try:
             plan = plan_of(name, spark)
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {e}")
             failures += 1
             continue
+        n_executed += 1
         problems = []
         for pat in EXPECT.get(name, []):
             if pat not in plan:
@@ -515,8 +540,12 @@ def main() -> int:
             problems.append(f"unbounded SinglePartition exchange fed by `{child}`")
         n_shuffles = count_shuffles(plan)
         cap = MAX_SHUFFLES.get(name)
-        if cap is not None and n_shuffles > cap:
-            problems.append(f"{n_shuffles} shuffles > cap {cap}")
+        slack = AQE_FLIP_SLACK.get(name, 0) if n_executed > AQE_FLIP_WARM_PLANS else 0
+        if cap is not None and n_shuffles > cap + slack:
+            problems.append(
+                f"{n_shuffles} shuffles > cap {cap}"
+                + (f" (+{slack} long-session slack)" if slack else "")
+            )
         status = "OK" if not problems else "FAIL: " + "; ".join(problems)
         print(f"{status:60s} {name}")
         failures += bool(problems)
@@ -537,7 +566,11 @@ def main() -> int:
         report.append(f"- status: {status}")
         report.append(f"- join/limit strategies: {', '.join(strategies) or '(none)'}")
         report.append(f"- WholeStageCodegen spans: {wsc}")
-        cap_note = f" (cap {cap})" if cap is not None else ""
+        cap_note = (
+            f" (cap {cap}{f' +{slack} long-session slack' if slack else ''})"
+            if cap is not None
+            else ""
+        )
         report.append(f"- data shuffles (final plan): {n_shuffles}{cap_note}")
         for s in scans[:6]:
             report.append(f"- scan: `{s}`")
@@ -621,9 +654,12 @@ def main() -> int:
         )
         report.append("")
 
-    with open("PLANS.md", "w") as f:
+    # a name-filtered run audits a SUBSET — writing PLANS.md would clobber
+    # the committed full-registry evidence with a fragment
+    out_md = "PLANS.md" if not wanted else "PLANS_partial.md"
+    with open(out_md, "w") as f:
         f.write("\n".join(report))
-    print(f"\n{failures} failures; PLANS.md written")
+    print(f"\n{failures} failures; {out_md} written")
     return 1 if failures else 0
 
 
