@@ -1587,3 +1587,31 @@ def test_stream_incremental_curation_capstone(spark, tmp_path):
         for p in ("corpus", "raw", "sig_store", "digest_store", "wh_store", "funnel")
     }
     assert before == after
+
+
+def test_ingest_dedup_production_128_lane_config(spark, tmp_path):
+    """The q198 production operating point (128 permutations, 16x8
+    banding, ~0.71 S-curve midpoint) works end-to-end through the
+    incremental streaming ingest: high-similarity near-dups are caught
+    within and across batches at the tighter threshold, while
+    moderate-similarity docs that the calibration 16-lane/8-band default
+    would have flagged as candidates pass — the production config's
+    whole point."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    out = str(tmp_path / "corpus_128")
+    store = str(tmp_path / "store_128")
+    kw = dict(jaccard_threshold=0.7, num_hashes=128, bands=16)
+
+    b0 = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    jobs.ingest_dedup_batch(b0, 0, out, store, **kw)
+    # near-dup (J ~ 0.82) dropped cross-batch; moderate overlap kept
+    moderate = "alpha beta gamma delta epsilon new words appended here now ok fine"
+    b1 = spark.createDataFrame(
+        [(2, base.replace("mu", "nu")), (3, moderate)], ["doc_id", "text"]
+    )
+    jobs.ingest_dedup_batch(b1, 1, out, store, **kw)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 3]
+    # the store carries the 128-lane signatures (16 band keys per doc)
+    sdf = spark.read.parquet(store)
+    assert sdf.where(F.col("__id") == 1).count() == 16
+    assert len(sdf.where(F.col("__id") == 1).first()["lanes"]) == 128

@@ -95,10 +95,26 @@ CASES = {
     # hash-set probe, so the step ratio should track the BATCH scan (the
     # store contributes a columnar scan, never a shuffle)
     "incremental_store_probe": "q195_incremental_exact_spans",
+    # round-15: the production 128-lane MinHash point (32 md5 digests per
+    # shingle — the step ratio should track the shingle scan, with the
+    # exact-truth side bounded exactly as q21's inverted index); the
+    # exact-rational-root temperature mixture (q71's prefix-sum class
+    # plus a sources-bounded DECIMAL verification tail — the weight math
+    # is model-scale, so the ratio should match the token-sum scan)
+    "minhash_prod_128": "q198_minhash_production_128",
+    "rational_temperature_mixture": "q197_temperature_mixture_alpha3",
 }
 
 
 def main() -> None:
+    # optional label filter: `python tools/bench_scaling.py case1 case2`
+    # re-times ONLY those cases and merges them into the committed
+    # SCALING.json — adding a new physical class does not re-pay the
+    # whole matrix
+    wanted = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [w for w in wanted if w not in CASES]
+    if unknown:
+        raise SystemExit(f"unknown case labels: {unknown}")
     spark = get_spark("scaling-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warmups: JVM, parquet footers, Python worker fork (see bench.py)
@@ -108,6 +124,8 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for label, qname in CASES.items():
+        if wanted and label not in wanted:
+            continue
         fn = REGISTRY[qname].fn
         cell: dict[str, float] = {}
         for sf in SFS:
@@ -138,7 +156,7 @@ def main() -> None:
     from otokuna_spark.operators import suffixarray as sa  # noqa: E402
 
     cell = {}
-    for sf in SFS:
+    for sf in SFS if not wanted else []:
         sf_dir = f"/root/testdata/sf{sf}"
         if not os.path.isdir(sf_dir):
             continue
@@ -158,12 +176,18 @@ def main() -> None:
     for a, b in zip(SFS, SFS[1:]):
         if a in cell and b in cell and cell[a] > 0:
             ratios[f"x10_{a}_to_{b}"] = round(cell[b] / cell[a], 2)
-    out["suffix_array"] = {
-        "query": "suffix_ranks(documents, 120 chars/doc) [module]",
-        "sec": cell,
-        "step_ratio_vs_10x_data": ratios,
-    }
+    if not wanted:
+        out["suffix_array"] = {
+            "query": "suffix_ranks(documents, 120 chars/doc) [module]",
+            "sec": cell,
+            "step_ratio_vs_10x_data": ratios,
+        }
 
+    if wanted:
+        with open("SCALING.json") as f:
+            prior = json.load(f)["cases"]
+        prior.update({k: v for k, v in out.items() if k in wanted})
+        out = prior
     doc = {
         "metric": "scaling_step_ratios",
         "note": "t(sf*10)/t(sf) per 10x data step; <=10 is at-worst-linear",
