@@ -1702,6 +1702,8 @@ def stream_incremental_curation(
     shingle_k: int = 3,
     hash_fn: str = "md5",
     window: int = 32,
+    benchmark: DataFrame | None = None,
+    contamination_max_ppm: int = 200_000,
 ) -> None:
     """The INCREMENTAL CURATION CAPSTONE (round-14 judge ask #2) — the
     production shape of continuous corpus building. ``curate_corpus``
@@ -1717,6 +1719,10 @@ def stream_incremental_curation(
       -> near-dup dedup: ``incremental_near_dup_filter`` against the
          accepted corpus's band-key+lanes signature store (the q83
          device: verify-level lane agreement, corpus text never read)
+      -> decontamination (optional, stateless): ``plans.curation
+         .decontaminate`` against a broadcast ``benchmark`` eval set —
+         the same stage ``curate_corpus`` runs, so the incremental twin
+         is stage-for-stage complete
       -> ExactSubstr scrub: ``ingest_exact_scrub_batch`` against the
          window-hash store (the q195 device, inheriting its break-even
          full-rescan fallback AND its broadcast-vs-colocated probe
@@ -1760,6 +1766,7 @@ def stream_incremental_curation(
             min_tokens=min_tokens, jaccard_threshold=jaccard_threshold,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
             hash_fn=hash_fn, window=window,
+            benchmark=benchmark, contamination_max_ppm=contamination_max_ppm,
         )
 
     q = (
@@ -1786,6 +1793,8 @@ def ingest_curation_batch(
     shingle_k: int = 3,
     hash_fn: str = "md5",
     window: int = 32,
+    benchmark: DataFrame | None = None,
+    contamination_max_ppm: int = 200_000,
 ) -> None:
     """One idempotent micro-batch of ``stream_incremental_curation`` (the
     foreachBatch body, callable directly for replay testing/backfills).
@@ -1795,7 +1804,7 @@ def ingest_curation_batch(
     checks on the NEXT ingest), funnel row last."""
     from ..operators import persistence
     from ..operators.dedup import dedup_exact, incremental_near_dup_filter
-    from ..plans.curation import quality_floor
+    from ..plans.curation import decontaminate, quality_floor
 
     sp = batch_df.sparkSession
     corpus_path = f"{root_path}/corpus"
@@ -1856,6 +1865,21 @@ def ingest_curation_batch(
     )
     n_accepted = kept.count()
 
+    # stage 3b (optional): decontamination vs the broadcast benchmark —
+    # stateless, so the incremental twin just runs the batch stage; docs
+    # it drops must leave NO store entry (the stores describe exactly
+    # the accepted corpus), so the signature delta is restricted to the
+    # survivors
+    if benchmark is not None:
+        kept = persistence.stage(
+            decontaminate(kept, benchmark, id_col, text_col, contamination_max_ppm),
+            False,
+        )
+        sig_delta = sig_delta.join(
+            kept.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+        )
+    n_clean = kept.count() if benchmark is not None else n_accepted
+
     # stage 4: ExactSubstr scrub of the accepted docs against the
     # window-hash store — inherits q195's break-even routing and the
     # broadcast-vs-colocated probe size gate; lands raw -> corpus ->
@@ -1892,7 +1916,7 @@ def ingest_curation_batch(
         or 0
     )
     sp.createDataFrame(
-        [(n_raw, n_quality, n_exact, n_accepted, int(chars_in), int(chars_out))],
+        [(n_raw, n_quality, n_exact, n_accepted, n_clean, int(chars_in), int(chars_out))],
         "n_raw long, n_quality long, n_exact long, n_accepted long,"
-        " chars_in long, chars_scrubbed_out long",
+        " n_decontaminated long, chars_in long, chars_scrubbed_out long",
     ).write.mode("overwrite").parquet(f"{root_path}/funnel/batch={batch_id}")

@@ -1615,3 +1615,25 @@ def test_ingest_dedup_production_128_lane_config(spark, tmp_path):
     sdf = spark.read.parquet(store)
     assert sdf.where(F.col("__id") == 1).count() == 16
     assert len(sdf.where(F.col("__id") == 1).first()["lanes"]) == 128
+
+
+def test_ingest_curation_decontamination_stage(spark, tmp_path):
+    """Optional decontamination in the incremental capstone: a doc whose
+    3-gram overlap with the broadcast benchmark exceeds the cap is
+    dropped AFTER near-dup and leaves NO store entry (stores describe
+    exactly the accepted corpus); the funnel records the stage."""
+    root = str(tmp_path / "cur_dc")
+    contaminated = "the quick brown fox jumps over the lazy dog again and again"
+    clean = "completely unrelated clean content with enough tokens to pass fine"
+    bench = spark.createDataFrame([(contaminated,)], "text string")
+    b = spark.createDataFrame(
+        [(1, "w1", contaminated), (2, "w1", clean)],
+        "doc_id long, source string, text string",
+    )
+    jobs.ingest_curation_batch(b, 0, root, benchmark=bench, window=16)
+    assert [r["doc_id"] for r in spark.read.parquet(f"{root}/corpus").collect()] == [2]
+    assert {r["__id"] for r in spark.read.parquet(f"{root}/sig_store").collect()} == {2}
+    assert spark.read.parquet(f"{root}/digest_store").count() == 1
+    f = spark.read.parquet(f"{root}/funnel").collect()[0]
+    assert (f["n_raw"], f["n_quality"], f["n_exact"], f["n_accepted"],
+            f["n_decontaminated"]) == (2, 2, 2, 2, 1)
