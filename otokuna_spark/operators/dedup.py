@@ -1061,6 +1061,7 @@ def incremental_near_dup_filter(
     shingle_k: int = 3,
     hash_fn: str = "md5",
     materialize: bool = True,
+    store_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an INCOMING batch against an already-accepted corpus without
     re-reading corpus text — the daily-ingest shape at 100 TB, where
@@ -1108,6 +1109,17 @@ def incremental_near_dup_filter(
     store bucketed by band_key the exchange on its side disappears), never
     a scan of corpus text. Lanes add ~K values per store row to that one
     join's shuffle — the price of not deleting real data.
+
+    ``store_buckets``: pass the store table's bucket count when
+    ``corpus_band_keys`` is a BUCKETED table scan on ``band_key``
+    (io.write_bucketed — the same co-located device as
+    ``incremental_exact_spans``'s ``probe_via='colocated'``): the probe
+    is then a merge-hinted sort-merge join with the batch side
+    repartitioned to the bucket count, so the store side satisfies the
+    join distribution from its bucketing (NO Exchange — attestable with
+    ``io.join_side_is_shuffle_free``) and only the batch's band keys
+    shuffle. Without it the store side re-shuffles per probe — fine at
+    calibration scale, a daily corpus-sized exchange at 100 TB.
     """
     from pyspark import StorageLevel
 
@@ -1132,7 +1144,13 @@ def incremental_near_dup_filter(
             F.lit(0),
             lambda acc, x: acc + x,
         )
-        collisions = keys_new.join(
+        probe = keys_new
+        if store_buckets:
+            # one batch-side shuffle to the store's bucket layout; the
+            # merge hint pins the sort-merge join so AQE can never flip
+            # the (possibly huge) store side into a broadcast
+            probe = keys_new.repartition(int(store_buckets), "band_key").hint("merge")
+        collisions = probe.join(
             corpus_band_keys.select(
                 F.col("band_key"),
                 F.col("lanes").alias("corpus_lanes"),
@@ -1148,8 +1166,11 @@ def incremental_near_dup_filter(
             .distinct()
         )
     else:
+        probe = keys_new
+        if store_buckets:
+            probe = keys_new.repartition(int(store_buckets), "band_key").hint("merge")
         dup_ids = (
-            keys_new.join(corpus_band_keys.select("band_key"), on="band_key", how="leftsemi")
+            probe.join(corpus_band_keys.select("band_key"), on="band_key", how="leftsemi")
             .select(F.col("__id").alias(id_col))
             .distinct()
         )

@@ -3180,3 +3180,49 @@ def test_temperature_mixture_arbitrary_alpha_exact_weights(spark):
         "SELECT " + sampling.rational_pow_floor_sql("CAST(1000000 AS BIGINT)", 3, 10)
     ).collect()[0][0]
     assert int(got) == exact_root(10 ** 6, 3, 10) == 63
+
+
+def test_incremental_near_dup_filter_colocated_bucketed_store(spark):
+    """store_buckets extends the q195 co-located device to the MINHASH
+    signature store: with the band-key store persisted BUCKETED on
+    band_key (io.write_bucketed), the probe join's store side reaches
+    the join with NO Exchange and nothing broadcasts — and the kept set
+    is identical to the plain probe."""
+    from otokuna_spark import io as _io
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten eleven twelve")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, base.replace("mu", "nu")),  # near-dup of corpus doc 1
+         (11, "red orange yellow green blue indigo violet black white gray pink teal")],
+        ["doc_id", "text"],
+    )
+    store_keys = dedup.minhash_band_keys(
+        corpus, "doc_id", "text", 16, 8, 3, include_lanes=True
+    )
+    t_store = "b16_sigstore_colocated_test"
+    _io.write_bucketed(store_keys, t_store, ["band_key"], n_buckets=4,
+                       sort_cols=["band_key"])
+    store = spark.table(t_store)
+
+    plain, _ = dedup.incremental_near_dup_filter(
+        batch, store_keys, "doc_id", "text", 0.5
+    )
+    coloc, _ = dedup.incremental_near_dup_filter(
+        batch, store, "doc_id", "text", 0.5, store_buckets=4
+    )
+    assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
+        r["doc_id"] for r in coloc.collect()
+    ) == [11]
+
+    # attest the topology from the executed plan of the probe join itself
+    probe = (
+        dedup.minhash_band_keys(batch, "doc_id", "text", 16, 8, 3, include_lanes=True)
+        .repartition(4, "band_key").hint("merge")
+        .join(store.select("band_key", F.col("lanes").alias("corpus_lanes")), "band_key")
+    )
+    probe.collect()
+    assert _io.join_side_is_shuffle_free(probe, t_store)
