@@ -355,7 +355,10 @@ def stream_incremental_dedup(
     directories (no appended duplicates) and never collides with its own
     keys from the failed attempt. Readers just read the root (partition
     discovery). At real scale a transactional table commits both writes in
-    one txn instead.
+    one txn instead — persisted BUCKETED on ``band_key`` so the probe can
+    run co-located (``incremental_near_dup_filter(store_buckets=...)``,
+    PROD_BENCH round15b: store side exchange-free, only the batch's band
+    keys shuffle).
     """
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -359,6 +359,67 @@ def round15_scale_probes(spark, sf_dir: str = "/root/testdata/sf0.1") -> dict:
     return probes
 
 
+def round15b_sigstore_probes(spark, sf_dir: str = "/root/testdata/sf0.1") -> dict:
+    """Co-located MINHASH signature-store probe (the q195 device applied
+    to the second persisted store): store = band keys + 16 lanes of 90%
+    of the corpus, persisted BUCKETED on band_key (one-time write);
+    batch = the other 10% probed through incremental_near_dup_filter
+    both ways. The colocated arm's store side reaches the probe join
+    with no Exchange (asserted from the executed plan) — at 100 TB the
+    plain arm re-shuffles the corpus-sized store every day, the
+    colocated arm shuffles only the batch's band keys."""
+    from otokuna_spark import io as _oio
+    from otokuna_spark.operators import dedup as _dd
+
+    docs = read_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    keys, s_keys = timed(
+        lambda: _dd.minhash_band_keys(
+            seen, "doc_id", "text", 16, 8, 3, include_lanes=True
+        ).localCheckpoint()
+    )
+    t_store = "prodbench_sigstore_90"
+    _, s_bwrite = timed(
+        lambda: _oio.write_bucketed(
+            keys, t_store, ["band_key"], n_buckets=32, sort_cols=["band_key"]
+        )
+    )
+    bstore = spark.table(t_store)
+    n_plain, s_plain = timed(
+        lambda: _dd.incremental_near_dup_filter(
+            batch, keys, "doc_id", "text", 0.5
+        )[0].count()
+    )
+    n_col, s_col = timed(
+        lambda: _dd.incremental_near_dup_filter(
+            batch, bstore, "doc_id", "text", 0.5, store_buckets=32
+        )[0].count()
+    )
+    # topology attestation on the probe join itself
+    probe = (
+        _dd.minhash_band_keys(batch, "doc_id", "text", 16, 8, 3, include_lanes=True)
+        .repartition(32, "band_key").hint("merge")
+        .join(bstore.select("band_key", F.col("lanes").alias("corpus_lanes")), "band_key")
+    )
+    probe.count()
+    colocated = _oio.join_side_is_shuffle_free(probe, t_store)
+    return {
+        "sigstore_colocated_probe": {
+            "store_docs": seen.count(),
+            "batch_docs": batch.count(),
+            "store_band_key_rows": keys.count(),
+            "signature_build_seconds_one_time": s_keys,
+            "bucketed_store_write_seconds_one_time": s_bwrite,
+            "probe_plain_seconds": s_plain,
+            "probe_colocated_seconds": s_col,
+            "kept_equal": n_plain == n_col,
+            "kept_docs": n_plain,
+            "store_side_exchange_free": bool(colocated),
+        }
+    }
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -367,6 +428,7 @@ def main() -> None:
     for flag, key, fn in (
         ("--only-round14", "round14_scale_probes", round14_scale_probes),
         ("--only-round15", "round15_scale_probes", round15_scale_probes),
+        ("--only-round15b", "round15b_sigstore_probes", round15b_sigstore_probes),
     ):
         if flag in sys.argv:
             # merge the new probes into the committed file without
@@ -831,6 +893,7 @@ def main() -> None:
 
     result["round14_scale_probes"] = round14_scale_probes(spark, sf_dir)
     result["round15_scale_probes"] = round15_scale_probes(spark, sf_dir)
+    result["round15b_sigstore_probes"] = round15b_sigstore_probes(spark, sf_dir)
 
     result["notes"] = (
         "ANN wall times at this SF are dominated by fixed costs (centroid "
