@@ -1637,3 +1637,35 @@ def test_ingest_curation_decontamination_stage(spark, tmp_path):
     f = spark.read.parquet(f"{root}/funnel").collect()[0]
     assert (f["n_raw"], f["n_quality"], f["n_exact"], f["n_accepted"],
             f["n_decontaminated"]) == (2, 2, 2, 2, 1)
+
+
+def test_ingest_curation_rejected_docs_leave_no_store_entry(spark, tmp_path):
+    """The accepted-corpus store contract (stream_incremental_curation
+    docstring): a doc REJECTED as a near-dup leaves no digest/signature
+    entry, so a later EXACT copy of it passes the digest stage — and is
+    then dropped at the near-dup stage against the accepted CANONICAL,
+    same outcome with no unbounded rejected-spam store growth. This is
+    the deterministic half of the documented incremental-vs-batch
+    divergence (earlier-accepted-wins vs connected-components)."""
+    root = str(tmp_path / "cur_rejstore")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    near = base.replace("mu", "nu")  # J ~ 0.82 vs base
+    batches = [[(1, "w", base)], [(2, "w", near)], [(3, "w", near)]]
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, "doc_id long, source string, text string")
+        jobs.ingest_curation_batch(df, i, root, window=64)
+
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{root}/corpus").collect()
+    ) == [1]
+    # stores describe exactly the accepted corpus — no entry for 2 or 3
+    assert {r["__id"] for r in spark.read.parquet(f"{root}/sig_store").collect()} == {1}
+    assert spark.read.parquet(f"{root}/digest_store").count() == 1
+    funnel = {
+        int(r["batch"]): r for r in spark.read.parquet(f"{root}/funnel").collect()
+    }
+    # doc 2: passes exact (fresh digest), rejected at near-dup vs canonical 1
+    assert (funnel[1]["n_exact"], funnel[1]["n_accepted"]) == (1, 0)
+    # doc 3 (exact copy of REJECTED 2): digest store has no entry for it,
+    # so it also passes exact — and near-dup drops it against canonical 1
+    assert (funnel[2]["n_exact"], funnel[2]["n_accepted"]) == (1, 0)
