@@ -101,6 +101,11 @@ def main(argv: list[str]) -> int:
     no_codegen = "--no-codegen" in argv
     streaming = "--streaming" in argv
     argv = [a for a in argv if a not in ("--no-aqe", "--no-codegen", "--streaming")]
+    record = None
+    if "--record" in argv:
+        i = argv.index("--record")
+        record = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if "--tz" in argv:
         i = argv.index("--tz")
         tz = argv[i + 1]
@@ -132,7 +137,27 @@ def main(argv: list[str]) -> int:
         + (", AQE off" if no_aqe else "")
         + (", codegen off" if no_codegen else "")
     )
-    return co.run(sf_dir, sorted(REGISTRY))
+    failures = co.run(sf_dir, sorted(REGISTRY), record_path=None)
+    if record:
+        import json
+
+        with open(record, "w") as f:
+            json.dump(
+                {
+                    "metric": "batch_invariance",
+                    "shuffle_partitions": n_parts,
+                    "session_tz": tz,
+                    "aqe_disabled": no_aqe,
+                    "codegen_disabled": no_codegen,
+                    "sf_dir": sf_dir,
+                    "registry_size": len(REGISTRY),
+                    "failures": failures,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {record}")
+    return failures
 
 
 if __name__ == "__main__":
