@@ -1029,6 +1029,7 @@ def near_dup_dedup(
     shingle_k: int = 3,
     hash_fn: str = "md5",
     max_df: int | None = None,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """The full near-dup dedup pipeline a training corpus needs:
 
@@ -1039,8 +1040,30 @@ def near_dup_dedup(
     family for the candidate stage (see ``minhash_signatures``); the
     verify stage is exact regardless. ``max_df`` forwards to
     ``ngram_jaccard_pairs`` (boilerplate-shingle skew cap).
+
+    ``band_keys``: optional precomputed ``minhash_band_keys`` relation
+    covering (at least) ``docs`` — candidates then come from its
+    band-key self-join restricted to ``docs``' ids, skipping the
+    signature recompute. Callers that already hold the keys
+    (``incremental_near_dup_filter`` holds them for the corpus probe)
+    save one full shingle->hash->min pass; the keys MUST be from the
+    same (num_hashes, bands, shingle_k, hash_fn) scheme or candidacy
+    silently differs.
     """
-    cand = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn=hash_fn)
+    if band_keys is not None:
+        bk = band_keys.select("__id", "band_key").join(
+            docs.select(F.col(id_col).alias("__id")), "__id", "leftsemi"
+        )
+        cand = (
+            bk.alias("a")
+            .join(bk.alias("b"), on="band_key")
+            .where(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct()
+            .localCheckpoint()
+        )
+    else:
+        cand = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn=hash_fn)
     verified = (
         ngram_jaccard_pairs(docs, id_col, text_col, jaccard_threshold, shingle_k, max_df=max_df)
         .join(cand, on=["id_a", "id_b"], how="leftsemi")
@@ -1175,8 +1198,11 @@ def incremental_near_dup_filter(
             .distinct()
         )
     survivors = new_docs.join(dup_ids, on=id_col, how="left_anti")
+    # within-batch stage REUSES the batch's band keys (computed above for
+    # the corpus probe) — one signature pass per batch, not two
     kept = near_dup_dedup(
-        survivors, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_k, hash_fn
+        survivors, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_k, hash_fn,
+        band_keys=keys_new,
     )
     kept_keys = keys_new.join(
         kept.select(F.col(id_col).alias("__id")), on="__id", how="leftsemi"
