@@ -1019,6 +1019,74 @@ def _propagate_labels(
     return labels
 
 
+def jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for GIVEN candidate pairs only — the
+    PRODUCTION verify shape. ``ngram_jaccard_pairs`` builds the full
+    shingle inverted index, whose self-join cost is quadratic in
+    shingle-bucket occupancy (data-dependent; ``max_df`` bounds it by
+    dropping evidence); this computes the identical exact Jaccard but
+    only for the pairs LSH candidacy already proposed, so the cost
+    tracks Sum over pairs of |shingles| — OUTPUT-dependent, the right
+    scaling when duplicates are rare (the 100 TB norm). Same shingle
+    semantics as ``ngram_jaccard_pairs`` (distinct word shingles, 64-bit
+    xxhash64 join keys).
+
+    Returns (id_a, id_b, n_common, n_a, n_b, jaccard) for every input
+    pair (n_common = 0 when the docs share nothing — possible for an
+    LSH false positive). Pairs referencing docs with no shingles are
+    dropped (such docs have no signatures, so candidacy can't propose
+    them anyway)."""
+    from pyspark import StorageLevel
+
+    toks = docs.select(F.col(id_col).alias("__id"), text.tokens(F.col(text_col)).alias("__toks"))
+    ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .unionByName(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = (
+        toks.join(ids, "__id", "leftsemi")
+        .select(
+            F.col("__id"),
+            F.explode(text.shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__s"),
+        )
+        .select(F.col("__id"), F.xxhash64(F.col("__s")).alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # sizes + both join sides
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    common = (
+        pairs.join(sh.select(F.col("__id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__c"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b")), "id_b")
+        .join(common, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("__c", F.lit(0)).cast("long").alias("n_common"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            (
+                F.coalesce("__c", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("__c", F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    out = out.localCheckpoint()
+    sh.unpersist()
+    return out
+
+
 def near_dup_dedup(
     docs: DataFrame,
     id_col: str,
@@ -1030,6 +1098,7 @@ def near_dup_dedup(
     hash_fn: str = "md5",
     max_df: int | None = None,
     band_keys: DataFrame | None = None,
+    verify: str = "index",
 ) -> DataFrame:
     """The full near-dup dedup pipeline a training corpus needs:
 
@@ -1049,6 +1118,14 @@ def near_dup_dedup(
     save one full shingle->hash->min pass; the keys MUST be from the
     same (num_hashes, bands, shingle_k, hash_fn) scheme or candidacy
     silently differs.
+
+    ``verify``: ``"index"`` (default, the calibration shape) verifies
+    against the full ``ngram_jaccard_pairs`` inverted index —
+    data-dependent quadratic in bucket occupancy, but also the relation
+    curve-building reuses; ``"candidates"`` verifies ONLY the proposed
+    pairs via ``jaccard_for_pairs`` — output-dependent cost, the
+    production shape when duplicates are rare. The verified pair set is
+    IDENTICAL either way (exact Jaccard intersected with candidacy).
     """
     if band_keys is not None:
         bk = band_keys.select("__id", "band_key").join(
@@ -1064,10 +1141,19 @@ def near_dup_dedup(
         )
     else:
         cand = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn=hash_fn)
-    verified = (
-        ngram_jaccard_pairs(docs, id_col, text_col, jaccard_threshold, shingle_k, max_df=max_df)
-        .join(cand, on=["id_a", "id_b"], how="leftsemi")
-    )
+    if verify == "candidates":
+        verified = (
+            jaccard_for_pairs(docs, cand, id_col, text_col, shingle_k)
+            .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+            .select("id_a", "id_b")
+        )
+    elif verify == "index":
+        verified = (
+            ngram_jaccard_pairs(docs, id_col, text_col, jaccard_threshold, shingle_k, max_df=max_df)
+            .join(cand, on=["id_a", "id_b"], how="leftsemi")
+        )
+    else:
+        raise ValueError(f"verify must be 'index' or 'candidates', got {verify!r}")
     clusters = cluster_pairs(verified)
     losers = clusters.where(F.col("node") != F.col("cluster")).select(F.col("node").alias(id_col))
     return docs.join(losers, on=id_col, how="left_anti")
@@ -1199,10 +1285,12 @@ def incremental_near_dup_filter(
         )
     survivors = new_docs.join(dup_ids, on=id_col, how="left_anti")
     # within-batch stage REUSES the batch's band keys (computed above for
-    # the corpus probe) — one signature pass per batch, not two
+    # the corpus probe) — one signature pass per batch, not two — and
+    # verifies ONLY the proposed pairs (the production shape: cost tracks
+    # candidate volume, not shingle-bucket occupancy^2)
     kept = near_dup_dedup(
         survivors, id_col, text_col, jaccard_threshold, num_hashes, bands, shingle_k, hash_fn,
-        band_keys=keys_new,
+        band_keys=keys_new, verify="candidates",
     )
     kept_keys = keys_new.join(
         kept.select(F.col(id_col).alias("__id")), on="__id", how="leftsemi"

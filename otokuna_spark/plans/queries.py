@@ -11486,3 +11486,71 @@ def q198_minhash_production_128(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_operating_curve(
         docs, "doc_id", "text", num_hashes=128, bands_list=(16,), threshold=0.7
     )
+
+
+@register(
+    "q199_near_dup_dedup_production",
+    f"""
+    WITH RECURSIVE {_minhash_buckets_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    vpairs AS (
+        SELECT cd.id_a, cd.id_b
+        FROM cand cd
+        JOIN common m ON cd.id_a = m.id_a AND cd.id_b = m.id_b
+        JOIN sizes sa ON cd.id_a = sa.doc_id
+        JOIN sizes sb ON cd.id_b = sb.doc_id
+        WHERE CAST(m.c AS DOUBLE) / CAST(sa.n + sb.n - m.c AS DOUBLE)
+              >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM vpairs
+        UNION SELECT id_b, id_a FROM vpairs
+    ),
+    closure(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a
+    ),
+    losers AS (
+        SELECT a AS doc_id FROM closure GROUP BY a
+        HAVING LEAST(MIN(b), a) < a
+    )
+    SELECT d.doc_id, md5(d.text) AS text_md5
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    ORDER BY d.doc_id
+    """,
+    "PRODUCTION near-dup dedup end-to-end (dedup.near_dup_dedup with "
+    "verify='candidates'): MinHash-LSH candidates -> exact Jaccard "
+    "verified ONLY on the proposed pairs (dedup.jaccard_for_pairs) -> "
+    "connected components -> keep min id. The default 'index' verify "
+    "builds the FULL shingle inverted index (q21's shape — "
+    "data-dependent quadratic in bucket occupancy, the calibration "
+    "relation); the candidate-restricted verify's cost is Sum over "
+    "candidate pairs of |shingles| — OUTPUT-dependent, the right "
+    "scaling when duplicates are rare (the 100 TB norm, and what "
+    "production dedup pipelines run). The verified pair set is "
+    "IDENTICAL (exact Jaccard intersected with candidacy) — this "
+    "oracle replays candidates AND verify AND the transitive closure, "
+    "so the hash match attests the whole production path end-to-end",
+)
+def q199_near_dup_dedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    kept = dedup.near_dup_dedup(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        _JACCARD_THRESHOLD, _MINHASH_K, _MINHASH_BANDS, verify="candidates",
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")

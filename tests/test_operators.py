@@ -3226,3 +3226,38 @@ def test_incremental_near_dup_filter_colocated_bucketed_store(spark):
     )
     probe.collect()
     assert _io.join_side_is_shuffle_free(probe, t_store)
+
+
+def test_near_dup_dedup_candidate_verify_equals_index_verify(spark):
+    """verify='candidates' (exact Jaccard computed only for proposed
+    pairs) must keep the IDENTICAL doc set as the default inverted-index
+    verify, including LSH false positives dying at verify either way."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("mu", "nu")),          # near-dup of 1
+            (3, base.replace("alpha", "omega")),    # near-dup of 1 and 2
+            (4, "one two three four five six seven eight nine ten eleven twelve"),
+            (5, "alpha beta gamma completely different tail content here now ok yes"),
+        ],
+        ["doc_id", "text"],
+    )
+    a = sorted(r["doc_id"] for r in dedup.near_dup_dedup(docs, "doc_id", "text", 0.5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in dedup.near_dup_dedup(
+            docs, "doc_id", "text", 0.5, verify="candidates"
+        ).collect()
+    )
+    assert a == b == [1, 4, 5]
+    with pytest.raises(ValueError, match="verify"):
+        dedup.near_dup_dedup(docs, "doc_id", "text", 0.5, verify="magic")
+    # jaccard_for_pairs exactness on a hand-checkable pair: docs 1/2
+    # share 9 of their 10+10 shingles -> J = 9/11
+    jp = dedup.jaccard_for_pairs(
+        docs, spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+        "doc_id", "text",
+    ).collect()[0]
+    assert (jp["n_common"], jp["n_a"], jp["n_b"]) == (9, 10, 10)
+    assert abs(jp["jaccard"] - 9 / 11) < 1e-12

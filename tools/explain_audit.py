@@ -208,7 +208,8 @@ EXPECT = {
     "q195_incremental_exact_spans": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_count"],  # checkpointed batch-candidate + store-hit relations; candidate corpus join-back broadcasts the bounded store-hit id side; gram counts combine map-side
     "q196_temperature_mixture": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_sum"],
     "q197_temperature_mixture_alpha3": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_sum"],  # q196's plan with the exact-rational-root weight expression
-    "q198_minhash_production_128": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_count"],  # checkpointed 128-lane signature + truth relations; counts meet in broadcast crossJoins  # checkpointed range-partitioned prefix relation; per-source offsets/targets (sources^2-bounded) broadcast; token sums combine map-side
+    "q198_minhash_production_128": ["Scan ExistingRDD", "BroadcastHashJoin", "partial_count"],  # checkpointed 128-lane signature + truth relations; counts meet in broadcast crossJoins
+    "q199_near_dup_dedup_production": ["Scan ExistingRDD"],  # checkpointed candidate-verified pair relation + CC labels feed the anti-join  # checkpointed range-partitioned prefix relation; per-source offsets/targets (sources^2-bounded) broadcast; token sums combine map-side
 }
 
 FORBID_EVERYWHERE = ["CartesianProduct"]
@@ -475,6 +476,7 @@ MAX_SHUFFLES = {
     "q196_temperature_mixture": 10,  # per-source totals + drawn-docs aggs + the prefix sum's range exchange + target/offset model-scale tails (1-row wsum, 20-row offsets) + output order; FRESH-session value (long-session flip in AQE_FLIP_SLACK)
     "q197_temperature_mixture_alpha3": 10,  # identical machinery to q196 (only the weight expression differs); same fresh-session value and the same long-session flip risk
     "q198_minhash_production_128": 5,  # one config of the q193 machinery at 128 lanes: signature agg + truth-join agg (2-phase) + candidate-count singleparts + output order; the signature scan and exact-truth relation materialize at the checkpoints
+    "q199_near_dup_dedup_production": 3,  # kept-docs anti-join + output order over the checkpointed verified pairs; candidates, jaccard_for_pairs and the CC rounds run upstream of their checkpoints
 }
 
 # Long-session allowance, recorded SEPARATELY from the fresh-session caps
