@@ -187,7 +187,14 @@ def curate_corpus(
         docs = scrub_boilerplate(docs, id_col, text_col, max_docs=segment_max_docs)
     quality = quality_floor(docs, text_col, min_tokens)
     exact = dedup.dedup_exact(quality, [text_col], [F.asc(id_col)])
-    near = dedup.near_dup_dedup(exact, id_col, text_col, jaccard_threshold)
+    # candidate-restricted verify (the q199-attested production shape):
+    # the verified pair set is IDENTICAL to the index verify — exact
+    # Jaccard intersected with LSH candidacy either way — but its cost
+    # tracks candidate volume instead of shingle-bucket occupancy^2
+    # (r15: guide §1.2 "don't compute things you throw away")
+    near = dedup.near_dup_dedup(
+        exact, id_col, text_col, jaccard_threshold, verify="candidates"
+    )
     clean = decontaminate(near, benchmark, id_col, text_col, contamination_max_ppm)
     if target_pred is not None:
         clean = select_top_fraction(
@@ -237,7 +244,12 @@ def curate_to_shards(
     )
     n_exact = exact.count()
     near = persistence.stage(
-        dedup.near_dup_dedup(exact, id_col, text_col, jaccard_threshold), reliable
+        # candidate-restricted verify — identical pair set, output-
+        # dependent cost (see curate_corpus)
+        dedup.near_dup_dedup(
+            exact, id_col, text_col, jaccard_threshold, verify="candidates"
+        ),
+        reliable,
     )
     n_near = near.count()
     clean = persistence.stage(

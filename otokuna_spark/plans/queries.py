@@ -386,7 +386,7 @@ def q08_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A5 group-wise exact percentiles (tree.py:59-67 leaf quantiles, generalized)",
 )
 def q09_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table(spark, sf_dir, "lineitem", spread=True)
     pcts = F.percentile(
         F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.99))
     )
@@ -564,7 +564,7 @@ _JACCARD_THRESHOLD = 0.5
     "join); the verify stage behind MinHash-LSH candidates",
 )
 def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD, shingle_k=3)
     return pairs.select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 1000000.0).cast("long").alias("jaccard_m")
@@ -616,7 +616,7 @@ def _minhash_oracle() -> str:
     "keys, cost ~ bucket collisions not n^2; md5 scheme is bit-reproducible in the oracle",
 )
 def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, shingle_k=3
     )
@@ -725,7 +725,7 @@ def _lang_id_oracle() -> str:
     "codegen-friendly; no UDF)",
 )
 def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     # project the token array ONCE; the 5 language scores are single-pass
     # membership filters over it
     tok = docs.select("doc_id", "lang", T.tokens(F.col("text")).alias("__t"))
@@ -1873,7 +1873,7 @@ def q54_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iterative min-label propagation vs the oracle's recursive-CTE transitive closure",
 )
 def q55_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD).select(
         "id_a", "id_b"
     )
@@ -1974,7 +1974,7 @@ def _q57_oracle() -> str:
     "patterns restricted to the Java/RE2-portable subset",
 )
 def q57_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -2024,7 +2024,7 @@ _Q58_ORACLE = r"""
     "docs with <2 tokens have no bigrams and are excluded by construction",
 )
 def q58_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("__t"))
     bg = toks.select("doc_id", F.explode(T.bigrams_from_tokens(F.col("__t"))).alias("bigram"))
     cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
@@ -3032,7 +3032,7 @@ def q78_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table
 
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders", spread=True)
     return profile_table(
         o, ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"], double_scale=100.0
     )
@@ -3397,7 +3397,7 @@ def q88_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emitted when either clears the threshold",
 )
 def q89_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.shingle_containment_pairs(docs, "doc_id", "text", threshold=0.35, shingle_k=3)
     return pairs.select(
         "id_a",
@@ -3662,7 +3662,7 @@ def _q83_oracle() -> str:
     "read; the store contributes (band_key, lanes) to one equi-join",
 )
 def q83_incremental_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     seen = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
     store = dedup.minhash_band_keys(
@@ -3789,7 +3789,7 @@ def _q84_oracle() -> str:
     "approximate",
 )
 def q84_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.ivf_topk(
         emb, queries, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
@@ -3931,7 +3931,7 @@ def q85_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "run of >= 10 consecutive tokens, with the longest run length",
 )
 def q91_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.substring_span_pairs(
         docs, "doc_id", "text", shingle_k=3, min_span_tokens=10
     ).orderBy("id_a", "id_b")
@@ -4007,7 +4007,7 @@ _Q92_ORACLE = """
     "cross-engine double reassociation noise",
 )
 def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     out = similarity.semantic_dedup(emb, "vec_id", "embedding", threshold=0.45, n_centroids=16)
     return out.select(
         "vec_id",
@@ -4066,7 +4066,7 @@ def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus size",
 )
 def q93_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     scores = sampling.hashed_importance_scores(
         docs, "doc_id", "text", target_pred=F.col("lang") == "en", n_buckets=256
     )
@@ -4250,7 +4250,7 @@ def q95_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q96_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
     uni = toks.select(F.explode("__toks").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
@@ -4353,7 +4353,7 @@ def q97_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts and the fraction of chunks shared verbatim with another doc",
 )
 def q98_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.cdc_chunk_stats(docs, "doc_id", "text", boundary_mod=16).orderBy("doc_id")
 
 
@@ -4607,7 +4607,7 @@ def q101_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q102_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).select(
         "id_a", "id_b"
     )
@@ -4724,7 +4724,7 @@ def q104_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q105_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).select(
         "id_a", "id_b"
     )
@@ -5168,7 +5168,7 @@ def _quality_m_cte() -> str:
     "the labels already shuffle on",
 )
 def q115_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD).select(
         "id_a", "id_b"
     )
@@ -5486,7 +5486,7 @@ def q121_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcasts back, reassembly is the only other shuffle",
 )
 def q122_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.segment_dedup(docs, "doc_id", "text", seg_tokens=8, max_docs=2)
 
 
@@ -5598,7 +5598,7 @@ def q125_lsh_eval(
     ``xxhash64(doc_id) mod 1e6 < fraction*1e6`` — reproducible across
     runs/engines, no RNG. The driver/oracle path keeps fraction=1.0
     (exact, what DuckDB computes at sf0.01)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     if sample_fraction < 1.0:
         docs = docs.where(
             F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000))
@@ -5684,7 +5684,7 @@ def q125_lsh_eval(
     "cosine with id tiebreak, same ranking contract as the ANN baseline",
 )
 def q126_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     sub = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding", "label")
     top1 = similarity.brute_force_topk(sub, sub, "vec_id", "embedding", k=1, exact_scores=True)
     q_lab = sub.select(F.col("vec_id").alias("query_id"), F.col("label").alias("label"))
@@ -6731,7 +6731,7 @@ def _exactsubstr_shared(
     _evict_foreign(_ES_SHARED, key[0])
     got = _ES_SHARED.get(key)
     if got is None:
-        docs = read_table(spark, sf_dir, "documents")
+        docs = read_table(spark, sf_dir, "documents", spread=True)
         hashed = dedup._rolling_window_hashes(
             docs, "doc_id", "text", window
         ).localCheckpoint()
@@ -6974,7 +6974,7 @@ def q143_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "untouched docs ride the left join's null branch",
 )
 def q144_exact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     spans = _exactsubstr_shared(spark, sf_dir, window=32)["spans"]
     return dedup.exact_substring_scrub(
         docs, "doc_id", "text", window=32, spans=spans
@@ -7026,7 +7026,7 @@ def q145_longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators import suffixarray as sa
 
     docs = (
-        read_table(spark, sf_dir, "documents")
+        read_table(spark, sf_dir, "documents", spread=True)
         .where(F.col("doc_id") < 100)
         .select("doc_id", F.substring("text", 1, 200).alias("text"))
     )
@@ -7093,7 +7093,7 @@ def q145_longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFra
     "on widened decimals (exact vs DuckDB HUGEINT //)",
 )
 def q146_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     spans = _exactsubstr_shared(spark, sf_dir, window=32)["spans"]
     return dedup.dup_rate_by_source(
         docs, "doc_id", "text", "source", window=32, spans=spans
@@ -7131,7 +7131,7 @@ def q146_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by the source count — sources^2 output, never position pairs",
 )
 def q147_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     hashed = _exactsubstr_shared(spark, sf_dir, window=32)["hashed"]
     return dedup.cross_source_dup_matrix(
         docs, "doc_id", "text", "source", window=32, hashed=hashed
@@ -7181,7 +7181,7 @@ def q148_distinct_substring_count(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators import suffixarray as sa
 
     docs = (
-        read_table(spark, sf_dir, "documents")
+        read_table(spark, sf_dir, "documents", spread=True)
         .where(F.col("doc_id") < 100)
         .select("doc_id", F.substring("text", 1, 200).alias("text"))
     )
@@ -7319,7 +7319,7 @@ def q149_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(COUNT vs COUNT DISTINCT per doc)",
 )
 def q150_rep3_degeneracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
         F.size("t") >= 3
     )
@@ -8202,7 +8202,7 @@ _BLOOM_K = 3
     "integer md5 arithmetic the oracle recomputes verbatim",
 )
 def q162_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     d = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
     sh = d.select(
         "doc_id", F.explode(T.shingles_from_tokens(F.col("t"), 3)).alias("g")
@@ -8326,7 +8326,7 @@ _CM_W = _sketches.CM_W
     "production run keeps only the 2048-row sketch",
 )
 def q163_countmin_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     occ = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
     exact = occ.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
     probes = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20)
@@ -8395,7 +8395,7 @@ def _q164_oracle() -> str:
     "under 4 tokens are skipped (no meaningful halves)",
 )
 def q164_mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
         F.size("t") >= 4
     )
@@ -8694,7 +8694,7 @@ def q166_image_near_dup_64bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "est_inter is committed raw, the ppm clamps at 0",
 )
 def q167_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sh = (
         docs.select("source", T.tokens(F.col("text")).alias("__toks"))
         .select(
@@ -8929,7 +8929,7 @@ def _trigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single partition",
 )
 def q169_dup_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     d = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
         F.size("t") >= 2
     )
@@ -9245,7 +9245,7 @@ def q172_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q173_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _events(spark, sf_dir).select(F.col("user_id").alias("k"))
-    b = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = read_table(spark, sf_dir, "orders", spread=True).select(F.col("o_custkey").alias("k"))
     est = _sketches.cm_inner_product(
         _sketches.cm_counters(a, "k"), _sketches.cm_counters(b, "k")
     )
@@ -11097,7 +11097,7 @@ def _lsh_curve_oracle(bands_list: tuple[int, ...] = (16, 8, 4)) -> str:
     "self-join over the doc-cardinality signature store",
 )
 def q193_lsh_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.lsh_operating_curve(
         docs, "doc_id", "text",
         num_hashes=_MINHASH_K, bands_list=(16, 8, 4), threshold=_JACCARD_THRESHOLD,
@@ -11209,7 +11209,7 @@ def q195_incremental_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .. import io as _io
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     shared = _exactsubstr_shared(spark, sf_dir, window=32)["hashed"]
     seen_docs = docs.where(F.col("doc_id") % 2 == 0)
     batch_docs = docs.where(F.col("doc_id") % 2 == 1)
@@ -11482,7 +11482,7 @@ def _lsh_prod_oracle(num_hashes: int = 128, bands: int = 16, threshold: float = 
     "with",
 )
 def q198_minhash_production_128(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.lsh_operating_curve(
         docs, "doc_id", "text", num_hashes=128, bands_list=(16,), threshold=0.7
     )
@@ -11545,7 +11545,7 @@ def q198_minhash_production_128(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the hash match attests the whole production path end-to-end",
 )
 def q199_near_dup_dedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     kept = dedup.near_dup_dedup(
         docs.select("doc_id", "text"), "doc_id", "text",
         _JACCARD_THRESHOLD, _MINHASH_K, _MINHASH_BANDS, verify="candidates",

@@ -499,7 +499,7 @@ def ingest_exact_scrub_batch(
     text_col: str = "text",
     window: int = 32,
     broadcast_max_hashes: int = 4_000_000,
-) -> None:
+) -> DataFrame:
     """One idempotent micro-batch of ``stream_incremental_exact_scrub``
     (the foreachBatch body, callable directly for replay testing and
     backfills). Write order: raw archive first, scrubbed output second,
@@ -576,12 +576,20 @@ def ingest_exact_scrub_batch(
     n_store = store_hashed.count()
     if n_store < dedup.EXACTSUBSTR_DELTA_BREAKEVEN_STORE_TO_BATCH * max(n_batch, 1):
         # below break-even (or first/near-first batch): the full-union
-        # rescan is the cheaper plan and provably the same answer
+        # rescan is the cheaper plan and provably the same answer. The
+        # union's window hashes need no recompute (r15): the store IS
+        # the corpus side's (__id, p, __h) relation and batch_hashed is
+        # the batch side's, so their union replaces a second rolling-
+        # hash pass over every document; corpus TEXT is still read, but
+        # only for the candidate gram verify inside the span computation
         union_docs = corpus_docs.unionByName(
             batch_df.select(id_col, text_col)
         )
+        union_hashed = store_hashed.select("__id", "p", "__h").unionByName(
+            batch_hashed.select("__id", "p", "__h")
+        )
         spans = dedup.exact_char_dup_spans(
-            union_docs, id_col, text_col, window
+            union_docs, id_col, text_col, window, hashed=union_hashed
         ).join(batch_df.select(id_col), id_col, "left_semi")
     else:
         spans = dedup.incremental_exact_spans(
@@ -602,6 +610,10 @@ def ingest_exact_scrub_batch(
         .write.mode("overwrite")
         .parquet(f"{store_path}/batch={batch_id}")
     )
+    # the checkpointed scrub result, so callers (the curation funnel)
+    # can aggregate over it without re-reading the partition they just
+    # watched land (r15: one fewer scan per ingest)
+    return scrubbed
 
 
 def stream_segment_dedup(
@@ -1866,7 +1878,6 @@ def ingest_curation_batch(
         exact, sstore, id_col, text_col,
         jaccard_threshold, num_hashes, bands, shingle_k, hash_fn,
     )
-    n_accepted = kept.count()
 
     # stage 3b (optional): decontamination vs the broadcast benchmark —
     # stateless, so the incremental twin just runs the batch stage; docs
@@ -1874,6 +1885,7 @@ def ingest_curation_batch(
     # the accepted corpus), so the signature delta is restricted to the
     # survivors
     if benchmark is not None:
+        n_accepted = kept.count()
         kept = persistence.stage(
             decontaminate(kept, benchmark, id_col, text_col, contamination_max_ppm),
             False,
@@ -1881,13 +1893,23 @@ def ingest_curation_batch(
         sig_delta = sig_delta.join(
             kept.select(F.col(id_col).alias("__id")), "__id", "left_semi"
         )
-    n_clean = kept.count() if benchmark is not None else n_accepted
+    # one fused aggregate over the checkpointed survivors serves the
+    # accepted count AND the funnel's chars_in (r15: was two jobs)
+    _acc = kept.agg(
+        F.count("*").alias("__n"), F.sum(F.length(text_col)).alias("__chars")
+    ).collect()[0]
+    n_clean = int(_acc["__n"])
+    chars_in = int(_acc["__chars"] or 0)
+    if benchmark is None:
+        n_accepted = n_clean
 
     # stage 4: ExactSubstr scrub of the accepted docs against the
     # window-hash store — inherits q195's break-even routing and the
     # broadcast-vs-colocated probe size gate; lands raw -> corpus ->
-    # wh_store in that crash-safe order
-    ingest_exact_scrub_batch(
+    # wh_store in that crash-safe order. The returned checkpointed scrub
+    # result feeds the funnel's chars_scrubbed_out directly (was a
+    # read-back of the partition just written)
+    scrubbed = ingest_exact_scrub_batch(
         kept.select(batch_df.columns), batch_id, corpus_path, wh_path, raw_path,
         id_col=id_col, text_col=text_col, window=window,
     )
@@ -1910,14 +1932,9 @@ def ingest_curation_batch(
     ).parquet(f"{digest_path}/batch={batch_id}")
 
     # funnel delta last — the per-batch CurationReport twin; scrub chars
-    # read back from the landed partitions (columnar length sums)
-    chars_in = kept.agg(F.sum(F.length(text_col))).collect()[0][0] or 0
-    chars_out = (
-        sp.read.parquet(f"{corpus_path}/batch={batch_id}")
-        .agg(F.sum(F.length("kept_text")))
-        .collect()[0][0]
-        or 0
-    )
+    # summed over the checkpointed scrub result (identical to the landed
+    # partition it was written from)
+    chars_out = scrubbed.agg(F.sum(F.length("kept_text"))).collect()[0][0] or 0
     sp.createDataFrame(
         [(n_raw, n_quality, n_exact, n_accepted, n_clean, int(chars_in), int(chars_out))],
         "n_raw long, n_quality long, n_exact long, n_accepted long,"
