@@ -53,6 +53,20 @@ from . import persistence
 BASE_LEN = 32
 BASE_J = 5
 
+# Driver fast-path gate for ``lcp_adjacent``: when the corpus's
+# sum-over-docs of len(text)^2 is at most this many chars, the full
+# suffix set (suffixes never cross doc boundaries, so its string mass is
+# bounded by exactly that sum) is collected and sorted on the driver —
+# the module's standard bounded-collect device (cluster_pairs'
+# driver_edge_limit, bpe's driver_vocab_limit). The distributed doubling
+# build pays O(log(maxlen)) rounds of 4-6 jobs each, which dwarfs the
+# actual work for calibration-sized slices (r15: q145 5.6 s / q148 7.1 s
+# at sf0.1 for 100 docs x 200 chars). The collect is hard-capped by an
+# up-front aggregate, never speculative; results are IDENTICAL (Python
+# str ordering = code-point order = Spark UTF8String order, and equal
+# suffixes' full-overlap LCP falls out of the same sort).
+LCP_DRIVER_SQ_LIMIT = 8_000_000
+
 
 def _dense_rank_distributed(
     df: DataFrame,
@@ -302,12 +316,53 @@ def suffix_ranks_with_tables(
     return cur, tables, lens, grams
 
 
+def _lcp_adjacent_driver(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Driver path: collect (id, text), enumerate/sort all suffixes, and
+    emit the n-1 adjacent pairs with exact LCPs. Order key (suffix, id,
+    pos) matches the distributed path's (rank, id, pos) — dense ranks
+    order exactly by suffix string, and Python's code-point comparison
+    equals Spark's UTF8String comparison."""
+    rows = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).collect()
+    sufs = []
+    for r in rows:
+        t = r["__t"]
+        if not t:
+            continue
+        did = r["__id"]
+        for p in range(len(t)):
+            sufs.append((t[p:], did, p + 1))
+    sufs.sort()
+    out = []
+    for (sa_, ia, pa), (sb_, ib, pb) in zip(sufs, sufs[1:]):
+        m = min(len(sa_), len(sb_))
+        lcp = 0
+        while lcp < m and sa_[lcp] == sb_[lcp]:
+            lcp += 1
+        out.append((ia, pa, ib, pb, lcp))
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, True),
+            T.StructField("pos_a", T.IntegerType(), True),
+            T.StructField("id_b", id_type, True),
+            T.StructField("pos_b", T.IntegerType(), True),
+            T.StructField("lcp", T.LongType(), True),
+        ]
+    )
+    return docs.sparkSession.createDataFrame(out, schema)
+
+
 def lcp_adjacent(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     n_parts: int | None = None,
     reliable: bool = False,
+    driver_sq_limit: int | None = LCP_DRIVER_SQ_LIMIT,
 ) -> DataFrame:
     """LCP between every pair of ADJACENT suffixes in the suffix array —
     the relation duplicate mining reads (a substring of length L occurs
@@ -336,7 +391,17 @@ def lcp_adjacent(
     collect). No SinglePartition stage anywhere in the plan.
 
     Returns (id_a, pos_a, id_b, pos_b, lcp) for the n-1 adjacent pairs.
+
+    ``driver_sq_limit``: bounded-collect fast path (see
+    ``LCP_DRIVER_SQ_LIMIT``) — when sum(len^2) over docs is within it,
+    the suffix sort runs on the driver with the identical result; pass
+    ``None``/0 to force the distributed build.
     """
+    if driver_sq_limit:
+        ln = F.length(text_col).cast("long")
+        sq = docs.agg(F.sum(ln * ln).alias("__sq")).collect()[0]["__sq"] or 0
+        if sq <= driver_sq_limit:
+            return _lcp_adjacent_driver(docs, id_col, text_col)
     final, tables, lens, grams = suffix_ranks_with_tables(
         docs, id_col, text_col, n_parts, reliable
     )
@@ -475,12 +540,13 @@ def longest_repeated_substring(
     text_col: str,
     n_parts: int | None = None,
     reliable: bool = False,
+    driver_sq_limit: int | None = LCP_DRIVER_SQ_LIMIT,
 ) -> DataFrame:
     """The classic suffix-array deliverable: ONE row (lrs_len, doc_id,
     pos) locating the longest substring that occurs >= 2 times anywhere
     in the corpus (within one doc or across docs) — exactly the maximal
     adjacent-SA LCP. Deterministic tie-break by (doc, pos)."""
-    adj = lcp_adjacent(docs, id_col, text_col, n_parts, reliable)
+    adj = lcp_adjacent(docs, id_col, text_col, n_parts, reliable, driver_sq_limit)
     return (
         adj.where(F.col("lcp") >= 1)
         .orderBy(F.desc("lcp"), "id_a", "pos_a")

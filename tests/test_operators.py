@@ -2010,7 +2010,7 @@ def test_lcp_adjacent_and_lrs_match_reference(spark):
         docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
         got = [
             (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"], r["lcp"])
-            for r in sa.lcp_adjacent(docs, "doc_id", "text")
+            for r in sa.lcp_adjacent(docs, "doc_id", "text", driver_sq_limit=0)
             .orderBy("id_a", "pos_a", "id_b", "pos_b")
             .collect()
         ]
@@ -2019,9 +2019,53 @@ def test_lcp_adjacent_and_lrs_match_reference(spark):
     # banana's classic LRS: "ana" (len 3); the reported locus is the
     # max pair's FIRST element in SA order: suffix "ana" at 1-based pos 4
     docs = spark.createDataFrame([(1, "banana")], "doc_id long, text string")
-    row = sa.longest_repeated_substring(docs, "doc_id", "text").collect()[0]
+    row = sa.longest_repeated_substring(docs, "doc_id", "text", driver_sq_limit=0).collect()[0]
     assert (row["lrs_len"], row["doc_id"], row["pos"]) == (3, 1, 4)
     assert "banana"[row["pos"] - 1 : row["pos"] - 1 + row["lrs_len"]] == "ana"
+
+
+def test_lcp_adjacent_driver_path_equals_distributed(spark):
+    """The r15 bounded-collect fast path (driver_sq_limit) must produce
+    the IDENTICAL adjacent-pair relation as the distributed doubling
+    build — same pairs, same LCPs — including equal cross-doc suffixes,
+    long shared prefixes, and an empty-text doc."""
+    import random
+
+    from otokuna_spark.operators import suffixarray as sa
+
+    rng = random.Random(11)
+    texts = {i: "".join(rng.choice("abc") for _ in range(rng.randint(0, 40))) for i in range(6)}
+    texts[6] = "zq" * 30 + "tail_one"
+    texts[7] = "zq" * 30 + "tail_two"  # 60-char shared prefix >> BASE_LEN
+    texts[8] = texts[6]  # a fully-equal document
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def rows(df):
+        return sorted(
+            (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"], r["lcp"]) for r in df.collect()
+        )
+
+    driver = rows(sa.lcp_adjacent(docs, "doc_id", "text"))
+    dist = rows(sa.lcp_adjacent(docs, "doc_id", "text", n_parts=3, driver_sq_limit=0))
+    assert driver == dist
+
+
+def test_lcp_adjacent_doubling_edge_cases(spark):
+    """Distributed-path regressions (forced past the driver gate)."""
+    from otokuna_spark.operators import suffixarray as sa
+
+    def ref_pairs(texts):
+        sufs = sorted(
+            (t[p - 1:], d, p) for d, t in texts.items() for p in range(1, len(t) + 1)
+        )
+        out = []
+        for (s1, d1, p1), (s2, d2, p2) in zip(sufs, sufs[1:]):
+            lcp = 0
+            m = min(len(s1), len(s2))
+            while lcp < m and s1[lcp] == s2[lcp]:
+                lcp += 1
+            out.append((d1, p1, d2, p2, lcp))
+        return out
 
     # Regression for the fixed-point early stop: two docs with a LONG
     # identical tail (far longer than the level where the rank partition
@@ -2033,12 +2077,12 @@ def test_lcp_adjacent_and_lrs_match_reference(spark):
     docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
     got = [
         (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"], r["lcp"])
-        for r in sa.lcp_adjacent(docs, "doc_id", "text", n_parts=3)
+        for r in sa.lcp_adjacent(docs, "doc_id", "text", n_parts=3, driver_sq_limit=0)
         .orderBy("id_a", "pos_a", "id_b", "pos_b")
         .collect()
     ]
     assert sorted(got) == sorted(ref_pairs(texts))
-    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=3).collect()[0]
+    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=3, driver_sq_limit=0).collect()[0]
     assert row["lrs_len"] == len(tail)
 
     # Walk-path coverage with the wide base: two UNEQUAL suffixes sharing
@@ -2054,12 +2098,12 @@ def test_lcp_adjacent_and_lrs_match_reference(spark):
     docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
     got = [
         (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"], r["lcp"])
-        for r in sa.lcp_adjacent(docs, "doc_id", "text", n_parts=3)
+        for r in sa.lcp_adjacent(docs, "doc_id", "text", n_parts=3, driver_sq_limit=0)
         .orderBy("id_a", "pos_a", "id_b", "pos_b")
         .collect()
     ]
     assert sorted(got) == sorted(ref_pairs(texts))
-    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=3).collect()[0]
+    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=3, driver_sq_limit=0).collect()[0]
     assert row["lrs_len"] == len(shared)  # docs 1/2 diverge right after it
 
 
@@ -2103,7 +2147,7 @@ def test_longest_repeated_substring_matches_duckdb_oracle(spark):
         SELECT l, doc_id, p FROM lcp ORDER BY l DESC, doc_id, p LIMIT 1
     """).fetchone()
     docs = spark.createDataFrame(texts, "doc_id long, text string")
-    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=4).collect()[0]
+    row = sa.longest_repeated_substring(docs, "doc_id", "text", n_parts=4, driver_sq_limit=0).collect()[0]
     assert (row["lrs_len"], row["doc_id"], row["pos"]) == want
     assert row["lrs_len"] == len("the quick brown fox ")  # docs 1 & 3
 
