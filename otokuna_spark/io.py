@@ -64,6 +64,28 @@ def _input_bytes(spark: SparkSession, path: str) -> int:
     return got
 
 
+def spread_for_compute(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Raise a small relation's partition count to the session's default
+    parallelism before CPU-heavy map work (md5 minhash lanes, rolling
+    window hashes, shingle explodes). AQE's bytes-based coalescing
+    collapses calibration-scale shuffles to ONE partition — the right
+    call for byte-bound stages, the wrong one for CPU-dense map
+    pipelines that then run single-threaded on a 32-core session
+    (measured r15: the capstone's 16-lane signature build over a
+    1-partition checkpointed batch took 2.9 s vs 0.5 s spread). No-op
+    when the input already has enough partitions — the cluster-scale
+    case, where upstream shuffles and scans arrive wide. Deterministic
+    hash keys (guide §2.5); an explicit repartition(n, cols) is never
+    re-coalesced by AQE."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Read one input table. ``spread=True`` raises the scan's map-side
     parallelism with one cheap deterministic hash repartition on the

@@ -87,6 +87,13 @@ def minhash_signatures(
     # tokens projected FIRST: shingling over an inline split() re-splits
     # per element access (no CSE into HOF lambdas) — see
     # text.shingles_from_tokens
+    from ..io import spread_for_compute
+
+    # the shingle -> ceil(K/4) md5 digests -> K-lane min pipeline is the
+    # most CPU-dense map stage in the repo; make sure it is not running
+    # on an AQE-coalesced (or single-row-group) single partition (r15,
+    # no-op when the input is already wide)
+    docs = spread_for_compute(docs, id_col)
     toks = docs.select(F.col(id_col), text.tokens(F.col(text_col)).alias("__toks"))
     sh = toks.select(
         F.col(id_col), F.explode(text.shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__shingle")
@@ -1504,9 +1511,15 @@ def _rolling_window_hashes(
                     }
                 )
 
+    from ..io import spread_for_compute
+
     src = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
+    # O(n)-per-doc vectorized hashing still serializes on one core when
+    # the input arrives as a single (AQE-coalesced or one-row-group)
+    # partition — spread first (r15, no-op when already wide)
+    src = spread_for_compute(src, "__id")
     return src.mapInPandas(gen, schema="__id long, p int, __h long")
 
 

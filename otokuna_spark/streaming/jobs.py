@@ -1318,9 +1318,13 @@ def ingest_novelty_batch(
     """One idempotent micro-batch of ``stream_snapshot_novelty`` (the
     foreachBatch body, callable directly for replay testing/backfills)."""
     from ..functions import text as T
+    from ..io import spread_for_compute
 
     sp = batch_df.sparkSession
     _check_store_orphans(sp, report_path, store_path, batch_id, "shingle")
+    # tokenize+shingle+hash is CPU-dense; a checkpointed batch arrives as
+    # one AQE-coalesced partition at calibration scale (r15, no-op wide)
+    batch_df = spread_for_compute(batch_df, id_col)
     sh = (
         batch_df.select(
             F.col(id_col).alias("__id"),
