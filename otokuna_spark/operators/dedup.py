@@ -1580,35 +1580,38 @@ def exact_char_dup_spans(
     already staged and is NOT re-checkpointed.
     """
     gram = F.expr(f"substring(__t, p, {window})")
-    # materialize the corpus-sized hash relation: it feeds BOTH the
-    # hot-hash count and the candidate join-back, and Spark has no
-    # cross-branch subtree sharing — without this the rolling-hash scan
-    # runs twice (measured 6.8 -> 4.9 s at sf0.1 for the xxhash64
-    # predecessor; same discipline here). reliable=True stages the two
-    # corpus-sized relations through a fault-tolerant checkpoint instead
-    # (persistence.stage) — localCheckpoint blocks die with a lost
-    # executor, which is routine on a 100 TB run.
+    # Window-count formulation (r15, guide §2.2/§3): "count per key >= 2"
+    # was a groupBy + join-back — TWO exchanges of the corpus-sized
+    # relation per filter — and is now a single count().over(
+    # partitionBy(key)) — ONE exchange. Per-key fan-in is unchanged (the
+    # shuffled join funnelled all rows of a key into one task exactly
+    # like the window partition does), so no new skew is introduced;
+    # total shuffled bytes halve. With each relation now consumed by
+    # exactly ONE downstream operator, the localCheckpoint staging that
+    # existed to stop the rolling-hash scan running twice is no longer
+    # needed (reliable=True still checkpoints the corpus-sized scan so a
+    # lost executor on a 100 TB run does not recompute it).
     if hashed is None:
-        hashed = persistence.stage(
-            _rolling_window_hashes(docs, id_col, text_col, window), reliable
-        )
-    hot_h = (
-        hashed.groupBy("__h")
-        .agg(F.count("*").alias("__c"))
+        hashed = _rolling_window_hashes(docs, id_col, text_col, window)
+        if reliable:
+            hashed = persistence.stage(hashed, True)
+    w_h = Window.partitionBy("__h")
+    cand_pos = (
+        hashed.withColumn("__c", F.count("*").over(w_h))
         .where(F.col("__c") >= 2)
-        .select("__h")
+        .drop("__c")
     )
     cand = (
-        hashed.join(hot_h, "__h")
+        cand_pos
         .join(docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")), "__id")
         .select("__id", "p", gram.alias("__g"))
     )
-    # same device: cand feeds the verify count AND the covered join
-    cand = persistence.stage(cand, reliable)
-    dup_g = (
-        cand.groupBy("__g").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2).select("__g")
+    w_g = Window.partitionBy("__g")
+    covered = (
+        cand.withColumn("__c", F.count("*").over(w_g))
+        .where(F.col("__c") >= 2)
+        .select("__id", "p")
     )
-    covered = cand.join(dup_g, "__g").select("__id", "p")
     w_doc = Window.partitionBy("__id").orderBy("p")
     runs = covered.withColumn("__grp", F.col("p") - F.row_number().over(w_doc))
     return (
@@ -1649,20 +1652,21 @@ def cross_source_dup_matrix(
     ``hashed``: optional pre-staged scan relation (see
     ``exact_char_dup_spans``).
     """
-    # reliable=True -> fault-tolerant staging of the two corpus-sized
-    # relations (see exact_char_dup_spans)
+    # Window-count formulation (r15): each ">= 2 occurrences" filter is
+    # one count().over(partitionBy(key)) instead of a groupBy +
+    # join-back — one exchange per filter instead of two, same per-key
+    # fan-in (see exact_char_dup_spans). Single-consumer relations drop
+    # their localCheckpoint staging; reliable=True still checkpoints the
+    # corpus-sized scan for fault tolerance.
     if hashed is None:
-        hashed = persistence.stage(
-            _rolling_window_hashes(docs, id_col, text_col, window), reliable
-        )
-    hot_h = (
-        hashed.groupBy("__h")
-        .agg(F.count("*").alias("__c"))
+        hashed = _rolling_window_hashes(docs, id_col, text_col, window)
+        if reliable:
+            hashed = persistence.stage(hashed, True)
+    w_h = Window.partitionBy("__h")
+    cand = (
+        hashed.withColumn("__c", F.count("*").over(w_h))
         .where(F.col("__c") >= 2)
-        .select("__h")
-    )
-    cand = persistence.stage(
-        hashed.join(hot_h, "__h")
+        .drop("__c")
         .join(
             docs.select(
                 F.col(id_col).alias("__id"),
@@ -1671,13 +1675,15 @@ def cross_source_dup_matrix(
             ),
             "__id",
         )
-        .select("__id", "__src", F.expr(f"substring(__t, p, {window})").alias("__g")),
-        reliable,
+        .select("__src", F.expr(f"substring(__t, p, {window})").alias("__g"))
     )
-    dup_g = (
-        cand.groupBy("__g").agg(F.count("*").alias("__c")).where(F.col("__c") >= 2).select("__g")
+    w_g = Window.partitionBy("__g")
+    src_g = (
+        cand.withColumn("__c", F.count("*").over(w_g))
+        .where(F.col("__c") >= 2)
+        .select("__g", "__src")
+        .distinct()
     )
-    src_g = cand.join(dup_g, "__g").select("__g", "__src").distinct()
     a = src_g.select(F.col("__g"), F.col("__src").alias("source_a"))
     b = src_g.select(F.col("__g"), F.col("__src").alias("source_b"))
     return (
@@ -1959,15 +1965,16 @@ def incremental_exact_spans(
         .distinct()
     )
     gram = F.expr(f"substring(__t, p, {window})")
-    bcand = persistence.stage(
+    bcand = (
         batch_hashed.join(hot_h, "__h")
         .join(
             batch_docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
             "__id",
         )
-        .select("__id", "p", gram.alias("__g")),
-        reliable,
+        .select("__id", "p", gram.alias("__g"))
     )
+    if reliable:
+        bcand = persistence.stage(bcand, True)
     # candidate-only corpus join-back: true grams for store positions the
     # batch's hash set touched (collisions die here, never in the count).
     # The LEFT join + raise-on-null PROJECTION enforces the documented
@@ -2002,14 +2009,30 @@ def incremental_exact_spans(
         )
         .select(F.substring(t_checked, F.col("p"), F.lit(window)).alias("__g"))
     )
-    n_b = bcand.groupBy("__g").agg(F.count("*").alias("__nb"))
-    n_s = scand.groupBy("__g").agg(F.count("*").alias("__ns"))
-    dup_g = (
-        n_b.join(n_s, "__g", "left")
-        .where(F.col("__nb") + F.coalesce("__ns", F.lit(0)) >= 2)
-        .select("__g")
+    # Union-count verify (r15): multiplicity over batch UNION store is
+    # the row count per TRUE gram of bcand ++ scand, so one tagged union
+    # + one count().over(partitionBy(__g)) replaces two groupBys, a
+    # count-combine join, and a join-back onto bcand (four exchanges ->
+    # one; per-gram fan-in unchanged — the join-back funnelled the same
+    # rows per gram). bcand's multi-consumer staging goes with it:
+    # covered is now bcand's only consumer.
+    id_type = bcand.schema["__id"].dataType
+    p_type = bcand.schema["p"].dataType
+    tagged = bcand.select("__id", "p", "__g", F.lit(True).alias("__b")).unionByName(
+        scand.select(
+            F.lit(None).cast(id_type).alias("__id"),
+            F.lit(None).cast(p_type).alias("p"),
+            "__g",
+            F.lit(False).alias("__b"),
+        )
     )
-    covered = bcand.join(dup_g, "__g").select("__id", "p")
+    w_g = Window.partitionBy("__g")
+    covered = (
+        tagged.withColumn("__c", F.count("*").over(w_g))
+        .where(F.col("__c") >= 2)
+        .where(F.col("__b"))
+        .select("__id", "p")
+    )
     w_doc = Window.partitionBy("__id").orderBy("p")
     runs = covered.withColumn("__grp", F.col("p") - F.row_number().over(w_doc))
     return (

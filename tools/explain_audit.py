@@ -61,7 +61,10 @@ EXPECT = {
     # one scan pruned to exactly the four profiled columns; the multi-
     # count_distinct agg plans as a single Expand, not one scan per column
     "q79_table_profile": [
-        "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp",
+        # the opt-in spread keys the repartition on o_orderkey, so the scan
+        # reads it too (the measured 33% parallelism win pays for the column)
+        # formatted explain truncates the widened line mid-type:
+        "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:ti",
         "Expand",
     ],
     # quartile cutpoints broadcast as a 1-row relation (q06's percentile
@@ -301,11 +304,11 @@ MAX_SHUFFLES = {
     "q01_pricing_summary": 2,
     "q06_outlier_filter": 3,  # +1: SinglePartition exchange for the global percentile
     "q07_dedup_keepfirst": 2,
-    "q09_group_percentile": 2,
+    "q09_group_percentile": 3,  # +1: opt-in scan spread (r15, measured 22% net win)
     "q10_split_assignment": 2,
     "q12_asof_join": 2,
     "q20_exact_dedup": 2,
-    "q25_lang_id": 1,
+    "q25_lang_id": 2,  # +1: opt-in scan spread (r15, 64% win)
     "q26_quality_score": 1,
     "q27_token_stats": 1,
     "q28_fingerprint": 1,
@@ -318,7 +321,7 @@ MAX_SHUFFLES = {
     "q41_pivot": 3,
     "q42_rank_functions": 2,
     "q52_tfidf_top_terms": 5,
-    "q57_pii_stats": 1,
+    "q57_pii_stats": 2,  # +1: opt-in scan spread (r15, 64% win)
     "q58_repetition_filter": 3,
     "q61_doc_chunking": 1,
     "q62_contamination": 4,
@@ -330,7 +333,7 @@ MAX_SHUFFLES = {
     "q149_bigram_fluency": 5,
     "q67_rolling_window": 2,
     "q68_token_budget_sample": 2,
-    "q79_table_profile": 2,
+    "q79_table_profile": 3,  # +1: opt-in scan spread (r15, 33% win)
     "q81_json_props": 3,  # two-phase distinct agg = 2 hash exchanges + output order
     # measured minimal counts for the rest of the registry (the LSH-family
     # queries report their post-localCheckpoint tail only — the upstream
@@ -384,14 +387,14 @@ MAX_SHUFFLES = {
     "q87_audio_decode_windows": 1,  # synth+decode+window are maps; output order only
     "q88_source_overlap": 1,  # post-checkpoint tail: output order; upstream = mask groupBy + gram-cell agg (see q88 comment)
     "q89_containment_pairs": 1,  # post-checkpoint order; inverted-index discipline tested at operator level
-    "q84_ivf_topk": 2,  # assignment is a map; candidate join broadcasts the query side
+    "q84_ivf_topk": 4,  # assignment is a map; candidate join broadcasts the query side; +2 opt-in scan spreads (r15, 35% win)
     "q85_pq_adc_topk": 2,  # ADC scan broadcasts the LUTs; shortlist re-rank window
     "q91_substring_spans": 1,  # post-checkpoint order; gram-index discipline tested at operator level
     "q92_semantic_dedup": 2,  # post-checkpoint tail: survivor join + order (cluster discipline at operator level)
-    "q93_dsir_selection": 4,  # 2 bucket-hist aggs + doc agg + 1-row weight-total agg; top-100 rank rides TakeOrderedAndProject (no rank exchange)
+    "q93_dsir_selection": 6,  # 2 bucket-hist aggs + doc agg + 1-row weight-total agg; top-100 rank rides TakeOrderedAndProject (no rank exchange); +2 opt-in scan spreads (r15, 36% win)
     "q94_snapshot_drift": 5,  # binned counts + dense-frame join + per-group window + order
     "q95_bm25_topk": 7,  # dl/tf/doc aggs + dl join + scalar aggs; top-20 rank rides TakeOrderedAndProject (no rank exchange)
-    "q96_pmi_collocations": 5,  # uni/bigram count aggs + marginal joins; totals broadcast, top-50 TakeOrdered
+    "q96_pmi_collocations": 8,  # uni/bigram count aggs + marginal joins; totals broadcast, top-50 TakeOrdered; +3 opt-in scan spreads across the token-pipeline branches (r15, 32% win)
     "q97_grouped_sample": 2,  # group window + output order
     "q98_cdc_chunk_dedup": 1,  # post-checkpoint order; chunk window/agg discipline persists once at operator level
     "q99_winnowing_overlap": 1,  # post-checkpoint order; fingerprint window/join discipline at operator level
@@ -409,7 +412,7 @@ MAX_SHUFFLES = {
     "q111_interval_overlap": 4,  # span agg + bucket equi-join + pair agg + order; NEVER nested-loop
     "q113_rolling_anomaly": 2,  # one keyed window (3 aggregates share the frame) + output order
     "q114_nb_quality_classifier": 7,  # token agg + vocab/prior scalar aggs + weight join + doc agg + order
-    "q115_cluster_canonicals": 2,  # post-checkpoint: quality join rides the cluster window exchange + order
+    "q115_cluster_canonicals": 3,  # post-checkpoint: quality join rides the cluster window exchange + order; +1 opt-in scan spread (r15, 26% win)
     "q116_fk_audit": 19,  # 7 relationships x (anti-join + count-distinct 2-phase + scalar aggs), one action
     "q117_snapshot_rowdiff": 3,  # full-outer SMJ (2 side exchanges, hashes only in the payload) + order
     "q118_negative_sampling": 1,  # map-only stride arithmetic; output order is the only exchange
@@ -421,7 +424,7 @@ MAX_SHUFFLES = {
     "q123_weighted_sample": 0,  # TakeOrderedAndProject: k smallest priorities, NO shuffle
     "q124_scd2_versions": 1,  # both window passes share one (key x order) exchange
     "q125_lsh_eval": 5,  # post-checkpoint tails: 3 scalar count aggs + semi-join; signature pipelines materialize once at operator level
-    "q126_knn_label_eval": 3,  # probe slice broadcasts; rank window + label agg + order
+    "q126_knn_label_eval": 7,  # probe slice broadcasts; rank window + label agg + order; the opt-in spread repartition of the 200-row filtered slice replicates across its three plan references (row-trivial exchanges; r15, 35% win)
     "q127_normalize_text": 0,  # pure map: translate+regexp chain, no exchange at all
     "q128_canary_hits": 2,  # canaries broadcast onto the corpus scan; hit agg + output order
     "q129_vocab_coverage": 1,  # post-checkpoint: 1-row total agg only; top-200 rank+cumsum ride TakeOrderedAndProject (no vocab-sized rank exchange)
@@ -438,9 +441,9 @@ MAX_SHUFFLES = {
     "q140_last_touch_attribution": 2,  # conditional running-max window on the keyed exchange; 1-row final agg
     "q141_balance_with_resets": 2,  # segment window + epoch agg + per-user rollup share the user exchange; output order
     "q142_mutual_nn_pairs": 3,  # post-checkpoint: reciprocity self-join over the probe-sized top-1 relation + output order
-    "q143_exact_dup_spans": 6,  # window-hash agg + candidate join-back + verify regroup + covered join; islands window shares the __id exchange with the span agg; output order
-    "q144_exact_scrub": 7,  # q143's span shuffles + range-merge/reassembly windows sharing the doc exchange; text join-back + output order
-    "q150_rep3_degeneracy": 1,  # row-local HOF projection; output order is the only exchange
+    "q143_exact_dup_spans": 1,  # r15 window-count formulation: hot-hash and gram-verify filters are count().over() windows (one exchange each) instead of groupBy+join-back pairs; with the family memo staging the scan, only the output order remains in the final plan
+    "q144_exact_scrub": 3,  # r15 window-count formulation upstream; range-merge/reassembly windows share the doc exchange; text join-back + output order
+    "q150_rep3_degeneracy": 2,  # row-local HOF projection + opt-in scan spread (r15, 48% win); output order
     "q151_heaps_vocab_growth": 3,  # post-checkpoint: first-rank vocab agg + keyless 1-row agg + output order
     "q152_snapshot_novelty": 5,  # old-set distinct agg + anti-join + per-doc/per-source aggs + output order; 8-byte hash keys only
     "q153_image_ahash_dedup": 2,  # hash-group agg + output order; the group relation joins back broadcast, media bytes never shuffle
@@ -450,7 +453,7 @@ MAX_SHUFFLES = {
     "q170_perplexity_buckets": 2,  # post-checkpoint: bucket agg + output order; the 3-scan threshold selection runs inside scalable_kth_smallest
     "q171_zorder_pruning": 2,  # cell agg (<= 1024 keys) + keyless scalar rollup; the Morton fold is map-only
     "q172_decayed_engagement": 4,  # (user, day) partial agg + 1-row max-day agg + user agg + output order
-    "q173_cm_join_size": 5,  # 2 bounded counter aggs + the exact-calibration join's key exchanges + 2 keyless scalar aggs
+    "q173_cm_join_size": 7,  # 2 bounded counter aggs + the exact-calibration join's key exchanges + 2 keyless scalar aggs; +2 opt-in scan spreads (r15, 15% win)
     "q174_video_frame_sample": 1,  # synth+sample+features are maps; output order only
     "q175_group_split": 5,  # post-checkpoint tails over the ~100-row group relation (split agg, leak grp agg + scalar, order); the ONE corpus agg materializes at the checkpoint
     "q176_hll_daily_cumulative": 8,  # 2 corpus aggs (per-day registers, first-seen users) + day-cardinality triangular merges/sums + final join + order
@@ -472,7 +475,7 @@ MAX_SHUFFLES = {
     "q192_personalized_pagerank": 0,  # TakeOrdered tail over the checkpointed final ranks; per-round join+agg plans run upstream, lineage cut each round
     "q193_lsh_operating_curve": 11,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints. FRESH-session value; the long-session AQE flip is admitted via AQE_FLIP_SLACK, never here
     "q194_weighted_systematic_sample": 2,  # output order + the keyless total agg (1-row, broadcast back); the two-phase prefix sum's range exchange runs upstream of the checkpoint
-    "q195_incremental_exact_spans": 6,  # gram-count aggs (batch + store sides) + covered join + islands window (shares the __id exchange with the span agg) + output order; the batch scan and broadcast store probe materialize at the checkpoints
+    "q195_incremental_exact_spans": 7,  # r15 union-count verify: one tagged union + count().over(__g) window replaces the two gram-count aggs, their combine join, and the covered join-back (four exchanges -> one AT RUNTIME); the AUDITED count rises because the batch-candidate relation is no longer mid-plan checkpointed, so its upstream exchanges are now visible in the final plan instead of hidden behind Scan ExistingRDD
     "q196_temperature_mixture": 10,  # per-source totals + drawn-docs aggs + the prefix sum's range exchange + target/offset model-scale tails (1-row wsum, 20-row offsets) + output order; FRESH-session value (long-session flip in AQE_FLIP_SLACK)
     "q197_temperature_mixture_alpha3": 10,  # identical machinery to q196 (only the weight expression differs); same fresh-session value and the same long-session flip risk
     "q198_minhash_production_128": 5,  # one config of the q193 machinery at 128 lanes: signature agg + truth-join agg (2-phase) + candidate-count singleparts + output order; the signature scan and exact-truth relation materialize at the checkpoints
