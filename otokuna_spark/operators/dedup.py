@@ -133,6 +133,7 @@ def minhash_band_keys(
     shingle_k: int = 3,
     hash_fn: str = "md5",
     include_lanes: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The ``(__id, band_key)`` LSH bucket relation: band_key =
     md5(band_idx | h_i..h_j) over the per-band minhash lanes (or
@@ -154,7 +155,17 @@ def minhash_band_keys(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, hash_fn)
+    if sig is None:
+        sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, hash_fn)
+    else:
+        # caller-provided signature relation (id_col, h0..h{K-1}) from the
+        # SAME (shingle_k, hash_fn) scheme with K >= num_hashes: lane i of
+        # a K-lane md5 signature is definitionally lane i of any wider
+        # run (salt i//4, hex lane i%4), so a wide shared signature
+        # serves every narrower consumer by column slice. Signatures are
+        # per-doc (no cross-doc state), so a row-subset of a shared
+        # relation is exactly the subset's signature.
+        sig = sig.select(id_col, *[f"h{i}" for i in range(num_hashes)])
     band_hash = F.md5 if hash_fn == "md5" else F.xxhash64
     band_cols = [
         band_hash(F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
@@ -182,6 +193,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     materialize: bool = True,
     hash_fn: str = "md5",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) whose signatures collide in
     >=1 LSH band. Probability of candidacy ~ 1-(1-j^r)^b for Jaccard j,
@@ -210,7 +222,9 @@ def minhash_lsh_pairs(
     # scale: MEMORY_AND_DISK spills rather than recomputing)
     from pyspark import StorageLevel
 
-    buckets = minhash_band_keys(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn)
+    buckets = minhash_band_keys(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn, sig=sig
+    )
     if materialize:
         # persist only when we can also release it below — a lazy caller
         # has no unpersist point, so it gets an uncached (recomputing)
@@ -243,6 +257,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     materialize: bool = True,
     max_df: int | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold)
     via inverted-index self-join — never a cross join.
@@ -263,7 +278,42 @@ def ngram_jaccard_pairs(
     estimated Jaccard (never inflate): no false pairs are added, but pairs
     whose overlap is mostly boilerplate may fall below the threshold.
     Default ``None`` = exact.
+
+    ``scored``: optional precomputed scored-pair relation (the
+    ``ngram_jaccard_scored`` output over the SAME docs/shingle_k/max_df,
+    with ``min_jaccard <= threshold``): the call then reduces to the
+    threshold filter — for doubles, ``j >= t1`` followed by ``j >= t2``
+    with t2 >= t1 is exactly ``j >= t2``, so the result is identical to
+    the from-scratch path. This is the family-sharing device: several
+    registry queries score the same corpus at different thresholds, and
+    the inverted-index self-join (the dominant cost) runs once.
     """
+    if scored is not None:
+        return scored.where(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+    return ngram_jaccard_scored(
+        docs, id_col, text_col,
+        shingle_k=shingle_k, materialize=materialize, max_df=max_df,
+        min_jaccard=threshold,
+    )
+
+
+def ngram_jaccard_scored(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    materialize: bool = True,
+    max_df: int | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """The inverted-index exact-Jaccard pipeline of ``ngram_jaccard_pairs``
+    with the threshold exposed as a FLOOR (``min_jaccard``) instead of
+    the final answer: returns (id_a, id_b, jaccard) for every pair at or
+    above the floor. Callers with different thresholds over the same
+    corpus share one scored relation and filter (see
+    ``ngram_jaccard_pairs``'s ``scored=``)."""
     # join/shuffle on a 64-bit hash of the shingle, not the string itself —
     # smaller shuffle rows and cheaper hash-join probes. A cross-shingle
     # xxhash64 collision would perturb a count with probability ~2^-64 per
@@ -312,7 +362,7 @@ def ngram_jaccard_pairs(
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
     # verified pairs are tiny next to the shingle relation — materialize
@@ -1106,6 +1156,7 @@ def near_dup_dedup(
     max_df: int | None = None,
     band_keys: DataFrame | None = None,
     verify: str = "index",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The full near-dup dedup pipeline a training corpus needs:
 
@@ -1147,7 +1198,10 @@ def near_dup_dedup(
             .localCheckpoint()
         )
     else:
-        cand = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn=hash_fn)
+        cand = minhash_lsh_pairs(
+            docs, id_col, text_col, num_hashes, bands, shingle_k,
+            hash_fn=hash_fn, sig=sig,
+        )
     if verify == "candidates":
         verified = (
             jaccard_for_pairs(docs, cand, id_col, text_col, shingle_k)
@@ -2054,6 +2108,8 @@ def lsh_operating_curve(
     bands_list: tuple[int, ...] = (16, 8, 4),
     shingle_k: int = 3,
     threshold: float = 0.5,
+    truth: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding OPERATING CURVE — the index-tuning artifact every
     production MinHash deployment needs before committing a (bands,
@@ -2079,14 +2135,26 @@ def lsh_operating_curve(
     for bands in bands_list:
         if num_hashes % bands:
             raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
-    sig = minhash_signatures(
-        docs, id_col, text_col, num_hashes, shingle_k, "md5"
-    ).localCheckpoint()
-    truth = (
-        ngram_jaccard_pairs(docs, id_col, text_col, threshold, shingle_k)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+    if sig is None:
+        sig = minhash_signatures(
+            docs, id_col, text_col, num_hashes, shingle_k, "md5"
+        ).localCheckpoint()
+    else:
+        # shared signature relation (same md5-lane scheme, >= num_hashes
+        # lanes, already checkpointed upstream): slice to this curve's
+        # lane count
+        sig = sig.select(id_col, *[f"h{i}" for i in range(num_hashes)])
+    if truth is None:
+        truth = (
+            ngram_jaccard_pairs(docs, id_col, text_col, threshold, shingle_k)
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+    else:
+        # caller-provided exact truth (same docs/shingle_k/threshold
+        # semantics — typically a filter over a shared scored relation,
+        # already checkpointed upstream); trust its persistence
+        truth = truth.select("id_a", "id_b")
     tot = truth.agg(F.count("*").alias("n_true_total"))
     reports = []
     for bands in bands_list:

@@ -565,7 +565,10 @@ _JACCARD_THRESHOLD = 0.5
 )
 def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD, shingle_k=3)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD, shingle_k=3,
+        scored=_jaccard_shared(spark, sf_dir),
+    )
     return pairs.select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 1000000.0).cast("long").alias("jaccard_m")
     ).orderBy("id_a", "id_b")
@@ -618,7 +621,8 @@ def _minhash_oracle() -> str:
 def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, shingle_k=3
+        docs, "doc_id", "text", num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, shingle_k=3,
+        sig=_sig128_shared(spark, sf_dir),
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -1874,9 +1878,10 @@ def q54_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q55_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD).select(
-        "id_a", "id_b"
-    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD,
+        scored=_jaccard_shared(spark, sf_dir),
+    ).select("id_a", "id_b")
     return dedup.cluster_pairs(pairs).select(
         F.col("node").cast("long").alias("node"), F.col("cluster").cast("long").alias("cluster")
     ).orderBy("node")
@@ -3665,11 +3670,16 @@ def q83_incremental_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", spread=True)
     seen = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
+    # signatures are per-doc, so the store/batch split is a row filter
+    # over the shared signature relation
+    sig = _sig128_shared(spark, sf_dir)
     store = dedup.minhash_band_keys(
-        seen, "doc_id", "text", _MINHASH_K, _MINHASH_BANDS, 3, include_lanes=True
+        seen, "doc_id", "text", _MINHASH_K, _MINHASH_BANDS, 3, include_lanes=True,
+        sig=sig.where(F.col("doc_id") % 2 == 0),
     )
     keys_new = dedup.minhash_band_keys(
-        new, "doc_id", "text", _MINHASH_K, _MINHASH_BANDS, 3, include_lanes=True
+        new, "doc_id", "text", _MINHASH_K, _MINHASH_BANDS, 3, include_lanes=True,
+        sig=sig.where(F.col("doc_id") % 2 == 1),
     )
     pairs = (
         keys_new.join(
@@ -4608,9 +4618,10 @@ def q102_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).select(
-        "id_a", "id_b"
-    )
+    edges = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3,
+        scored=_jaccard_shared(spark, sf_dir),
+    ).select("id_a", "id_b")
     return graph.triangle_stats(edges).orderBy("node")
 
 
@@ -4725,9 +4736,10 @@ def q105_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    edges = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).select(
-        "id_a", "id_b"
-    )
+    edges = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3,
+        scored=_jaccard_shared(spark, sf_dir),
+    ).select("id_a", "id_b")
     return graph.pagerank_ppt(edges, iterations=3).orderBy("node")
 
 
@@ -5169,9 +5181,10 @@ def _quality_m_cte() -> str:
 )
 def q115_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD).select(
-        "id_a", "id_b"
-    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD,
+        scored=_jaccard_shared(spark, sf_dir),
+    ).select("id_a", "id_b")
     labels = dedup.cluster_pairs(pairs).select(
         F.col("node").cast("long").alias("node"), F.col("cluster").cast("long").alias("cluster")
     )
@@ -5605,10 +5618,14 @@ def q125_lsh_eval(
             < F.lit(int(sample_fraction * 1_000_000))
         )
     cand = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, shingle_k=3
+        docs, "doc_id", "text", num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, shingle_k=3,
+        sig=_sig128_shared(spark, sf_dir) if sample_fraction >= 1.0 else None,
     )
     truth = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD, shingle_k=3
+        docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD, shingle_k=3,
+        # the share is over the FULL corpus — a sampled eval slice must
+        # compute its own truth
+        scored=_jaccard_shared(spark, sf_dir) if sample_fraction >= 1.0 else None,
     ).select("id_a", "id_b")
     tp = cand.join(truth, ["id_a", "id_b"], "leftsemi")
     counts = (
@@ -6752,6 +6769,57 @@ def _exactsubstr_shared(
 _KM_SHARED: dict[tuple, tuple] = {}
 _SD_SHARED: dict[tuple, tuple] = {}
 _COVIS_SHARED: dict[tuple, DataFrame] = {}
+_JC_SHARED: dict[tuple, DataFrame] = {}
+_MH_SHARED: dict[tuple, DataFrame] = {}
+
+# Floor for the shared exact-Jaccard scored relation: the LOWEST
+# threshold any consumer filters at (q102/q105 use 0.3; everything else
+# 0.5 or 0.7). A new consumer below this floor must NOT use the share.
+_JACCARD_SHARED_MIN = 0.3
+
+
+def _jaccard_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact n-gram Jaccard scored pairs over the full documents
+    table (shingle_k=3, no max_df, jaccard >= _JACCARD_SHARED_MIN).
+    Eight registry queries (q21/q55/q102/q105/q115/q125/q193/q198) run
+    the identical inverted-index self-join — the dominant cost of each —
+    and differ only in the final threshold filter, which composes
+    exactly over the shared floor (j >= 0.3 then j >= t, t >= 0.3, is
+    j >= t for doubles). Same memo/lifecycle device as the other shared
+    families (r15, guide §2.1: remove repeated corpus-sized shuffles)."""
+    key = _memo_key(spark, sf_dir)
+    _evict_foreign(_JC_SHARED, key[0])
+    got = _JC_SHARED.get(key)
+    if got is None:
+        docs = read_table(spark, sf_dir, "documents", spread=True)
+        # materialize=True localCheckpoints the scored relation
+        got = dedup.ngram_jaccard_scored(
+            docs, "doc_id", "text", shingle_k=3, min_jaccard=_JACCARD_SHARED_MIN
+        )
+        _JC_SHARED[key] = got
+    return got
+
+
+def _sig128_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 128-lane md5 MinHash signature relation (doc_id, h0..h127)
+    over the full documents table (shingle_k=3). Lane i of an md5-family
+    signature is hex lane i%4 of md5(str(i//4) ':' shingle) regardless
+    of the total lane count, so the wide relation's first 16 columns ARE
+    the 16-lane signature every calibration-scheme consumer
+    (q22/q83/q125/q193/q199) computes, and all 128 serve q198.
+    Signatures are per-document, so row subsets (q83's store/batch
+    split) are exactly the subset's signatures. One shingle -> 32-digest
+    -> min pipeline per bench pass instead of six (r15, guide §2.1)."""
+    key = _memo_key(spark, sf_dir)
+    _evict_foreign(_MH_SHARED, key[0])
+    got = _MH_SHARED.get(key)
+    if got is None:
+        docs = read_table(spark, sf_dir, "documents", spread=True)
+        got = dedup.minhash_signatures(
+            docs, "doc_id", "text", 128, 3, "md5"
+        ).localCheckpoint()
+        _MH_SHARED[key] = got
+    return got
 
 
 def _kmeans_shared(spark: SparkSession, sf_dir: str) -> tuple:
@@ -6823,6 +6891,17 @@ SHARED_FAMILY_MEMBERS: dict[str, frozenset] = {
         "q187_triangle_count", "q188_kcore_peel",
         "q192_personalized_pagerank",
     }),
+    "jaccard": frozenset({
+        "q21_ngram_jaccard_pairs", "q55_near_dup_clusters",
+        "q102_dup_graph_stats", "q105_pagerank_dupgraph",
+        "q115_cluster_canonicals", "q125_lsh_eval",
+        "q193_lsh_operating_curve", "q198_minhash_production_128",
+    }),
+    "minhash": frozenset({
+        "q22_minhash_lsh_pairs", "q83_incremental_verify",
+        "q125_lsh_eval", "q193_lsh_operating_curve",
+        "q198_minhash_production_128", "q199_near_dup_dedup_production",
+    }),
 }
 
 _SHARED_MEMOS: dict[str, dict] = {
@@ -6830,6 +6909,8 @@ _SHARED_MEMOS: dict[str, dict] = {
     "kmeans": _KM_SHARED,
     "semdedup": _SD_SHARED,
     "covis": _COVIS_SHARED,
+    "jaccard": _JC_SHARED,
+    "minhash": _MH_SHARED,
 }
 
 
@@ -6861,6 +6942,10 @@ def build_shared_family(spark: SparkSession, sf_dir: str, family: str) -> int:
         return base.count() + edges.count()
     if family == "covis":
         return _covis_edges_cached(spark, sf_dir).count()
+    if family == "jaccard":
+        return _jaccard_shared(spark, sf_dir).count()
+    if family == "minhash":
+        return _sig128_shared(spark, sf_dir).count()
     raise KeyError(family)
 
 
@@ -11101,6 +11186,11 @@ def q193_lsh_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_operating_curve(
         docs, "doc_id", "text",
         num_hashes=_MINHASH_K, bands_list=(16, 8, 4), threshold=_JACCARD_THRESHOLD,
+        truth=dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=_JACCARD_THRESHOLD,
+            scored=_jaccard_shared(spark, sf_dir),
+        ),
+        sig=_sig128_shared(spark, sf_dir),
     )
 
 
@@ -11484,7 +11574,12 @@ def _lsh_prod_oracle(num_hashes: int = 128, bands: int = 16, threshold: float = 
 def q198_minhash_production_128(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.lsh_operating_curve(
-        docs, "doc_id", "text", num_hashes=128, bands_list=(16,), threshold=0.7
+        docs, "doc_id", "text", num_hashes=128, bands_list=(16,), threshold=0.7,
+        truth=dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.7,
+            scored=_jaccard_shared(spark, sf_dir),
+        ),
+        sig=_sig128_shared(spark, sf_dir),
     )
 
 
@@ -11549,6 +11644,7 @@ def q199_near_dup_dedup_production(spark: SparkSession, sf_dir: str) -> DataFram
     kept = dedup.near_dup_dedup(
         docs.select("doc_id", "text"), "doc_id", "text",
         _JACCARD_THRESHOLD, _MINHASH_K, _MINHASH_BANDS, verify="candidates",
+        sig=_sig128_shared(spark, sf_dir),
     )
     return kept.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -1345,7 +1345,13 @@ def ingest_novelty_batch(
         # attempt (partition-pruned at the scan)
         if "batch" in old.columns:
             old = old.where(F.col("batch") != batch_id)
-        old = old.select("g").distinct()
+        # NO distinct: the store is distinct by construction (each batch
+        # partition persists only the gs novel vs the prior store), and
+        # anti-join semantics don't depend on right-side multiplicity —
+        # the distinct was a full store-sized exchange + agg per batch,
+        # and with two consumers (novelty anti-join + delta anti-join)
+        # it ran twice (r15, guide §2.1)
+        old = old.select("g")
     else:
         old = sp.createDataFrame([], "g bigint")
     perdoc = sh.groupBy("__id", "source").agg(F.count("*").alias("n_sh"))

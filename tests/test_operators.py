@@ -3305,3 +3305,81 @@ def test_near_dup_dedup_candidate_verify_equals_index_verify(spark):
     ).collect()[0]
     assert (jp["n_common"], jp["n_a"], jp["n_b"]) == (9, 10, 10)
     assert abs(jp["jaccard"] - 9 / 11) < 1e-12
+
+
+def test_ngram_jaccard_scored_share_equivalence(spark):
+    """The family-sharing device (r15): filtering a scored relation at a
+    HIGHER threshold must equal the from-scratch thresholded run, row
+    for row — including the jaccard value."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"      # high overlap with a
+    c = "w1 w2 w3 x1 x2 x3 x4 x5 x6 x7"      # moderate overlap with a/b
+    d = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"     # disjoint
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], ["doc_id", "text"]
+    )
+    scored = dedup.ngram_jaccard_scored(df, "doc_id", "text", min_jaccard=0.1)
+    for thr in (0.1, 0.5):
+        direct = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", thr).collect()
+        )
+        shared = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", thr, scored=scored
+            ).collect()
+        )
+        assert direct == shared and direct, (thr, direct, shared)
+
+
+def test_minhash_wide_sig_slice_equivalence(spark):
+    """A 64-lane md5 signature's first 16 lanes ARE the 16-lane
+    signature: band keys and lanes derived via sig= must be bit-identical
+    to the from-scratch 16-lane run (the shared-signature device)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappZ"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wide = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=64)
+    direct = sorted(
+        (r["__id"], r["band_key"], tuple(r["lanes"]))
+        for r in dedup.minhash_band_keys(
+            df, "doc_id", "text", 16, 8, include_lanes=True
+        ).collect()
+    )
+    via_sig = sorted(
+        (r["__id"], r["band_key"], tuple(r["lanes"]))
+        for r in dedup.minhash_band_keys(
+            df, "doc_id", "text", 16, 8, include_lanes=True, sig=wide
+        ).collect()
+    )
+    assert direct == via_sig and direct
+
+
+def test_lsh_operating_curve_shared_inputs_equivalence(spark):
+    """lsh_operating_curve with caller-provided truth and a wider shared
+    sig must produce the identical report."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),
+        (3, "completely different words in this unrelated document about spark"),
+        (4, base.replace("quick", "swift")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    default = dedup.lsh_operating_curve(
+        df, "doc_id", "text", num_hashes=16, bands_list=(8, 4), threshold=0.5
+    ).collect()
+    shared_truth = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", 0.5,
+        scored=dedup.ngram_jaccard_scored(df, "doc_id", "text", min_jaccard=0.3),
+    )
+    wide = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=64).localCheckpoint()
+    via = dedup.lsh_operating_curve(
+        df, "doc_id", "text", num_hashes=16, bands_list=(8, 4), threshold=0.5,
+        truth=shared_truth, sig=wide,
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, via))

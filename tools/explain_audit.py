@@ -473,7 +473,7 @@ MAX_SHUFFLES = {
     "q190_kmeans_spread_init": 1,  # output order only — same checkpointed-assignment tail as q183; the spread-init md5 top-m adds one bounded pass upstream
     "q191_ivf_sq8_adc": 5,  # ADC window + candidate-count agg + exact window + hit join/agg + output order; pair scoring itself is map-only broadcast attaches within probed cells
     "q192_personalized_pagerank": 0,  # TakeOrdered tail over the checkpointed final ranks; per-round join+agg plans run upstream, lineage cut each round
-    "q193_lsh_operating_curve": 11,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; signature/truth scans run upstream of the checkpoints. FRESH-session value; the long-session AQE flip is admitted via AQE_FLIP_SLACK, never here
+    "q193_lsh_operating_curve": 13,  # per config: truth-join agg (2-phase) + candidate-count singleparts (all keyless-agg-bounded) + output order; r15 family share: the exact truth is a lazy filter over the shared jaccard memo (256-row relation at sf0.1), so its per-config join exchanges are now VISIBLE in the final plan instead of hidden behind the old internal truth localCheckpoint (11 -> 13 audited; runtime exchanges are strictly fewer — the inverted-index build ran per-query before). FRESH-session value; the long-session AQE flip is admitted via AQE_FLIP_SLACK, never here
     "q194_weighted_systematic_sample": 2,  # output order + the keyless total agg (1-row, broadcast back); the two-phase prefix sum's range exchange runs upstream of the checkpoint
     "q195_incremental_exact_spans": 7,  # r15 union-count verify: one tagged union + count().over(__g) window replaces the two gram-count aggs, their combine join, and the covered join-back (four exchanges -> one AT RUNTIME); the AUDITED count rises because the batch-candidate relation is no longer mid-plan checkpointed, so its upstream exchanges are now visible in the final plan instead of hidden behind Scan ExistingRDD
     "q196_temperature_mixture": 10,  # per-source totals + drawn-docs aggs + the prefix sum's range exchange + target/offset model-scale tails (1-row wsum, 20-row offsets) + output order; FRESH-session value (long-session flip in AQE_FLIP_SLACK)
