@@ -994,13 +994,10 @@ def _q24_oracle(
     "so the full pair set (not just the verify) matches the SQL oracle",
 )
 def q24_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
     # 4-bit bands: ~50% per-pair recall at cosine 0.45 with 4 bands — the
-    # synthetic embeddings cluster loosely (max pairwise cosine ~0.51)
-    pairs = similarity.lsh_near_dup_pairs_exact(
-        emb, "vec_id", "embedding", threshold=0.45, n_planes=16, band_bits=4
-    )
-    return pairs.orderBy("id_a", "id_b")
+    # synthetic embeddings cluster loosely (max pairwise cosine ~0.51);
+    # the pair relation is shared with q72 (r15)
+    return _embpairs_shared(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 _Q29_ORACLE = r"""
@@ -2684,10 +2681,7 @@ def _q72_oracle() -> str:
     "over the identical pair set",
 )
 def q72_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = similarity.lsh_near_dup_pairs_exact(
-        emb, "vec_id", "embedding", threshold=0.45, n_planes=16, band_bits=4
-    ).select("id_a", "id_b")
+    pairs = _embpairs_shared(spark, sf_dir).select("id_a", "id_b")
     return (
         dedup.cluster_pairs(pairs)
         .select(
@@ -6771,6 +6765,7 @@ _SD_SHARED: dict[tuple, tuple] = {}
 _COVIS_SHARED: dict[tuple, DataFrame] = {}
 _JC_SHARED: dict[tuple, DataFrame] = {}
 _MH_SHARED: dict[tuple, DataFrame] = {}
+_EP_SHARED: dict[tuple, DataFrame] = {}
 
 # Floor for the shared exact-Jaccard scored relation: the LOWEST
 # threshold any consumer filters at (q102/q105 use 0.3; everything else
@@ -6797,6 +6792,23 @@ def _jaccard_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", shingle_k=3, min_jaccard=_JACCARD_SHARED_MIN
         )
         _JC_SHARED[key] = got
+    return got
+
+
+def _embpairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared embedding near-dup pair relation: q24 emits it directly and
+    q72 clusters it — the sign-sketch LSH + exact integer-cosine verify
+    (the dominant cost of both) ran twice for one deterministic relation.
+    Same memo/lifecycle device as the other shared families (r15)."""
+    key = _memo_key(spark, sf_dir)
+    _evict_foreign(_EP_SHARED, key[0])
+    got = _EP_SHARED.get(key)
+    if got is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        got = similarity.lsh_near_dup_pairs_exact(
+            emb, "vec_id", "embedding", threshold=0.45, n_planes=16, band_bits=4
+        ).localCheckpoint()
+        _EP_SHARED[key] = got
     return got
 
 
@@ -6902,6 +6914,9 @@ SHARED_FAMILY_MEMBERS: dict[str, frozenset] = {
         "q125_lsh_eval", "q193_lsh_operating_curve",
         "q198_minhash_production_128", "q199_near_dup_dedup_production",
     }),
+    "embpairs": frozenset({
+        "q24_embedding_near_dup", "q72_embedding_dup_clusters",
+    }),
 }
 
 _SHARED_MEMOS: dict[str, dict] = {
@@ -6911,6 +6926,7 @@ _SHARED_MEMOS: dict[str, dict] = {
     "covis": _COVIS_SHARED,
     "jaccard": _JC_SHARED,
     "minhash": _MH_SHARED,
+    "embpairs": _EP_SHARED,
 }
 
 
@@ -6946,6 +6962,8 @@ def build_shared_family(spark: SparkSession, sf_dir: str, family: str) -> int:
         return _jaccard_shared(spark, sf_dir).count()
     if family == "minhash":
         return _sig128_shared(spark, sf_dir).count()
+    if family == "embpairs":
+        return _embpairs_shared(spark, sf_dir).count()
     raise KeyError(family)
 
 
