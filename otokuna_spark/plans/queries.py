@@ -6766,6 +6766,7 @@ _COVIS_SHARED: dict[tuple, DataFrame] = {}
 _JC_SHARED: dict[tuple, DataFrame] = {}
 _MH_SHARED: dict[tuple, DataFrame] = {}
 _EP_SHARED: dict[tuple, DataFrame] = {}
+_TLM_SHARED: dict[tuple, DataFrame] = {}
 
 # Floor for the shared exact-Jaccard scored relation: the LOWEST
 # threshold any consumer filters at (q102/q105 use 0.3; everything else
@@ -6809,6 +6810,20 @@ def _embpairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, "vec_id", "embedding", threshold=0.45, n_planes=16, band_bits=4
         ).localCheckpoint()
         _EP_SHARED[key] = got
+    return got
+
+
+def _trigram_lm_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-doc interpolated-trigram-LM score relation: q168 emits
+    it ordered, q170 buckets it — the trigram/bigram/unigram count
+    pipeline (the dominant cost of both) ran twice for one deterministic
+    relation. Same memo/lifecycle device as the other families (r15)."""
+    key = _memo_key(spark, sf_dir)
+    _evict_foreign(_TLM_SHARED, key[0])
+    got = _TLM_SHARED.get(key)
+    if got is None:
+        got = _trigram_lm_doc_scores(spark, sf_dir).localCheckpoint()
+        _TLM_SHARED[key] = got
     return got
 
 
@@ -6917,6 +6932,9 @@ SHARED_FAMILY_MEMBERS: dict[str, frozenset] = {
     "embpairs": frozenset({
         "q24_embedding_near_dup", "q72_embedding_dup_clusters",
     }),
+    "trigramlm": frozenset({
+        "q168_trigram_lm_interpolated", "q170_perplexity_buckets",
+    }),
 }
 
 _SHARED_MEMOS: dict[str, dict] = {
@@ -6927,6 +6945,7 @@ _SHARED_MEMOS: dict[str, dict] = {
     "jaccard": _JC_SHARED,
     "minhash": _MH_SHARED,
     "embpairs": _EP_SHARED,
+    "trigramlm": _TLM_SHARED,
 }
 
 
@@ -6964,6 +6983,8 @@ def build_shared_family(spark: SparkSession, sf_dir: str, family: str) -> int:
         return _sig128_shared(spark, sf_dir).count()
     if family == "embpairs":
         return _embpairs_shared(spark, sf_dir).count()
+    if family == "trigramlm":
+        return _trigram_lm_shared(spark, sf_dir).count()
     raise KeyError(family)
 
 
@@ -8926,7 +8947,7 @@ def q167_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "out of scope",
 )
 def q168_trigram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _trigram_lm_doc_scores(spark, sf_dir).orderBy("doc_id")
+    return _trigram_lm_shared(spark, sf_dir).orderBy("doc_id")
 
 
 def _trigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9145,10 +9166,11 @@ def q169_dup_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multiset is tie-order-free)",
 )
 def q170_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scores = (
-        _trigram_lm_doc_scores(spark, sf_dir)
-        .select("doc_id", "n_trigrams", "mean_interp_ppm")
-        .localCheckpoint()  # one doc-cardinality relation feeds count + 2 selections + bucketing
+    # the shared relation is already checkpointed (memo); the selection
+    # over it feeds count + 2 selections + bucketing without re-running
+    # the n-gram pipeline
+    scores = _trigram_lm_shared(spark, sf_dir).select(
+        "doc_id", "n_trigrams", "mean_interp_ppm"
     )
     n = scores.count()
     k1 = (n + 2) // 3  # DESC rank of the head/middle cut
