@@ -716,3 +716,37 @@ def test_kcore_peel_k4_converges_immediately(spark, tmp_path):
     rows = REGISTRY["q188_kcore_peel"].fn(spark, sf).collect()
     assert [(r["iter"], r["n_nodes"], r["n_edges"], r["n_removed"], r["converged"])
             for r in rows] == [(i, 4, 6, 0, 1) for i in (1, 2, 3, 4)]
+
+
+def test_q179_exact_gap_decomposition(spark):
+    """The gap-decomposition exact side must equal the range-join
+    formulation for every (day_a, day_b) window — including users with
+    head/tail gaps, mid gaps, full coverage, and a single-day user."""
+    from pyspark.sql import functions as F
+    from otokuna_spark.plans.queries import _window_exact_distinct_users
+
+    rows = [
+        # u1 active every day (no gaps); u2 head+tail gaps; u3 mid gap;
+        # u4 single day; u5 two mid gaps
+        *[("u1", d) for d in (10, 11, 12, 13, 14, 15)],
+        ("u2", 12), ("u2", 13),
+        ("u3", 10), ("u3", 11), ("u3", 14), ("u3", 15),
+        ("u4", 13),
+        ("u5", 10), ("u5", 12), ("u5", 15),
+    ]
+    ud = spark.createDataFrame(rows, ["u", "day"]).distinct()
+    days = ud.select("day").distinct()
+    win = (
+        days.alias("a")
+        .join(days.alias("b"), F.expr("a.day <= b.day"))
+        .select(F.col("a.day").alias("day_a"), F.col("b.day").alias("day_b"))
+    )
+    reference = (
+        win.join(ud, (ud["day"] >= win["day_a"]) & (ud["day"] <= win["day_b"]))
+        .groupBy("day_a", "day_b")
+        .agg(F.count_distinct("u").alias("exact_distinct"))
+    )
+    got = _window_exact_distinct_users(days, ud)
+    ref = sorted((r["day_a"], r["day_b"], r["exact_distinct"]) for r in reference.collect())
+    new = sorted((r["day_a"], r["day_b"], r["exact_distinct"]) for r in got.collect())
+    assert ref == new and len(ref) == 21  # 6 days -> 21 windows

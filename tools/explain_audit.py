@@ -246,6 +246,13 @@ SINGLEPART_OK = {
         r"Scan ExistingRDD",
         "#sources-sized checkpointed relation",
     ),
+    # the observed-days distinct relation (one row per calendar day,
+    # m<=366/yr) feeding the day-index row_number of the r15 gap
+    # decomposition — calendar-bounded, data-volume-free
+    "q179_hll_range_query": (
+        r"HashAggregate\(keys=\[day",
+        "calendar-bounded distinct-days relation",
+    ),
 }
 
 
@@ -459,7 +466,7 @@ MAX_SHUFFLES = {
     "q176_hll_daily_cumulative": 8,  # 2 corpus aggs (per-day registers, first-seen users) + day-cardinality triangular merges/sums + final join + order
     "q177_zorder_realized_pruning": 3,  # pre-write-relation scalar agg + pruned-read distinct-file agg (2); cell write happens before the audited plan, files_total is a filesystem listing
     "q178_heldout_lm_scoring": 1,  # post-checkpoint: output order only (bucketing is two broadcast-scalar comparisons); the LM train/score stages materialize at the checkpoint
-    "q179_hll_range_query": 7,  # register agg + (u, day) distinct + window max-merges/estimates/exact sums over calendar-bounded relations + final join/order
+    "q179_hll_range_query": 17,  # register agg + (u, day) distinct + window max-merges/estimates over calendar-bounded relations + final join/order; r15 gap decomposition: the exact side's |ud|*m^2/6-row range-join fan-out (6.4M rows at sf0.1) became ~10 SMALL exchanges over calendar-bounded relations (m-row day index, per-user gap windows over the |ud| relation, m^2-row grid cumsums) — audited count rises, shuffled BYTES collapse
     "q180_bucketed_colocated_join": 2,  # segment agg + output order; the custkey join itself is exchange-free (bucketed scans)
     "q181_salted_hot_key_agg": 3,  # (lang, salt) partial agg + lang final agg + output order — the one extra exchange IS the salting trade
     "q182_salted_skew_join": 3,  # (lang, salt) join exchanges collapse to a broadcast at this SF; tag agg + order + dim distinct
