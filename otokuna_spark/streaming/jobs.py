@@ -1826,7 +1826,14 @@ def ingest_curation_batch(
     Write order per the two-write contract: the scrub stage lands raw ->
     corpus -> wh_store (its own discipline), then sig_store and
     digest_store (corpus-without-store crashes are caught by the orphan
-    checks on the NEXT ingest), funnel row last."""
+    checks on the NEXT ingest), funnel row last. The novelty stage's
+    report/shingle pair is internally ordered and independent of the
+    accepted-corpus stores (its orphan check is its own pair), so it
+    runs overlapped with stages 2-4 and joins before the stores land —
+    replay-idempotence is unchanged (every store write is a per-batch
+    partition overwrite)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators import persistence
     from ..operators.dedup import dedup_exact, incremental_near_dup_filter
     from ..plans.curation import decontaminate, quality_floor
@@ -1840,111 +1847,144 @@ def ingest_curation_batch(
     _check_store_orphans(sp, corpus_path, digest_path, batch_id, "digest")
     _check_store_orphans(sp, corpus_path, sig_path, batch_id, "signature")
 
-    n_raw = batch_df.count()
+    # Overlap independent jobs (guide §2.6): the funnel's spine
+    # (quality -> exact -> near-dup -> scrub) is a strict dependency
+    # chain, but n_raw and the novelty stage hang off it — n_raw needs
+    # only the input, novelty only the quality stage — and every stage
+    # at batch scale has a scheduling/latency tail that leaves cores
+    # idle. Submitting them from a 2-thread pool back-fills that tail
+    # (FIFO scheduling: the spine keeps priority, side jobs use what's
+    # left). Results are unchanged: every job still computes from the
+    # same inputs; the pool is joined before the store/funnel writes so
+    # the write-order contract (funnel row last) holds.
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        n_raw_f = pool.submit(batch_df.count)
 
-    # stage 1: quality floor (stateless, row-local)
-    quality = persistence.stage(
-        quality_floor(batch_df, text_col, min_tokens).drop("__n_tokens"), False
-    )
-    n_quality = quality.count()
-
-    # stage 2: exact dedup — within-batch keep-first, then the digest
-    # store anti-join (only 16-byte digests shuffle, never text)
-    wb = dedup_exact(quality, [text_col], [F.asc(id_col)])
-    hashed = wb.withColumn("__md5", F.md5(F.col(text_col)))
-    if _fs_nonempty(sp, digest_path):
-        dstore = sp.read.parquet(digest_path)
-        if "batch" in dstore.columns:
-            dstore = dstore.where(F.col("batch") != batch_id)
-        hashed = hashed.join(
-            dstore.select(F.col("text_md5").alias("__md5")), "__md5", "left_anti"
+        # stage 1: quality floor (stateless, row-local)
+        quality = persistence.stage(
+            quality_floor(batch_df, text_col, min_tokens).drop("__n_tokens"), False
         )
-    exact = persistence.stage(hashed.drop("__md5"), False)
-    n_exact = exact.count()
+        n_quality = quality.count()
 
-    # stage 3: near-dup vs the accepted corpus's signature store (verify
-    # level — lanes ride in the store) + within-batch near_dup_dedup
-    if _fs_nonempty(sp, sig_path):
-        sstore = sp.read.parquet(sig_path)
-        if "hash_fn" in sstore.columns:
-            families = [r[0] for r in sstore.select("hash_fn").distinct().collect()]
-            if families and families != [hash_fn]:
-                raise ValueError(
-                    f"signature store at {sig_path} was built with "
-                    f"hash_fn={families} but this ingest uses {hash_fn!r} — "
-                    "rebuild the store or match the family"
-                )
-        if "batch" in sstore.columns:
-            sstore = sstore.where(F.col("batch") != batch_id)
-        cols = ["__id", "band_key"] + (["lanes"] if "lanes" in sstore.columns else [])
-        sstore = sstore.select(*cols)
-    else:
-        id_type = batch_df.schema[id_col].dataType.simpleString()
-        lane_type = "string" if hash_fn == "md5" else "bigint"
-        sstore = sp.createDataFrame(
-            [], f"__id {id_type}, band_key {lane_type}, lanes array<{lane_type}>"
+        # stage 5 launched EARLY: crawl novelty over the QUALITY-passed
+        # batch (pre-dedup: the "did this crawl add information" signal
+        # must see what arrived, not what survived). It depends only on
+        # the staged quality relation and writes to its own
+        # internally-ordered store pair, so it overlaps stages 2-4 and
+        # is joined before the accepted-corpus stores land.
+        novelty_f = pool.submit(
+            ingest_novelty_batch,
+            quality, batch_id, f"{root_path}/novelty", f"{root_path}/shingle_store",
+            id_col=id_col, source_col=source_col, text_col=text_col,
+            shingle_k=shingle_k,
         )
-    kept, sig_delta = incremental_near_dup_filter(
-        exact, sstore, id_col, text_col,
-        jaccard_threshold, num_hashes, bands, shingle_k, hash_fn,
-    )
 
-    # stage 3b (optional): decontamination vs the broadcast benchmark —
-    # stateless, so the incremental twin just runs the batch stage; docs
-    # it drops must leave NO store entry (the stores describe exactly
-    # the accepted corpus), so the signature delta is restricted to the
-    # survivors
-    if benchmark is not None:
-        n_accepted = kept.count()
-        kept = persistence.stage(
-            decontaminate(kept, benchmark, id_col, text_col, contamination_max_ppm),
-            False,
+        # stage 2: exact dedup — within-batch keep-first, then the digest
+        # store anti-join (only 16-byte digests shuffle, never text)
+        wb = dedup_exact(quality, [text_col], [F.asc(id_col)])
+        hashed = wb.withColumn("__md5", F.md5(F.col(text_col)))
+        if _fs_nonempty(sp, digest_path):
+            dstore = sp.read.parquet(digest_path)
+            if "batch" in dstore.columns:
+                dstore = dstore.where(F.col("batch") != batch_id)
+            hashed = hashed.join(
+                dstore.select(F.col("text_md5").alias("__md5")), "__md5", "left_anti"
+            )
+        exact = persistence.stage(hashed.drop("__md5"), False)
+        n_exact = exact.count()
+
+        # stage 3: near-dup vs the accepted corpus's signature store (verify
+        # level — lanes ride in the store) + within-batch near_dup_dedup
+        if _fs_nonempty(sp, sig_path):
+            sstore = sp.read.parquet(sig_path)
+            if "hash_fn" in sstore.columns:
+                families = [r[0] for r in sstore.select("hash_fn").distinct().collect()]
+                if families and families != [hash_fn]:
+                    raise ValueError(
+                        f"signature store at {sig_path} was built with "
+                        f"hash_fn={families} but this ingest uses {hash_fn!r} — "
+                        "rebuild the store or match the family"
+                    )
+            if "batch" in sstore.columns:
+                sstore = sstore.where(F.col("batch") != batch_id)
+            cols = ["__id", "band_key"] + (["lanes"] if "lanes" in sstore.columns else [])
+            sstore = sstore.select(*cols)
+        else:
+            id_type = batch_df.schema[id_col].dataType.simpleString()
+            lane_type = "string" if hash_fn == "md5" else "bigint"
+            sstore = sp.createDataFrame(
+                [], f"__id {id_type}, band_key {lane_type}, lanes array<{lane_type}>"
+            )
+        kept, sig_delta = incremental_near_dup_filter(
+            exact, sstore, id_col, text_col,
+            jaccard_threshold, num_hashes, bands, shingle_k, hash_fn,
         )
-        sig_delta = sig_delta.join(
-            kept.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+
+        # stage 3b (optional): decontamination vs the broadcast benchmark —
+        # stateless, so the incremental twin just runs the batch stage; docs
+        # it drops must leave NO store entry (the stores describe exactly
+        # the accepted corpus), so the signature delta is restricted to the
+        # survivors
+        if benchmark is not None:
+            n_accepted = kept.count()
+            kept = persistence.stage(
+                decontaminate(kept, benchmark, id_col, text_col, contamination_max_ppm),
+                False,
+            )
+            sig_delta = sig_delta.join(
+                kept.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+            )
+        # one fused aggregate over the checkpointed survivors serves the
+        # accepted count AND the funnel's chars_in (r15: was two jobs)
+        _acc = kept.agg(
+            F.count("*").alias("__n"), F.sum(F.length(text_col)).alias("__chars")
+        ).collect()[0]
+        n_clean = int(_acc["__n"])
+        chars_in = int(_acc["__chars"] or 0)
+        if benchmark is None:
+            n_accepted = n_clean
+
+        # stage 4: ExactSubstr scrub of the accepted docs against the
+        # window-hash store — inherits q195's break-even routing and the
+        # broadcast-vs-colocated probe size gate; lands raw -> corpus ->
+        # wh_store in that crash-safe order. The returned checkpointed scrub
+        # result feeds the funnel's chars_scrubbed_out directly (was a
+        # read-back of the partition just written)
+        scrubbed = ingest_exact_scrub_batch(
+            kept.select(batch_df.columns), batch_id, corpus_path, wh_path, raw_path,
+            id_col=id_col, text_col=text_col, window=window,
         )
-    # one fused aggregate over the checkpointed survivors serves the
-    # accepted count AND the funnel's chars_in (r15: was two jobs)
-    _acc = kept.agg(
-        F.count("*").alias("__n"), F.sum(F.length(text_col)).alias("__chars")
-    ).collect()[0]
-    n_clean = int(_acc["__n"])
-    chars_in = int(_acc["__chars"] or 0)
-    if benchmark is None:
-        n_accepted = n_clean
 
-    # stage 4: ExactSubstr scrub of the accepted docs against the
-    # window-hash store — inherits q195's break-even routing and the
-    # broadcast-vs-colocated probe size gate; lands raw -> corpus ->
-    # wh_store in that crash-safe order. The returned checkpointed scrub
-    # result feeds the funnel's chars_scrubbed_out directly (was a
-    # read-back of the partition just written)
-    scrubbed = ingest_exact_scrub_batch(
-        kept.select(batch_df.columns), batch_id, corpus_path, wh_path, raw_path,
-        id_col=id_col, text_col=text_col, window=window,
-    )
+        # join the side jobs (surfacing their errors) before any
+        # accepted-corpus store lands
+        novelty_f.result()
+        n_raw = n_raw_f.result()
 
-    # stage 5: crawl novelty over the QUALITY-passed batch (pre-dedup:
-    # the "did this crawl add information" signal must see what arrived,
-    # not what survived)
-    ingest_novelty_batch(
-        quality, batch_id, f"{root_path}/novelty", f"{root_path}/shingle_store",
-        id_col=id_col, source_col=source_col, text_col=text_col,
-        shingle_k=shingle_k,
-    )
-
-    # accepted-corpus stores (after the corpus landed)
-    sig_delta.withColumn("hash_fn", F.lit(hash_fn)).write.mode("overwrite").parquet(
-        f"{sig_path}/batch={batch_id}"
-    )
-    kept.select(F.md5(F.col(text_col)).alias("text_md5")).write.mode(
-        "overwrite"
-    ).parquet(f"{digest_path}/batch={batch_id}")
+        # accepted-corpus stores (after the corpus landed); the two
+        # writes read independent checkpointed relations, so they
+        # overlap, as does the funnel's chars_out aggregate
+        sig_f = pool.submit(
+            sig_delta.withColumn("hash_fn", F.lit(hash_fn))
+            .write.mode("overwrite")
+            .parquet,
+            f"{sig_path}/batch={batch_id}",
+        )
+        digest_f = pool.submit(
+            kept.select(F.md5(F.col(text_col)).alias("text_md5"))
+            .write.mode("overwrite")
+            .parquet,
+            f"{digest_path}/batch={batch_id}",
+        )
+        chars_out = scrubbed.agg(F.sum(F.length("kept_text"))).collect()[0][0] or 0
+        sig_f.result()
+        digest_f.result()
+    finally:
+        pool.shutdown(wait=True)
 
     # funnel delta last — the per-batch CurationReport twin; scrub chars
     # summed over the checkpointed scrub result (identical to the landed
     # partition it was written from)
-    chars_out = scrubbed.agg(F.sum(F.length("kept_text"))).collect()[0][0] or 0
     sp.createDataFrame(
         [(n_raw, n_quality, n_exact, n_accepted, n_clean, int(chars_in), int(chars_out))],
         "n_raw long, n_quality long, n_exact long, n_accepted long,"
