@@ -6872,7 +6872,9 @@ def _semdedup_shared(spark: SparkSession, sf_dir: str) -> tuple:
             emb, "vec_id", "embedding", k=8, n_iters=3, tau2_ppm=202_500,
             assign=assign,
         )
-        got = (base.localCheckpoint(), edges.localCheckpoint())
+        # base is already checkpoint-backed inside semdedup_graph (r15);
+        # re-checkpointing it would only copy the blocks
+        got = (base, edges.localCheckpoint())
         _SD_SHARED[key] = got
     return got
 

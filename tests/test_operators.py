@@ -3053,10 +3053,13 @@ def test_semdedup_graph_raises_on_decimal_headroom_overflow(spark):
         [(0, big), (1, big), (2, [0.1] * 8)],
         "vec_id long, embedding array<float>",
     )
-    _, edges = similarity.semdedup_graph(
-        df, "vec_id", "embedding", k=1, n_iters=1
-    )
+    # the guard fires at semdedup_graph's eager base staging (r15) — wrap
+    # construction AND consumption so the contract (raise instead of
+    # silently dropping the pair) is pinned wherever the action lands
     with pytest.raises(Exception, match="headroom"):
+        _, edges = similarity.semdedup_graph(
+            df, "vec_id", "embedding", k=1, n_iters=1
+        )
         edges.collect()
     # unit-scale vectors stay comfortably inside the bound: planted twin
     # pair is found, nothing raises
