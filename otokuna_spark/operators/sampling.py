@@ -48,6 +48,7 @@ def hashed_importance_scores(
     text_col: str,
     target_pred: Column,
     n_buckets: int = 256,
+    reliable: bool = False,
 ) -> DataFrame:
     """DSIR-style hashed importance weights (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score every
@@ -71,17 +72,24 @@ def hashed_importance_scores(
     with >= 1 token; mean_score_ppm = score_sum div n_tokens is the
     length-normalized importance score.
 
-    Scale shape: the token explode runs TWICE — once into the bucket
-    histogram (one keyed shuffle, map-side combine, n_buckets result
-    rows), once into the per-doc aggregation — i.e. two corpus scans;
-    persisting the token-level relation would cost more than the second
-    scan, so recompute is the right trade. The weight table joins back
-    BROADCAST (n_buckets rows); totals ride along as literal-free 1-row
-    broadcasts. Overflow
+    Scale shape (r15): the token explode + per-token md5 runs ONCE, into
+    a staged per-(doc, bucket) count relation — bounded at |docs| *
+    n_buckets rows regardless of corpus length (Zipf makes it far
+    smaller), i.e. orders of magnitude under the token-occurrence
+    volume. The bucket histogram and the per-doc score join-back both
+    re-aggregate that compact relation instead of re-scanning the
+    corpus (the pre-r15 shape ran the tokenize+md5 pass twice; the
+    TOKEN-level relation is genuinely too big to persist, but the
+    doc-bucket pre-aggregate is not). ``reliable=True`` routes the
+    staging through a fault-tolerant checkpoint (persistence.stage).
+    The weight table joins back BROADCAST (n_buckets rows); totals ride
+    along as literal-free 1-row broadcasts. Overflow
     headroom: (t_b+1)(R+B)*1e6 must fit BIGINT — fine through ~10^12-token
     corpora per partition-of-the-problem; shard the corpus or drop the ppm
-    scale factor beyond that.
+    scale factor beyond that. score_sum = sum_b(count_b * w_ppm_b) keeps
+    the same bound as the per-token sum it equals exactly.
     """
+    from . import persistence
     from ..functions import text
 
     b = F.lit(n_buckets)
@@ -97,9 +105,14 @@ def hashed_importance_scores(
         )
         .drop("__tok")
     )
-    hist = occ.groupBy("__bucket").agg(
-        F.count("*").alias("__r"),
-        F.sum(F.col("__tgt").cast("long")).alias("__t"),
+    # __tgt is constant per doc, so it rides the key for free
+    compact = persistence.stage(
+        occ.groupBy("__id", "__tgt", "__bucket").agg(F.count("*").alias("__c")),
+        reliable,
+    )
+    hist = compact.groupBy("__bucket").agg(
+        F.sum("__c").alias("__r"),
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))).alias("__t"),
     )
     # totals get distinct names (__rtot/__ttot): Spark SQL resolution is
     # case-insensitive, so __R/__T would collide with __r/__t
@@ -122,9 +135,12 @@ def hashed_importance_scores(
         )
     )
     return (
-        occ.join(F.broadcast(weights), on="__bucket")
+        compact.join(F.broadcast(weights), on="__bucket")
         .groupBy("__id")
-        .agg(F.count("*").alias("n_tokens"), F.sum("__w_ppm").alias("score_sum"))
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(F.col("__c") * F.col("__w_ppm")).alias("score_sum"),
+        )
         .select(
             F.col("__id").alias(id_col),
             "n_tokens",

@@ -127,7 +127,17 @@ def select_top_fraction(
     global_row_number``: range partition, per-partition ranks, one
     offset row per partition) — no corpus-cardinality single-partition
     window. The corpus size rides as a broadcast 1-row relation."""
-    scores = sampling.hashed_importance_scores(docs, id_col, text_col, target_pred)
+    # scores feeds TWO consumers (the rank and the corpus-size total);
+    # left lazy, the whole scoring pipeline — two token-explode + md5
+    # scans of the corpus — re-runs for the 1-row count (r15, guide §5:
+    # one materialization for two consumers). One row per doc, 4 cols —
+    # cheap to stage even at corpus scale.
+    scores = persistence.stage(
+        sampling.hashed_importance_scores(
+            docs, id_col, text_col, target_pred, reliable=reliable
+        ),
+        reliable,
+    )
     ranked = prefix.global_row_number(
         scores, [F.desc("mean_score_ppm"), F.asc(id_col)], out="__rank",
         reliable=reliable,
