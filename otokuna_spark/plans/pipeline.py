@@ -126,13 +126,26 @@ def add_target_variable(df: DataFrame) -> DataFrame:
 OUTLIER_COLS = ["area", "n_rooms", "building_age", "rent", "rent_admin_fee_ratio"]
 
 
-def clean_df(df: DataFrame) -> DataFrame:
+def clean_df(df: DataFrame, stage_dedup: bool = False) -> DataFrame:
     """Q1-Q3 (analysis.py:81-90): keep-first dedup on jnc_id (file order),
     exact-percentile-equality outlier filter (with the transient
-    admin_fee/rent ratio column), then drop rows with any null."""
+    admin_fee/rent ratio column), then drop rows with any null.
+
+    ``stage_dedup=True`` materializes the deduped relation once
+    (localCheckpoint) before the outlier stage. The outlier filter is
+    inherently two passes over its input (quantile aggregation + the
+    filter itself, guide §1.2) and BOTH subtrees re-run the keep-first
+    window when the input is lazy — measured r16: the window pass ran
+    twice (2 x 0.6 s at the 75k-listing bench shape) with only the
+    upstream parse persisted. Staging here makes the window (and
+    everything above it) run exactly once per call."""
     deduped = dedup.dedup_keep_first(
         df, ["jnc_id"], [F.asc("source_file"), F.asc("building_idx"), F.asc("room_idx")]
     )
+    if stage_dedup:
+        from ..operators import persistence
+
+        deduped = persistence.stage(deduped, False)
     # pandas division-by-zero yields inf (or NaN for 0/0) and the reference
     # KEEPS those rows (equality vs the quantile is False; dropna ignores
     # inf) — Spark's x/0.0 is NULL, which would poison the outlier flag and
@@ -174,12 +187,15 @@ def scrape_pipeline(
     ``clean_df`` scans its input twice (quantile aggregation + outlier
     filter), and the two MapInPandas branches do NOT canonicalize to a
     reused exchange — measured with an accumulator, the Python page parse
-    runs twice without a cache. ``persist_intermediate`` persists the
-    parsed/enriched relation (MEMORY_AND_DISK: spills rather than
-    recomputes) so the most expensive stage runs once; at the 1,500-page
-    bench shape this is a modest win, at a real crawl's scale re-parsing
-    the whole corpus twice is the difference that matters. The cache lives
-    until the caller clears it — the price of keeping this function lazy.
+    runs twice without a cache. ``persist_intermediate`` stages the
+    DEDUPED relation (clean_df's ``stage_dedup`` — localCheckpoint) so
+    both the Python parse AND the keep-first window run exactly once;
+    r15 persisted the pre-window parse output instead, which kept the
+    parse single-run but re-ran the window per outlier pass (measured
+    r16: 2 x 0.6 s at the 1,500-page bench shape). At a real crawl's
+    scale re-parsing the whole corpus twice is the difference that
+    matters. The checkpoint blocks live until the relation is
+    garbage-collected — the price of materializing mid-pipeline.
     """
     from ..sources.html import read_raw_pages
 
@@ -188,8 +204,4 @@ def scrape_pipeline(
     if location_ref is not None:
         props = add_address_coords(props, location_ref)
     props = add_target_variable(props)
-    if persist_intermediate:
-        from pyspark import StorageLevel
-
-        props = props.persist(StorageLevel.MEMORY_AND_DISK)
-    return clean_df(props)
+    return clean_df(props, stage_dedup=persist_intermediate)
