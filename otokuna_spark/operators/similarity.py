@@ -839,29 +839,50 @@ def pq_adc_topk(
     else:
         c_codes = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__codes"))
 
-    from pyspark.sql.functions import pandas_udf
+    # Query LUTs ride into the scan as a CLOSURE table, not a join column
+    # (guide §2.3/§4: shuffle/ship keys and metadata, not payloads). The
+    # r15 formulation broadcast-joined the (m * n_codes)-double LUT onto
+    # every (query, corpus) pair row and shipped it through Arrow into a
+    # per-pair UDF — |corpus| * |queries| * 8 * m * n_codes bytes across
+    # the Python boundary (~40 MB at q85's sf0.1 shape, multiplicative in
+    # corpus size, query count and codebook width; q85 measured 4.8 ->
+    # 1.9 s min-of-3 from this change). The queries side is the BOUNDED
+    # driver-bounded contract as pq_train's sample and the IVF centroid
+    # pick), so its LUTs are computed once driver-side — numerically
+    # identical numpy ops — and each corpus batch crosses the boundary
+    # once with only (neighbor_id, codes), emitting skinny scored rows.
+    # Per-pair math is unchanged: gather m cells in lane order, float64
+    # sum — bit-identical to the joined formulation (oracle-attested).
+    q_rows = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__v")).collect()
+    qids_np = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qx = np.vstack([np.asarray(r["__v"], dtype=np.float64) for r in q_rows])
+    qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)
+    luts = np.empty((len(qx), m * n_codes), dtype=np.float64)
+    for j in range(m):
+        luts[:, j * n_codes : (j + 1) * n_codes] = qx[:, j * dsub : (j + 1) * dsub] @ cb[j].T
+    offs = np.arange(m) * n_codes
+    nid_type = c_codes.schema["neighbor_id"].dataType.simpleString()
+    qid_type = queries.schema[qid].dataType.simpleString()
 
-    @pandas_udf("array<double>")
-    def lut(v: pd.Series) -> pd.Series:
-        x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
-        out = np.empty((len(x), m * n_codes), dtype=np.float64)
-        for j in range(m):
-            out[:, j * n_codes : (j + 1) * n_codes] = x[:, j * dsub : (j + 1) * dsub] @ cb[j].T
-        return pd.Series(list(out))
+    def adc_scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["__codes"].tolist()).astype(np.int64) + offs[None, :]
+            nbr = pdf["neighbor_id"].to_numpy()
+            for qi in range(len(qids_np)):
+                keep = nbr != qids_np[qi]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(int(keep.sum()), qids_np[qi]),
+                        "neighbor_id": nbr[keep],
+                        "adc_score": luts[qi][codes[keep]].sum(axis=1),
+                    }
+                )
 
-    @pandas_udf("double")
-    def adc(codes: pd.Series, luts: pd.Series) -> pd.Series:
-        c = np.vstack([np.asarray(e, dtype=np.int64) for e in codes])
-        t = np.vstack([np.asarray(e, dtype=np.float64) for e in luts])
-        offs = np.arange(m) * n_codes
-        return pd.Series(np.take_along_axis(t, c + offs[None, :], axis=1).sum(axis=1))
-
-    q_tab = queries.select(F.col(qid).alias("query_id"), lut(F.col(vec_col)).alias("__lut"))
-    scored = (
-        c_codes.join(F.broadcast(q_tab), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_score", adc(F.col("__codes"), F.col("__lut")))
-        .select("query_id", "neighbor_id", "adc_score")
+    scored = c_codes.mapInPandas(
+        adc_scan,
+        schema=f"query_id {qid_type}, neighbor_id {nid_type}, adc_score double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -1272,18 +1293,44 @@ def ivf_sq8_recall(
     )
     ncand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
 
-    qe = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("__q").alias("qx")
+    # Exact recall-harness side: squared-L2 of every (query, corpus)
+    # pair. The r15 formulation crossJoined the broadcast query rows and
+    # evaluated a d-element zip_with/aggregate fold per pair — nested
+    # array lambdas run OUTSIDE whole-stage codegen (the r14 Lloyd
+    # finding), so |corpus| * n_queries interpreted folds dominated the
+    # query. Same device as kmeans._assign_numpy: the BOUNDED query rows
+    # ride into the scan as a closure int64 matrix and each corpus batch
+    # is one vectorized numpy pass — integer adds are associative, so the
+    # result is bit-identical (oracle-attested); every term is far inside
+    # int64 (d * (2 * 2.2e6)^2 ~ 1e15).
+    q_rows = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col("__q").alias("qx"))
+        .collect()
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("qx"), F.col("xs"), lambda a, b: (a - b) * (a - b)),
-        zero,
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        assigned.crossJoin(F.broadcast(qe))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", dist.alias("dist"))
+    qmat = np.vstack([np.asarray(r["qx"], dtype=np.int64) for r in q_rows]) if q_rows else np.zeros((0, 1), dtype=np.int64)
+    qids_np = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    nid_type = dict(assigned.dtypes)["neighbor_id"]
+
+    def exact_scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xs = np.vstack(pdf["xs"].tolist()).astype(np.int64)
+            nbr = pdf["neighbor_id"].to_numpy()
+            for qi in range(len(qids_np)):
+                keep = nbr != qids_np[qi]
+                dd_ = xs[keep] - qmat[qi][None, :]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(int(keep.sum()), qids_np[qi]),
+                        "neighbor_id": nbr[keep],
+                        "dist": (dd_ * dd_).sum(axis=1),
+                    }
+                )
+
+    pairs = assigned.select("neighbor_id", "xs").mapInPandas(
+        exact_scan, schema=f"query_id long, neighbor_id {nid_type}, dist long"
     )
     we = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     exact = (
