@@ -1345,6 +1345,14 @@ def incremental_near_dup_filter(
             .distinct()
         )
     survivors = new_docs.join(dup_ids, on=id_col, how="left_anti")
+    if materialize:
+        # the survivors relation feeds THREE downstream jobs (the
+        # candidate self-join's id restriction, the verify stage's doc
+        # side, and the final keep anti-join); left lazy, each job
+        # re-runs the store-probe collision join + distinct above
+        # (r16: ~0.4 s x 2 extra per ingest batch). Stage the
+        # batch-sized result once; lazy callers keep the lazy plan.
+        survivors = survivors.localCheckpoint()
     # within-batch stage REUSES the batch's band keys (computed above for
     # the corpus probe) — one signature pass per batch, not two — and
     # verifies ONLY the proposed pairs (the production shape: cost tracks

@@ -599,10 +599,21 @@ def ingest_exact_scrub_batch(
                 "broadcast" if n_batch <= broadcast_max_hashes else "colocated"
             ),
         )
-    scrubbed = dedup.exact_substring_scrub(
-        batch_df, id_col, text_col, window=window, spans=spans
-    ).localCheckpoint()  # cut lineage BEFORE the writes reshape the dirs
-    batch_df.write.mode("overwrite").parquet(f"{raw_path}/batch={batch_id}")
+    # The raw-archive write depends only on the (already staged) batch
+    # relation, not on the span computation — overlap it with the scrub
+    # materialization (guide §2.6) and join before the scrubbed output
+    # lands, so the crash-safety write ORDER (raw -> output -> store) is
+    # unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        raw_f = pool.submit(
+            batch_df.write.mode("overwrite").parquet, f"{raw_path}/batch={batch_id}"
+        )
+        scrubbed = dedup.exact_substring_scrub(
+            batch_df, id_col, text_col, window=window, spans=spans
+        ).localCheckpoint()  # cut lineage BEFORE the writes reshape the dirs
+        raw_f.result()
     scrubbed.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
     (
         batch_hashed.withColumn("window", F.lit(window))
