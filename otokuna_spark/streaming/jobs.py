@@ -1853,7 +1853,7 @@ def ingest_curation_batch(
     from concurrent.futures import ThreadPoolExecutor
 
     from ..operators import persistence
-    from ..operators.dedup import dedup_exact, incremental_near_dup_filter
+    from ..operators.dedup import dedup_keep_first, incremental_near_dup_filter
     from ..plans.curation import decontaminate, quality_floor
 
     sp = batch_df.sparkSession
@@ -1898,10 +1898,16 @@ def ingest_curation_batch(
             shingle_k=shingle_k,
         )
 
-        # stage 2: exact dedup — within-batch keep-first, then the digest
-        # store anti-join (only 16-byte digests shuffle, never text)
-        wb = dedup_exact(quality, [text_col], [F.asc(id_col)])
-        hashed = wb.withColumn("__md5", F.md5(F.col(text_col)))
+        # stage 2: exact dedup, digest-first (r16, landed from the
+        # PROD_BENCH exact_stage_reorder_5m_store probe): md5 once, store
+        # anti-join on __md5, then the within-batch keep-first window
+        # KEYED ON THE DIGEST — the join and the window share one 32-hex
+        # exchange (guide §2.4) and batch text is never a shuffle key.
+        # The r15 order (text-keyed window, then anti-join) paid a
+        # second, text-keyed batch exchange; the kept set is identical
+        # (probe: kept_equal at a 5M-digest no-broadcast store, and the
+        # batch-union equivalence tests pin it end-to-end).
+        hashed = quality.withColumn("__md5", F.md5(F.col(text_col)))
         if _fs_nonempty(sp, digest_path):
             dstore = sp.read.parquet(digest_path)
             if "batch" in dstore.columns:
@@ -1909,7 +1915,8 @@ def ingest_curation_batch(
             hashed = hashed.join(
                 dstore.select(F.col("text_md5").alias("__md5")), "__md5", "left_anti"
             )
-        exact = persistence.stage(hashed.drop("__md5"), False)
+        wb = dedup_keep_first(hashed, ["__md5"], [F.asc(id_col)])
+        exact = persistence.stage(wb.drop("__md5"), False)
         n_exact = exact.count()
 
         # stage 3: near-dup vs the accepted corpus's signature store (verify

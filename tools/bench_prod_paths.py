@@ -499,6 +499,78 @@ def round16_scale_probes(spark, sf_dir: str = "/root/testdata/sf0.1") -> dict:
     return {"semdedup_base_staging": out}
 
 
+def round16b_exact_stage_reorder(spark, sf_dir: str = "/root/testdata/sf0.1") -> dict:
+    """Exact-dedup stage order at digest-store scale (round-15 'measured,
+    not landed' + round-15 judge ask #5). Two equivalent formulations of
+    ingest_curation_batch's stage 2:
+
+    - text-window-first (shipped r15): keep-first window PARTITIONED BY
+      FULL TEXT, then md5 + store anti-join — two batch exchanges, one
+      keyed by document text.
+    - digest-first: md5 once, store anti-join on __md5, keep-first window
+      keyed on __md5 — ONE batch exchange (join and window share the
+      32-hex key, guide §2.4), text never a shuffle key.
+
+    Locally the digest store broadcasts and both arms pay one text
+    exchange (r15: 0.27 vs 0.33 s — not landed). This probe builds the
+    shape that matters: a store far past the broadcast threshold (5M
+    synthetic digests, ~9:1+ vs the 5k-doc batch; autoBroadcastJoinThreshold
+    forced to -1 so the plan is the sort-merge the 100 TB store gets),
+    asserts the kept sets are identical, and times both arms interleaved.
+    """
+    from otokuna_spark.operators.dedup import dedup_exact, dedup_keep_first
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.localCheckpoint()
+    # synthetic digest store: 5M rows of md5 hex (disjoint from the batch
+    # texts), plus the digests of every 10th batch doc so the anti-join
+    # actually drops rows
+    store = (
+        spark.range(5_000_000)
+        .select(F.md5(F.concat(F.lit("store:"), F.col("id").cast("string"))).alias("text_md5"))
+        .unionByName(
+            batch.where(F.col("doc_id") % 10 == 0).select(F.md5("text").alias("text_md5"))
+        )
+        .localCheckpoint()
+    )
+    n_store = store.count()
+
+    def old_arm():
+        wb = dedup_exact(batch, ["text"], [F.asc("doc_id")])
+        hashed = wb.withColumn("__md5", F.md5(F.col("text")))
+        return hashed.join(store.select(F.col("text_md5").alias("__md5")), "__md5", "left_anti").drop("__md5")
+
+    def new_arm():
+        hashed = batch.withColumn("__md5", F.md5(F.col("text")))
+        survivors = hashed.join(store.select(F.col("text_md5").alias("__md5")), "__md5", "left_anti")
+        return dedup_keep_first(survivors, ["__md5"], [F.asc("doc_id")]).drop("__md5")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out: dict = {"store_rows": n_store, "batch_docs": batch.count()}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a_ids = {r["doc_id"] for r in old_arm().select("doc_id").collect()}
+        b_ids = {r["doc_id"] for r in new_arm().select("doc_id").collect()}
+        out["kept_equal"] = a_ids == b_ids
+        out["kept_docs"] = len(a_ids)
+        res = {"text_window_first": [], "digest_first": []}
+        for _ in range(3):
+            for tag, arm in (("text_window_first", old_arm), ("digest_first", new_arm)):
+                spark.catalog.clearCache()
+                _, s = timed(lambda: arm().count())
+                res[tag].append(s)
+        out["text_window_first_seconds"] = res["text_window_first"]
+        out["digest_first_seconds"] = res["digest_first"]
+        out["min_text_window_first"] = min(res["text_window_first"])
+        out["min_digest_first"] = min(res["digest_first"])
+        out["digest_first_speedup_x"] = round(
+            out["min_text_window_first"] / out["min_digest_first"], 3
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return {"exact_stage_reorder_5m_store": out}
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -509,6 +581,7 @@ def main() -> None:
         ("--only-round15", "round15_scale_probes", round15_scale_probes),
         ("--only-round15b", "round15b_sigstore_probes", round15b_sigstore_probes),
         ("--only-round16", "round16_scale_probes", round16_scale_probes),
+        ("--only-round16b", "round16b_exact_stage_reorder", round16b_exact_stage_reorder),
     ):
         if flag in sys.argv:
             # merge the new probes into the committed file without
